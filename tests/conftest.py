@@ -7,10 +7,19 @@ used in place of real TPU pods).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects the TPU platform
+# (e.g. JAX_PLATFORMS=axon): the test suite runs on an 8-device virtual CPU
+# mesh; only bench.py and __graft_entry__.entry() target the real chip.
+# Note: the container's sitecustomize imports jax at interpreter startup, so
+# the env var alone is too late — use jax.config before any backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

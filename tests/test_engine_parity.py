@@ -1,0 +1,132 @@
+"""TPU-engine vs NumPy-oracle parity: the framework's core gate.
+
+Mirrors the reference's four-tier strategy (SURVEY.md section 4): stage-level
+checks live in test_stages.py; this file covers end-to-end block renders for
+all process types, crossfade paths over consecutive blocks, chunk-boundary
+state carry, and the wrapping playhead.
+"""
+
+import numpy as np
+import pytest
+
+from jefferson_tpu import ProcessType
+from jefferson_tpu.engine.plan import make_plan
+from jefferson_tpu.engine.renderer import Renderer
+from jefferson_tpu.oracle.reference import render_oracle
+from jefferson_tpu.testing import precision_check
+from jefferson_tpu.trajectory.trajectory import CircularOrbit, PositionEvents, StaticPosition
+
+# engine (float32 JAX) vs oracle (float32 NumPy/scipy): both single precision,
+# differing only in op order / FFT implementation.  The reference holds 2e-7
+# between cuFFT and FFTW (Precision_Check.py); we gate the same way with a
+# modest allowance for XLA's FFT.
+E2E_EPS = 1e-6
+
+
+@pytest.fixture(scope="module")
+def renderer(db):
+    return Renderer(db, chunk_blocks=64)
+
+
+def _positions(traj, blocks, config):
+    return traj.sample(blocks, config)
+
+
+@pytest.mark.parametrize(
+    "ptype",
+    [ProcessType.TPU_FD_COMPLEX, ProcessType.TPU_FD_BASIC, ProcessType.TPU_TD],
+)
+def test_static_source_parity(renderer, db, config, castanets, ptype):
+    """BASELINE config 1: static source, file-to-file (+ basic & TD modes)."""
+    traj = StaticPosition(azi=30, ele=10, r=1.5)
+    pos = _positions(traj, 40, config)
+    got = renderer.render(castanets, pos, ptype)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], config, ptype)
+    rep = precision_check(got, want, eps=E2E_EPS if ptype != ProcessType.TPU_TD else 5e-6)
+    assert rep.ok, f"{ptype.name}: {rep}"
+
+
+def test_initial_crossfade_matches_reference_default(renderer, db, config, castanets):
+    """With initial_old=(0,0) (the constructor state), a static source not at
+    (0,0) crossfades on block 0 exactly like the reference."""
+    pos = StaticPosition(azi=90, ele=0, r=1.0).sample(6, config)
+    got = renderer.render(castanets, pos, ProcessType.TPU_FD_COMPLEX, initial_old=(0.0, 0.0))
+    want = render_oracle(
+        castanets, db, [tuple(p) for p in pos], config, initial_old=(0.0, 0.0)
+    )
+    rep = precision_check(got, want, eps=E2E_EPS)
+    assert rep.ok, str(rep)
+    # and the no-crossfade variant differs on block 0 only
+    got2 = renderer.render(castanets, pos, ProcessType.TPU_FD_COMPLEX, initial_old=None)
+    assert np.abs(got2[:128] - got[:128]).max() > 1e-4
+    np.testing.assert_allclose(got2[128:], got[128:], atol=2e-6)
+
+
+def test_moving_source_crossfade_parity(renderer, db, config, castanets):
+    """BASELINE config 2: orbiting source; crossfade fires on most blocks."""
+    traj = CircularOrbit(period_s=0.8, ele=7, r=2.0)
+    pos = _positions(traj, 80, config)
+    plan = make_plan(pos, config)
+    assert plan.xfade[1:].mean() > 0.5  # the orbit really does move per block
+    got = renderer.render(castanets, pos, ProcessType.TPU_FD_COMPLEX)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=E2E_EPS)
+    assert rep.ok, str(rep)
+
+
+def test_scripted_events_parity(renderer, db, config, castanets):
+    """DEBUGMODE-2 style scripted jumps (reference: Jefferson/src/main.cu:101-148)."""
+    traj = PositionEvents(
+        [
+            (0.00, 0, 0, 0.5),
+            (0.02, 2, 4, 0.5),
+            (0.05, 1, 3, 0.7),
+            (0.08, 4, 2, 0.7),
+            (0.11, 7, 9, 1.0),
+            (0.14, 0, 0, 0.5),
+        ]
+    )
+    pos = _positions(traj, 60, config)
+    got = renderer.render(castanets, pos, ProcessType.TPU_FD_COMPLEX)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=E2E_EPS)
+    assert rep.ok, str(rep)
+
+
+def test_chunk_boundary_state_carry(db, config, castanets):
+    """Identical output regardless of chunk size (overlap-save carry)."""
+    pos = CircularOrbit(period_s=1.0).sample(50, config)
+    r_small = Renderer(db, chunk_blocks=7)
+    r_big = Renderer(db, chunk_blocks=512)
+    a = r_small.render(castanets, pos)
+    b = r_big.render(castanets, pos)
+    rep = precision_check(a, b, eps=1e-7)
+    assert rep.ok, str(rep)
+
+
+def test_wrapping_playhead(renderer, db, config):
+    """Input shorter than the render wraps mid-block like the reference
+    (reference: Jefferson/src/Audio.cu:121-139)."""
+    rng = np.random.default_rng(0)
+    short = (rng.standard_normal(1000) * 0.3).astype(np.float32)  # not a multiple of 128
+    pos = StaticPosition(azi=15, ele=0, r=0.8).sample(30, config)
+    got = renderer.render(short, pos)
+    want = render_oracle(short, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=E2E_EPS)
+    assert rep.ok, str(rep)
+
+
+def test_matmul_backend_matches_fft(db, config, castanets):
+    """The MXU DFT-matmul backend is numerically interchangeable."""
+    pos = CircularOrbit(period_s=1.5).sample(40, config)
+    a = Renderer(db, chunk_blocks=64, backend="fft").render(castanets, pos)
+    b = Renderer(db, chunk_blocks=64, backend="matmul").render(castanets, pos)
+    rep = precision_check(a, b, eps=5e-6)
+    assert rep.ok, str(rep)
+
+
+def test_distance_attenuation_behavior(renderer, config, castanets):
+    """Farther sources are quieter (1/(1+(fs/vs)r²) rolloff)."""
+    near = renderer.render(castanets, StaticPosition(azi=45, r=1.0).sample(20, config))
+    far = renderer.render(castanets, StaticPosition(azi=45, r=4.0).sample(20, config))
+    assert np.sqrt(np.mean(far**2)) < 0.3 * np.sqrt(np.mean(near**2))
