@@ -1,0 +1,122 @@
+"""Benchmark: sustained 128-sample blocks/sec on one chip (flagship pipeline).
+
+Workload = BASELINE config 5: a batch of concurrent moving source streams
+(crossfade active every block) through the full interpolating binaural
+pipeline, state carried between steps like a production streaming service.
+Inputs are staged on device (double-buffered IO in production); the
+measurement is steady-state compute throughput.
+
+Baseline: the reference GPU renders one 128-sample block in ~0.3 ms worst
+case (reference: README.md:24) => ~3,333 blocks/s/GPU.  vs_baseline is the
+ratio to that number.  North star (BASELINE.md): >=344,531 blocks/s/chip
+(1000x real time).
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+
+    log("devices:", jax.devices())
+    import jax.numpy as jnp
+
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+    from jefferson_tpu.engine.batch import batched_chunk_fn
+    from jefferson_tpu.engine.plan import make_plan
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+
+    n_sources, nb = 256, 32  # 256 concurrent streams, 32 blocks per step
+    rng = np.random.default_rng(0)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    hists = jnp.zeros((n_sources, cfg.history_len), jnp.float32)
+    feds = jnp.asarray(
+        rng.standard_normal((n_sources, nb * cfg.frames_per_buffer)).astype(np.float32) * 0.2
+    )
+    plans = [
+        make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
+        for i in range(n_sources)
+    ]
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    xs = (
+        stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),
+        stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+    )
+
+    step = jax.jit(batched_chunk_fn(cfg, num_blocks=nb, with_xfade=True))
+    # NOTE: jax.block_until_ready does not reliably synchronize on the axon
+    # relay backend, so completion is forced by fetching a scalar reduction
+    # of the final outputs (4-byte transfer), and throughput is taken from
+    # the slope between a short and a long run, cancelling the fixed
+    # dispatch/roundtrip cost.
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+
+    t0 = time.time()
+    out, h2 = step(spectra, hists, feds, *xs)
+    float(probe(out, h2))
+    log(f"compile+first step: {time.time()-t0:.1f}s")
+
+    def run(k):
+        h2 = hists
+        t0 = time.time()
+        for _ in range(k):
+            out, h2 = step(spectra, h2, feds, *xs)
+        float(probe(out, h2))  # forces the whole dependency chain
+        return time.time() - t0
+
+    run(4)  # warm
+    k_short, k_long = 4, 84
+    t_short, t_long = run(k_short), run(k_long)
+    per_step = (t_long - t_short) / (k_long - k_short)
+    bps = n_sources * nb / per_step
+    rt = bps * cfg.frames_per_buffer / cfg.sample_rate
+    log(
+        f"steady state: {per_step*1e3:.2f} ms per {n_sources}x{nb}-block step "
+        f"-> {bps:,.0f} blocks/s/chip = {rt:,.0f}x real time"
+    )
+
+    # parity spot check against the oracle (first source, first blocks)
+    try:
+        from jefferson_tpu.engine.renderer import Renderer
+        from jefferson_tpu.oracle.reference import render_oracle
+
+        pos = CircularOrbit(period_s=0.4, ele=5, r=1.0).sample(16, cfg)
+        sig = np.asarray(feds[0][: 16 * cfg.frames_per_buffer])
+        got = Renderer(db, cfg, chunk_blocks=16).render(sig, pos)
+        want = render_oracle(sig, db, [tuple(p) for p in pos], cfg)
+        rms = float(np.sqrt(np.mean((got - want) ** 2)))
+        log(f"parity: rms vs oracle = {rms:.2e} (budget 1e-4)")
+    except Exception as e:  # parity reporting must not kill the bench
+        log("parity check skipped:", e)
+        rms = None
+
+    result = {
+        "metric": "blocks_per_sec_per_chip",
+        "value": round(bps, 1),
+        "unit": "128-sample 44.1kHz blocks/s/chip",
+        "vs_baseline": round(bps / 3333.3, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

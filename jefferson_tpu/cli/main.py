@@ -1,0 +1,193 @@
+"""jefferson — offline/streaming binaural render CLI.
+
+The reference's app surface is ``-t <0-5> -i in.wav -r reverb.wav -o out.wav``
+(reference: Jefferson/src/main.cu:22-58) plus a GLUT window moving the
+source.  This CLI keeps those flags, replaces the realtime/graphics loop
+with trajectory-driven offline rendering, and promotes the reference's
+compile-time switches (reverb on/off, HRTF dir, block count) to options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jefferson",
+        description="TPU-native binaural spatializer (file-to-file)",
+    )
+    p.add_argument("-t", "--type", type=int, default=0, choices=range(6),
+                   help="process type: 0=TPU FD interpolating, 1=TPU FD nearest, "
+                        "2=TPU time-domain, 3/4/5=CPU oracle equivalents (default 0)")
+    p.add_argument("-i", "--input", default=None, help="input WAV (mono or stereo; downmixed)")
+    p.add_argument("-r", "--reverb", default=None, help="reverb impulse-response WAV (mono)")
+    p.add_argument("-o", "--output", default="ofile.wav", help="output WAV (default ofile.wav)")
+    p.add_argument("--reverb-mode", choices=["off", "reference", "linear"], default="off",
+                   help="off (reference default reverbFlag=false), reference "
+                        "(circular wrap + RMS renorm), or linear convolution")
+    p.add_argument("--hrtf-dir", default=None,
+                   help="KEMAR database dir (full or compact layout); default: "
+                        "$JEFFERSON_HRTF_DIR, else a deterministic synthetic set")
+    p.add_argument("--trajectory", default="static:azi=0,ele=0,r=0.5",
+                   help="trajectory spec: static:azi=A,ele=E,r=R | "
+                        "orbit:period=P,ele=E,r=R[,start=A] | "
+                        "sweep:start=A,step=S,blocks=N,steps=K[,ele=E,r=R] | "
+                        "path:x0,y0,z0:x1,y1,z1:duration | events:FILE.json")
+    p.add_argument("--blocks", type=int, default=None,
+                   help="number of 128-sample blocks (default: one pass of the input)")
+    p.add_argument("--duration", type=float, default=None, help="render length in seconds")
+    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32],
+                   help="output PCM depth (default 24, the reference's format)")
+    p.add_argument("--float", action="store_true", help="write float32 WAV instead of PCM")
+    p.add_argument("--backend", choices=["matmul", "fft"], default="matmul")
+    p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--initial-old", default="0,0",
+                   help="crossfade state before block 0 as 'azi,ele' (reference "
+                        "constructor default 0,0) or 'none' to disable")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def parse_trajectory(spec: str):
+    from ..trajectory.trajectory import (
+        AzimuthSweep,
+        CircularOrbit,
+        LinearPath,
+        PositionEvents,
+        StaticPosition,
+    )
+
+    kind, _, rest = spec.partition(":")
+
+    def kv(defaults):
+        out = dict(defaults)
+        if rest:
+            for item in rest.split(","):
+                k, _, v = item.partition("=")
+                if k not in out:
+                    raise SystemExit(f"unknown trajectory parameter {k!r} for {kind!r}")
+                out[k] = float(v)
+        return out
+
+    if kind == "static":
+        d = kv({"azi": 0.0, "ele": 0.0, "r": 0.5})
+        return StaticPosition(d["azi"], d["ele"], d["r"])
+    if kind == "orbit":
+        d = kv({"period": 8.0, "ele": 0.0, "r": 1.0, "start": 0.0})
+        return CircularOrbit(period_s=d["period"], ele=d["ele"], r=d["r"], start_azi=d["start"])
+    if kind == "sweep":
+        d = kv({"start": 0.0, "step": 5.0, "blocks": 172, "steps": 72, "ele": 0.0, "r": 0.5})
+        return AzimuthSweep(
+            start_azi=d["start"], ele=d["ele"], r=d["r"], step_deg=d["step"],
+            blocks_per_step=int(d["blocks"]), num_steps=int(d["steps"]),
+        )
+    if kind == "path":
+        parts = rest.split(":")
+        if len(parts) != 3:
+            raise SystemExit("path spec: path:x0,y0,z0:x1,y1,z1:duration")
+        a = tuple(float(v) for v in parts[0].split(","))
+        b = tuple(float(v) for v in parts[1].split(","))
+        return LinearPath(a, b, float(parts[2]))
+    if kind == "events":
+        events = json.loads(Path(rest).read_text())
+        return PositionEvents([tuple(e) for e in events])
+    raise SystemExit(f"unknown trajectory kind {kind!r}")
+
+
+def load_hrtf(hrtf_dir, config, quiet=False):
+    import os
+
+    from ..hrtf.kemar import load_database, synthetic_database
+
+    hrtf_dir = hrtf_dir or os.environ.get("JEFFERSON_HRTF_DIR")
+    if hrtf_dir:
+        return load_database(hrtf_dir, config)
+    default = Path("/root/reference/Jefferson/compact")
+    if default.exists():
+        return load_database(default, config)
+    if not quiet:
+        print("warning: no HRTF dir given; using the synthetic test set", file=sys.stderr)
+    return synthetic_database(config)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..config import DEFAULT_CONFIG, ProcessType
+    from ..io.wavio import read_wav_mono, write_wav
+
+    config = DEFAULT_CONFIG
+    ptype = ProcessType(args.type)
+
+    if args.input is None:
+        raise SystemExit("missing -i/--input")
+    signal, sr = read_wav_mono(args.input)
+    if sr != config.sample_rate:
+        print(f"warning: input rate {sr} != engine rate {config.sample_rate}; "
+              "rendering at engine rate", file=sys.stderr)
+
+    if args.reverb_mode != "off":
+        if args.reverb is None:
+            raise SystemExit("--reverb-mode requires -r/--reverb")
+        ir, ir_sr = read_wav_mono(args.reverb)
+        from ..reverb.convolution import convolve_linear, reverb_reference
+
+        t0 = time.time()
+        if args.reverb_mode == "reference":
+            signal = reverb_reference(signal, ir, config)
+        else:
+            signal = convolve_linear(signal, ir, config)
+        if not args.quiet:
+            print(f"reverb ({args.reverb_mode}): {len(ir)}-tap IR in {time.time()-t0:.2f}s",
+                  file=sys.stderr)
+
+    traj = parse_trajectory(args.trajectory)
+    if args.blocks is not None:
+        num_blocks = args.blocks
+    elif args.duration is not None:
+        num_blocks = int(np.ceil(args.duration / config.block_duration))
+    else:
+        num_blocks = int(np.ceil(len(signal) / config.frames_per_buffer))
+    positions = traj.sample(num_blocks, config)
+
+    initial_old = None if args.initial_old == "none" else tuple(
+        float(v) for v in args.initial_old.split(",")
+    )
+
+    db = load_hrtf(args.hrtf_dir, config, args.quiet)
+    t0 = time.time()
+    if ptype.is_oracle:
+        from ..oracle.reference import render_oracle
+
+        out = render_oracle(signal, db, [tuple(p) for p in positions], config, ptype,
+                            initial_old=initial_old)
+    else:
+        from ..engine.renderer import Renderer
+
+        r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend)
+        out = r.render(signal, positions, ptype, initial_old=initial_old)
+    dt = time.time() - t0
+
+    clip = np.abs(out) > 1.0
+    if clip.any():
+        print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)
+
+    write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
+    if not args.quiet:
+        audio_s = num_blocks * config.block_duration
+        print(
+            f"{ptype.name}: {num_blocks} blocks ({audio_s:.2f}s audio) in {dt:.2f}s "
+            f"= {audio_s/dt:.1f}x real time -> {args.output}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

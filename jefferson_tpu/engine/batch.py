@@ -1,0 +1,147 @@
+"""Multi-source batched rendering: vmap over sources, shard over a mesh.
+
+The reference mixes sources serially inside the audio callback (reference:
+Jefferson/src/Audio.cu:98-158, one GPUSoundSource per source with its own 8
+CUDA streams).  TPU-native: sources are a vmapped batch axis over the same
+chunk pipeline, and the batch shards across chips via a 1-D
+``jax.sharding.Mesh`` — independent streams need no collectives; only the
+optional mixdown reduces across the source axis (GSPMD inserts the psum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..hrtf.kemar import HRTFDatabase
+from .plan import RenderPlan, fed_stream, make_plan
+from .renderer import _fd_complex_chunk
+
+
+def batched_chunk_fn(config: EngineConfig, num_blocks: int, with_xfade: bool = True):
+    """Source-batched interpolating FD chunk: all leading dims get a source
+    axis S; the HRTF spectra are shared (broadcast).
+
+    Signature of the returned function:
+      (spectra=(hr, hi), hists (S, hist), feds (S, nb*fpb),
+       idx_new (S, nb, 4), w_new, idx_old, w_old, xfade (S, nb),
+       u_hi, u_lo, inv_frac (S, nb))
+      -> (outs (S, nb, fpb, 2), new_hists (S, hist))
+    """
+    chunk = functools.partial(
+        _fd_complex_chunk,
+        config=config,
+        num_blocks=num_blocks,
+        backend="matmul",
+        with_xfade=with_xfade,
+    )
+    return jax.vmap(chunk, in_axes=(None,) + (0,) * 10)
+
+
+def mix_sources(outs: jax.Array) -> jax.Array:
+    """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
+    the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
+    return jnp.sum(outs, axis=0)
+
+
+class BatchRenderer:
+    """Render S concurrent independent source streams, optionally sharded.
+
+    signals: (S, n) float32 — one mono stream per source.
+    plans: per-source RenderPlans with identical num_blocks.
+    mesh: optional 1-D jax Mesh; the source axis is sharded across it.
+    """
+
+    def __init__(
+        self,
+        db: HRTFDatabase,
+        config: EngineConfig | None = None,
+        chunk_blocks: int = 512,
+        mesh: Mesh | None = None,
+        mix: bool = False,
+    ):
+        self.db = db
+        self.config = config or db.config
+        self.chunk_blocks = chunk_blocks
+        self.mesh = mesh
+        self.mix = mix
+        self._spectra = (
+            jnp.asarray(np.real(db.spectra).astype(np.float32)),
+            jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+        )
+        self._jitted = {}
+
+    def _get_fn(self, nb: int):
+        if nb not in self._jitted:
+            fn = batched_chunk_fn(self.config, nb, with_xfade=True)
+            if self.mix:
+                inner = fn
+
+                def mixed(spectra, *args):
+                    outs, hists = inner(spectra, *args)
+                    return mix_sources(outs), hists
+
+                fn = mixed
+            self._jitted[nb] = jax.jit(fn)
+        return self._jitted[nb]
+
+    def _shard(self, x: np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(x)
+        axis = self.mesh.axis_names[0]
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def render(self, signals: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """signals (S, n); positions (S, B, 3) -> (S, B*fpb, 2) or mixed (B*fpb, 2)."""
+        cfg = self.config
+        fpb = cfg.frames_per_buffer
+        signals = np.asarray(signals, dtype=np.float32)
+        positions = np.asarray(positions)
+        s, b_total = positions.shape[0], positions.shape[1]
+        plans = [make_plan(positions[i], cfg) for i in range(s)]
+        feds = np.stack([fed_stream(signals[i], b_total, cfg) for i in range(s)])
+        hists = self._shard(np.zeros((s, cfg.history_len), np.float32))
+
+        outs = []
+        for start in range(0, b_total, self.chunk_blocks):
+            stop = min(start + self.chunk_blocks, b_total)
+            nb = stop - start
+            fn = self._get_fn(nb)
+            sl = slice(start, stop)
+            args = dict(
+                fed=feds[:, start * fpb : stop * fpb],
+                idx_new=np.stack([p.idx_new[sl] for p in plans]),
+                w_new=np.stack([p.w_new[sl] for p in plans]),
+                idx_old=np.stack([p.idx_old[sl] for p in plans]),
+                w_old=np.stack([p.w_old[sl] for p in plans]),
+                xfade=np.stack([p.xfade[sl] for p in plans]),
+                u_hi=np.stack([p.u_hi[sl] for p in plans]),
+                u_lo=np.stack([p.u_lo[sl] for p in plans]),
+                inv_frac=np.stack([p.inv_frac[sl] for p in plans]),
+            )
+            sharded = {k: self._shard(v) for k, v in args.items()}
+            y, hists = fn(
+                self._spectra,
+                hists,
+                sharded["fed"],
+                sharded["idx_new"],
+                sharded["w_new"],
+                sharded["idx_old"],
+                sharded["w_old"],
+                sharded["xfade"],
+                sharded["u_hi"],
+                sharded["u_lo"],
+                sharded["inv_frac"],
+            )
+            outs.append(np.asarray(y))
+        if self.mix:
+            return np.concatenate(outs, axis=0).reshape(b_total * fpb, 2)
+        return np.concatenate(outs, axis=1).reshape(s, b_total * fpb, 2)

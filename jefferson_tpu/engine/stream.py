@@ -1,0 +1,199 @@
+"""Streaming engine: sequential block processing with carried state.
+
+Two forms:
+
+* ``render_scan`` — the whole render as one ``lax.scan`` over blocks inside a
+  single jit.  This is the TPU-native shape of the reference's realtime loop
+  (reference: Jefferson/src/Audio.cu:94-163): the overlap-save buffer is the
+  scan carry instead of a mutable pinned-host array.  Used as a cross-check
+  of the batched renderer and as the pattern for future feedback effects
+  (where output blocks really are sequentially dependent).
+
+* ``StreamingSpatializer`` — a stateful block-at-a-time API, the analogue of
+  the PortAudio callback path for live/low-latency use: set the position,
+  push 128 samples, get 128 stereo frames.  One jitted single-block step;
+  state (history, crossfade old-position) lives on device between calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..hrtf.kemar import HRTFDatabase, round_half_away
+from ..ops import fft as fft_ops
+from ..ops.filters import blend_filters_split, cmul, distance_factors_split
+from ..trajectory.interpolation import interpolation_calculations
+from ..trajectory.spatial import radius_from_cartesian, spherical_to_cartesian
+from .plan import RenderPlan, fed_stream, make_plan
+
+_F32 = np.float32
+
+
+def _block_step(spec_r, spec_i, hist, block, idx_new, w_new, idx_old, w_old, xfade, u_hi, u_lo, inv_frac, *, config: EngineConfig):
+    """One block through the interpolating FD pipeline (split planes).
+
+    hist: (history_len,), block: (fpb,) -> out (fpb, 2), new hist.
+    """
+    seg = jnp.concatenate([hist, block])
+    xr, xi = fft_ops.rfft_split(seg[None, :], config.pad_len)
+    dr, di = distance_factors_split(u_hi[None], u_lo[None], inv_frac[None], config.num_bins)
+    dr, di = dr[:, None, :], di[:, None, :]
+
+    def filtered(idx, w):
+        gr, gi = blend_filters_split(spec_r, spec_i, idx[None], w[None])
+        pr, pi = cmul(xr[:, None, :], xi[:, None, :], gr, gi)
+        return cmul(pr, pi, dr, di)
+
+    qr_new, qi_new = filtered(idx_new, w_new)
+    qr_old, qi_old = filtered(idx_old, w_old)
+    qr = jnp.concatenate([qr_old, qr_new], axis=1)
+    qi = jnp.concatenate([qi_old, qi_new], axis=1)
+    y = fft_ops.irfft_tail_split(qr, qi, config.pad_len, config.frames_per_buffer)[0]
+    fn = jnp.arange(config.frames_per_buffer, dtype=jnp.float32) / jnp.float32(
+        config.frames_per_buffer - 1
+    )
+    mixed = y[:2] * (1.0 - fn) + y[2:] * fn
+    out = jnp.where(xfade, mixed, y[2:])
+    new_hist = seg[config.frames_per_buffer :]
+    return jnp.transpose(out, (1, 0)), new_hist
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _scan_render(spec_r, spec_i, blocks, idx_new, w_new, idx_old, w_old, xfade, u_hi, u_lo, inv_frac, config: EngineConfig):
+    hist0 = jnp.zeros(config.history_len, dtype=jnp.float32)
+
+    def body(hist, xs):
+        blk, inw, wn, iold, wo, xf, uh, ul, ifr = xs
+        out, hist = _block_step(
+            spec_r, spec_i, hist, blk, inw, wn, iold, wo, xf, uh, ul, ifr, config=config
+        )
+        return hist, out
+
+    _, ys = jax.lax.scan(
+        body, hist0, (blocks, idx_new, w_new, idx_old, w_old, xfade, u_hi, u_lo, inv_frac)
+    )
+    return ys  # (B, fpb, 2)
+
+
+def render_scan(
+    signal: np.ndarray,
+    db: HRTFDatabase,
+    positions,
+    config: EngineConfig = DEFAULT_CONFIG,
+    initial_old: tuple[float, float] | None = (0.0, 0.0),
+) -> np.ndarray:
+    """Sequential-scan render (interpolating FD path only)."""
+    plan = make_plan(np.asarray(positions), config, initial_old)
+    fed = fed_stream(signal, plan.num_blocks, config).reshape(plan.num_blocks, config.frames_per_buffer)
+    spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
+    spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
+    ys = _scan_render(
+        spec_r,
+        spec_i,
+        jnp.asarray(fed),
+        jnp.asarray(plan.idx_new),
+        jnp.asarray(plan.w_new),
+        jnp.asarray(plan.idx_old),
+        jnp.asarray(plan.w_old),
+        jnp.asarray(plan.xfade),
+        jnp.asarray(plan.u_hi),
+        jnp.asarray(plan.u_lo),
+        jnp.asarray(plan.inv_frac),
+        config,
+    )
+    return np.asarray(ys).reshape(plan.num_blocks * config.frames_per_buffer, 2)
+
+
+class StreamingSpatializer:
+    """Live block-at-a-time spatializer (the PortAudio-callback analogue).
+
+    Mirrors the reference's mutable SoundSource state machine (position,
+    old-position crossfade trigger, overlap-save history, wrapping playhead
+    when fed from a buffer) with a single jitted device step per block.
+    """
+
+    def __init__(self, db: HRTFDatabase, config: EngineConfig | None = None):
+        self.db = db
+        self.config = config or db.config
+        self._spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
+        self._spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
+        self._hist = jnp.zeros(self.config.history_len, dtype=jnp.float32)
+        self._step = jax.jit(functools.partial(_block_step, config=self.config))
+        # reference constructor state (Jefferson/src/SoundSource.cu:3-16)
+        self.azi = _F32(0.0)
+        self.ele = _F32(0.0)
+        self.r = _F32(0.5)
+        self.old_azi = self.azi
+        self.old_ele = self.ele
+        self.buf: np.ndarray | None = None
+        self.count = 0
+        self.clipping = False
+
+    def set_position(self, azi=None, ele=None, r=None) -> None:
+        if azi is not None:
+            self.azi = _F32(round_half_away(_F32(azi)))
+        if ele is not None:
+            self.ele = _F32(round_half_away(_F32(ele)))
+        if r is not None:
+            self.r = _F32(r)
+
+    def set_position_cartesian(self, xyz) -> None:
+        from ..trajectory.spatial import cartesian_to_spherical
+
+        azi, ele, r = cartesian_to_spherical(np.asarray(xyz, dtype=_F32))
+        self.azi, self.ele, self.r = _F32(azi), _F32(ele), _F32(r)
+
+    def process_block(self, block: np.ndarray) -> np.ndarray:
+        """Push frames_per_buffer mono samples -> (fpb, 2) float32 stereo."""
+        cfg = self.config
+        block = np.asarray(block, dtype=_F32)
+        if block.shape != (cfg.frames_per_buffer,):
+            raise ValueError(f"block must be ({cfg.frames_per_buffer},), got {block.shape}")
+        cn = interpolation_calculations(self.ele, self.azi)
+        co = interpolation_calculations(self.old_ele, self.old_azi)
+        xfade = bool(self.old_azi != self.azi or self.old_ele != self.ele)
+        coords = spherical_to_cartesian(self.azi, self.ele, self.r)
+        scaled_r = np.float32(radius_from_cartesian(coords) / _F32(cfg.distance_scale))
+        from ..ops.filters import distance_phase_split
+
+        u_hi, u_lo, inv_frac = distance_phase_split(cfg.fsvs, scaled_r[None], cfg.num_bins)
+        out, self._hist = self._step(
+            self._spec_r,
+            self._spec_i,
+            self._hist,
+            jnp.asarray(block),
+            jnp.asarray(cn.indices[0]),
+            jnp.asarray(cn.weights[0]),
+            jnp.asarray(co.indices[0]),
+            jnp.asarray(co.weights[0]),
+            jnp.asarray(xfade),
+            jnp.asarray(u_hi[0]),
+            jnp.asarray(u_lo[0]),
+            jnp.asarray(inv_frac[0]),
+        )
+        self.old_azi, self.old_ele = self.azi, self.ele
+        out = np.asarray(out)
+        if np.any(np.abs(out) > 1.0):
+            self.clipping = True  # reference: clipping alert (Audio.cu:111-113)
+        return out
+
+    def process_next(self) -> np.ndarray:
+        """Pull the next block from the wrapping playback buffer (set
+        ``self.buf`` first), like the reference's callback feed."""
+        cfg = self.config
+        fpb = cfg.frames_per_buffer
+        length = len(self.buf)
+        if self.count + fpb < length:
+            blk = self.buf[self.count : self.count + fpb]
+            self.count += fpb
+        else:
+            rem = length - self.count
+            blk = np.concatenate([self.buf[self.count :], self.buf[: fpb - rem]])
+            self.count = fpb - rem
+        return self.process_block(blk)

@@ -1,0 +1,212 @@
+"""Convolution reverb: partitioned FFT convolution, TPU-native.
+
+The reference's preprocessing reverb does one whole-file cuFFT convolution
+(reference: Jefferson/src/cudaPart.cu:81-196) at size
+new_size = signal + ceil(ir/2) (PadData, reference: Jefferson/src/kernels.cu:169-188)
+— i.e. a *circular* convolution whose reverb tail wraps onto the beginning —
+followed by an RMS renormalization of the output back to the input level.
+(The reference's renormalization kernel call has its scale/size arguments
+swapped and the whole path is compiled out behind reverbFlag=false; we
+implement the intended behavior.)
+
+TPU re-design: arbitrary-length single FFTs don't map to the deployed
+runtime (no FFT HLO) and are HBM-hostile anyway.  Instead the IR is
+partitioned into uniform pad_len-sized blocks and convolved in the frequency
+domain with the input's block spectra — the spectral accumulation
+``y[m] = sum_j S[m-j] * H[j]`` runs as grouped 1-D convolutions along the
+block axis (one per real/imag plane combination), which XLA maps to dense
+TPU ops.  Linear convolution falls out directly; the reference's circular
+semantics are recovered by folding the tail back (``mode='reference'``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..ops import fft as fft_ops
+
+
+def _block_spectra_split(x: np.ndarray, part: int, fft_size: int):
+    """Partition 1-D signal into hop=part blocks, zero-padded to fft_size,
+    and return stacked (M, bins) re/im spectra as jnp arrays."""
+    n = len(x)
+    m = max(1, -(-n // part))
+    buf = np.zeros((m, fft_size), dtype=np.float32)
+    for i in range(m):
+        seg = x[i * part : (i + 1) * part]
+        buf[i, : len(seg)] = seg
+    return fft_ops.rfft_split(jnp.asarray(buf), fft_size)
+
+
+def _spectral_conv_blocks(sr, si, hr, hi):
+    """y[m] = sum_j s[m-j] * h[j] per frequency bin (full length M+J-1).
+
+    s*: (M, K) input block spectra planes; h*: (J, K) IR partition planes.
+    Implemented as 4 grouped 1-D convolutions with K channel groups.
+    """
+    m, k = sr.shape
+    j = hr.shape[0]
+
+    def gconv(a, b):
+        lhs = a.T[None]          # (1, K, M)
+        rhs = b.T[:, None, :]    # (K, 1, J)
+        out = jax.lax.conv_general_dilated(
+            lhs,
+            jnp.flip(rhs, axis=-1),
+            window_strides=(1,),
+            padding=[(j - 1, j - 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=k,
+        )
+        return out[0].T          # (M+J-1, K)
+
+    yr = gconv(sr, hr) - gconv(si, hi)
+    yi = gconv(sr, hi) + gconv(si, hr)
+    return yr, yi
+
+
+def _overlap_add(y_blocks: jax.Array, part: int, fft_size: int, total: int) -> jax.Array:
+    """(M, fft_size) time blocks at hop ``part`` -> (total,) overlap-added."""
+    m = y_blocks.shape[0]
+    out_len = (m - 1) * part + fft_size
+    # scatter-add via reshape trick: split each block into fft_size//part
+    # sub-chunks and add shifted copies
+    chunks = fft_size // part
+    acc = jnp.zeros(out_len + fft_size, dtype=y_blocks.dtype)
+    for c in range(chunks):
+        sub = y_blocks[:, c * part : (c + 1) * part].reshape(-1)
+        acc = acc.at[c * part : c * part + m * part].add(sub)
+    return acc[:total]
+
+
+def convolve_linear(
+    signal: np.ndarray,
+    ir: np.ndarray,
+    config: EngineConfig = DEFAULT_CONFIG,
+    partition: int | None = None,
+) -> np.ndarray:
+    """Full linear convolution (len = len(signal)+len(ir)-1) via uniform
+    partitioned frequency-domain convolution on the accelerator."""
+    signal = np.asarray(signal, dtype=np.float32)
+    ir = np.asarray(ir, dtype=np.float32)
+    part = partition or config.pad_len
+    fft_size = 2 * part
+    sr_, si_ = _block_spectra_split(signal, part, fft_size)
+    hr_, hi_ = _block_spectra_split(ir, part, fft_size)
+    yr, yi = _spectral_conv_blocks(sr_, si_, hr_, hi_)
+    # inverse: full blocks (overlap-add needs all fft_size samples)
+    cr, ci = fft_ops._idft_matrices(fft_size)
+    p = jax.lax.Precision.HIGHEST
+    yt = jnp.matmul(yr, cr, precision=p) + jnp.matmul(yi, ci, precision=p)
+    total = len(signal) + len(ir) - 1
+    out = _overlap_add(yt, part, fft_size, total)
+    return np.asarray(out, dtype=np.float32)
+
+
+def reverb_reference(
+    signal: np.ndarray,
+    ir: np.ndarray,
+    config: EngineConfig = DEFAULT_CONFIG,
+    normalize: bool = True,
+) -> np.ndarray:
+    """The reference's preprocessing reverb with intended semantics.
+
+    Output length new_size = len(signal) + ceil(len(ir)/2); the linear
+    convolution tail beyond new_size wraps back onto the start (circular FFT
+    convolution, reference: Jefferson/src/cudaPart.cu:124-153); the result is
+    RMS-renormalized to the dry input level when ``normalize``.
+    """
+    signal = np.asarray(signal, dtype=np.float32)
+    ir = np.asarray(ir, dtype=np.float32)
+    min_radius = len(ir) // 2
+    new_size = len(signal) + (len(ir) - min_radius)
+    lin = convolve_linear(signal, ir, config)
+    out = np.zeros(new_size, dtype=np.float32)
+    out[:] = lin[:new_size]
+    tail = lin[new_size:]
+    out[: len(tail)] += tail  # circular wrap (tail < new_size by construction)
+    if normalize:
+        rms_in = float(np.sqrt(np.mean(signal.astype(np.float64) ** 2)))
+        rms_out = float(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
+        if rms_out > 0:
+            out *= np.float32(rms_in / rms_out)
+    return out
+
+
+def reverb_oracle(signal: np.ndarray, ir: np.ndarray, normalize: bool = True) -> np.ndarray:
+    """NumPy/scipy oracle of reverb_reference (whole-signal FFT like the
+    reference, float64 accumulation)."""
+    import scipy.fft
+
+    signal = np.asarray(signal, dtype=np.float64)
+    ir = np.asarray(ir, dtype=np.float64)
+    min_radius = len(ir) // 2
+    new_size = len(signal) + (len(ir) - min_radius)
+    n = new_size
+    spec = scipy.fft.rfft(signal, n) * scipy.fft.rfft(ir, n)
+    out = scipy.fft.irfft(spec, n)
+    if normalize:
+        rms_in = float(np.sqrt(np.mean(signal**2)))
+        rms_out = float(np.sqrt(np.mean(out**2)))
+        if rms_out > 0:
+            out *= rms_in / rms_out
+    return out.astype(np.float32)
+
+
+class StreamingConvolver:
+    """Uniform partitioned convolution with a frequency-domain delay line —
+    the streaming form of the reverb for block-by-block pipelines.
+
+    Feed ``partition``-sized chunks; each call returns the same number of
+    samples (latency = one partition).  State is the ring of the last J
+    input-block spectra.
+    """
+
+    def __init__(self, ir: np.ndarray, partition: int = 1024):
+        self.part = partition
+        self.fft_size = 2 * partition
+        ir = np.asarray(ir, dtype=np.float32)
+        j = max(1, -(-len(ir) // partition))
+        hbuf = np.zeros((j, self.fft_size), dtype=np.float32)
+        for i in range(j):
+            seg = ir[i * partition : (i + 1) * partition]
+            hbuf[i, : len(seg)] = seg
+        self._hr, self._hi = (np.asarray(a) for a in fft_ops.rfft_split(jnp.asarray(hbuf), self.fft_size))
+        bins = self.fft_size // 2 + 1
+        self._ring_r = np.zeros((j, bins), dtype=np.float32)
+        self._ring_i = np.zeros((j, bins), dtype=np.float32)
+        self._pos = 0
+        self._overlap = np.zeros(partition, dtype=np.float32)
+        self._step = jax.jit(self._step_fn, static_argnames=())
+
+    def _step_fn(self, ring_r, ring_i, hr, hi, seg, overlap):
+        xr, xi = fft_ops.rfft_split(seg[None, :], self.fft_size)
+        ring_r = jnp.concatenate([xr, ring_r[:-1]], axis=0)
+        ring_i = jnp.concatenate([xi, ring_i[:-1]], axis=0)
+        acc_r = jnp.sum(ring_r * hr - ring_i * hi, axis=0)
+        acc_i = jnp.sum(ring_r * hi + ring_i * hr, axis=0)
+        cr, ci = fft_ops._idft_matrices(self.fft_size)
+        p = jax.lax.Precision.HIGHEST
+        y = jnp.matmul(acc_r, cr, precision=p) + jnp.matmul(acc_i, ci, precision=p)
+        out = y[: self.part] + overlap
+        return ring_r, ring_i, out, y[self.part :]
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed exactly one partition of samples (zero-pad the final one)."""
+        seg = np.zeros(self.fft_size, dtype=np.float32)
+        seg[: len(chunk)] = chunk
+        rr, ri, out, ov = self._step(
+            jnp.asarray(self._ring_r),
+            jnp.asarray(self._ring_i),
+            jnp.asarray(self._hr),
+            jnp.asarray(self._hi),
+            jnp.asarray(seg[: self.fft_size]),
+            jnp.asarray(self._overlap),
+        )
+        self._ring_r, self._ring_i = np.asarray(rr), np.asarray(ri)
+        self._overlap = np.asarray(ov)
+        return np.asarray(out)

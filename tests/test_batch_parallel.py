@@ -1,0 +1,72 @@
+"""Multi-source batching + mesh sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+
+import jax
+
+from jefferson_tpu.engine.batch import BatchRenderer
+from jefferson_tpu.engine.renderer import Renderer
+from jefferson_tpu.parallel.mesh import make_mesh, source_sharding
+from jefferson_tpu.testing import precision_check
+from jefferson_tpu.trajectory.trajectory import CircularOrbit, StaticPosition
+
+
+def _mk_batch(config, castanets, s=4, blocks=24):
+    rng = np.random.default_rng(8)
+    signals = np.stack([np.roll(castanets, 1000 * i)[:8000] for i in range(s)])
+    trajs = [
+        StaticPosition(azi=30 * i, ele=5 * i - 10, r=0.8 + 0.2 * i).sample(blocks, config)
+        if i % 2
+        else CircularOrbit(period_s=0.5 + 0.2 * i, ele=5, r=1.0).sample(blocks, config)
+        for i in range(s)
+    ]
+    return signals, np.stack(trajs)
+
+
+def test_batch_matches_single_source(db, config, castanets):
+    signals, positions = _mk_batch(config, castanets)
+    br = BatchRenderer(db, chunk_blocks=16)
+    got = br.render(signals, positions)
+    single = Renderer(db, chunk_blocks=16)
+    for i in range(signals.shape[0]):
+        want = single.render(signals[i], positions[i])
+        rep = precision_check(got[i], want, eps=1e-6)
+        assert rep.ok, f"source {i}: {rep}"
+
+
+def test_mixdown(db, config, castanets):
+    signals, positions = _mk_batch(config, castanets, s=3)
+    sep = BatchRenderer(db, chunk_blocks=16).render(signals, positions)
+    mixed = BatchRenderer(db, chunk_blocks=16, mix=True).render(signals, positions)
+    rep = precision_check(mixed, sep.sum(axis=0), eps=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_sharded_batch_matches_unsharded(db, config, castanets):
+    """8 sources sharded over the 8-device virtual CPU mesh == single device."""
+    assert len(jax.devices()) == 8
+    signals, positions = _mk_batch(config, castanets, s=8, blocks=16)
+    mesh = make_mesh(8)
+    got = BatchRenderer(db, chunk_blocks=16, mesh=mesh).render(signals, positions)
+    want = BatchRenderer(db, chunk_blocks=16).render(signals, positions)
+    rep = precision_check(got, want, eps=1e-7)
+    assert rep.ok, str(rep)
+
+
+def test_sharded_mixdown_collective(db, config, castanets):
+    """Mixdown over a sharded source axis exercises the GSPMD reduction."""
+    signals, positions = _mk_batch(config, castanets, s=8, blocks=16)
+    mesh = make_mesh(8)
+    got = BatchRenderer(db, chunk_blocks=16, mesh=mesh, mix=True).render(signals, positions)
+    want = BatchRenderer(db, chunk_blocks=16, mix=True).render(signals, positions)
+    rep = precision_check(got, want, eps=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_mesh_utilities():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"src": 8}
+    mesh2 = make_mesh(8, ("src", "blk"))
+    assert mesh2.shape["src"] * mesh2.shape["blk"] == 8
+    sh = source_sharding(mesh, 3)
+    assert sh.spec == jax.sharding.PartitionSpec("src", None, None)

@@ -1,0 +1,80 @@
+"""Reverb tests: partitioned TPU convolution vs whole-signal oracle,
+reference circular-wrap semantics, RMS normalization, streaming convolver."""
+
+import numpy as np
+import pytest
+
+from jefferson_tpu.reverb.convolution import (
+    StreamingConvolver,
+    convolve_linear,
+    reverb_oracle,
+    reverb_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def dry():
+    rng = np.random.default_rng(10)
+    return (rng.standard_normal(20_000) * 0.2).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ir():
+    rng = np.random.default_rng(11)
+    n = 4_500  # not a multiple of the partition
+    env = np.exp(-np.arange(n) / 600.0)
+    return (rng.standard_normal(n) * env * 0.1).astype(np.float32)
+
+
+def test_linear_convolution_matches_numpy(dry, ir):
+    want = np.convolve(dry.astype(np.float64), ir.astype(np.float64))
+    got = convolve_linear(dry, ir)
+    assert got.shape == want.shape
+    err = np.max(np.abs(got - want))
+    assert err < 5e-5, err
+
+
+def test_short_ir_and_short_signal():
+    sig = np.ones(100, np.float32)
+    ir = np.array([1.0, 0.5], np.float32)
+    got = convolve_linear(sig, ir)
+    want = np.convolve(sig, ir)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_reference_reverb_matches_oracle(dry, ir):
+    got = reverb_reference(dry, ir, normalize=False)
+    want = reverb_oracle(dry, ir, normalize=False)
+    assert got.shape == want.shape == (len(dry) + len(ir) - len(ir) // 2,)
+    assert np.max(np.abs(got - want)) < 5e-5
+
+
+def test_circular_wrap_semantics(dry, ir):
+    """The tail beyond new_size must wrap onto the start (PadData sizing)."""
+    lin = np.convolve(dry.astype(np.float64), ir.astype(np.float64))
+    new_size = len(dry) + len(ir) - len(ir) // 2
+    want = lin[:new_size].copy()
+    want[: len(lin) - new_size] += lin[new_size:]
+    got = reverb_reference(dry, ir, normalize=False)
+    assert np.max(np.abs(got - want)) < 5e-5
+
+
+def test_rms_normalization(dry, ir):
+    out = reverb_reference(dry, ir, normalize=True)
+    rms_in = np.sqrt(np.mean(dry.astype(np.float64) ** 2))
+    rms_out = np.sqrt(np.mean(out.astype(np.float64) ** 2))
+    np.testing.assert_allclose(rms_out, rms_in, rtol=1e-4)
+
+
+def test_streaming_convolver_matches_offline(dry, ir):
+    part = 1024
+    conv = StreamingConvolver(ir, partition=part)
+    n_chunks = len(dry) // part
+    outs = [conv.process(dry[i * part : (i + 1) * part]) for i in range(n_chunks)]
+    # flush the tail
+    for _ in range(len(ir) // part + 2):
+        outs.append(conv.process(np.zeros(part, np.float32)))
+    got = np.concatenate(outs)
+    want = np.convolve(dry[: n_chunks * part].astype(np.float64), ir.astype(np.float64))
+    m = min(len(got), len(want))
+    assert np.max(np.abs(got[:m] - want[:m])) < 5e-5
