@@ -108,5 +108,6 @@ def fed_stream(signal: np.ndarray, num_blocks: int, config: EngineConfig = DEFAU
     total = num_blocks * config.frames_per_buffer
     if len(signal) >= total:
         return signal[:total]
-    reps = int(np.ceil(total / len(signal)))
-    return np.tile(signal, reps)[:total]
+    from ..native import fed_stream as _native_fed
+
+    return _native_fed(signal, num_blocks, config.frames_per_buffer)

@@ -78,8 +78,18 @@ def read_wav(path: str | Path, dtype=np.float32) -> tuple[np.ndarray, int]:
 
     PCM data is normalized to [-1, 1) by 1/2^(bits-1), matching libsndfile's
     ``sf_read_float`` used throughout the reference.
+
+    Uses the native C++ decoder when built (identical output, ~10x faster);
+    falls back to the NumPy parser below.
     """
     data = Path(path).read_bytes()
+    try:
+        from ..native import _jefferson_native as _nat
+    except ImportError:
+        _nat = None
+    if _nat is not None:
+        x, sr = _nat.decode_wav(data)
+        return np.asarray(x, dtype=dtype), sr
     chunks = _parse_chunks(data)
     if b"fmt " not in chunks or b"data" not in chunks:
         raise ValueError(f"{path}: missing fmt/data chunk")
@@ -140,6 +150,13 @@ def _encode(samples: np.ndarray, bits: int, float_format: bool) -> bytes:
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
+    if not float_format and bits in (16, 24, 32):
+        try:
+            from ..native import _jefferson_native as _nat
+
+            return _nat.encode_pcm(np.ascontiguousarray(x, dtype=np.float32), bits)
+        except ImportError:
+            pass
     if float_format:
         if bits == 32:
             return x.astype("<f4").tobytes()
