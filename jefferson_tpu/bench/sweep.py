@@ -1,0 +1,93 @@
+"""The reference's benchmarkTesting as a library: engine-vs-oracle sweep gate.
+
+Reference semantics (reference: Jefferson/src/precision_test.cu:2093-2201):
+four scenarios (azi, ele) in {(0,0),(3,0),(0,5),(3,5)}; each renders
+``blocks_per_step`` blocks at the start position, then ``num_steps`` rounds
+of azimuth += 5 (wrapping at 360), comparing the interpolating TPU engine
+against the CPU oracle at eps=2e-7, with crossfade state starting from
+old=(0,0) like the reference's reset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..engine.renderer import Renderer
+from ..hrtf.kemar import HRTFDatabase
+from ..oracle.reference import render_oracle
+from ..testing import PrecisionReport, precision_check
+from ..trajectory.trajectory import AzimuthSweep
+
+SCENARIOS = [(0.0, 0.0), (3.0, 0.0), (0.0, 5.0), (3.0, 5.0)]
+
+
+def run_benchmark_sweep(
+    signal: np.ndarray,
+    db: HRTFDatabase,
+    config: EngineConfig = DEFAULT_CONFIG,
+    blocks_per_step: int = 172,
+    num_steps: int = 72,
+    eps: float = 2e-7,
+    r: float = 0.5,
+    renderer: Renderer | None = None,
+    scenarios=None,
+) -> list[PrecisionReport]:
+    """Run the 4-scenario sweep; returns one PrecisionReport per scenario."""
+    renderer = renderer or Renderer(db, config)
+    reports = []
+    for azi, ele in scenarios or SCENARIOS:
+        traj = AzimuthSweep(
+            start_azi=azi, ele=ele, r=r, step_deg=5.0,
+            blocks_per_step=blocks_per_step, num_steps=num_steps,
+        )
+        pos = traj.sample(traj.total_blocks, config)
+        got = renderer.render(signal, pos, ProcessType.TPU_FD_COMPLEX, initial_old=(0.0, 0.0))
+        want = render_oracle(
+            signal, db, [tuple(p) for p in pos], config, initial_old=(0.0, 0.0)
+        )
+        reports.append(precision_check(got, want, eps=eps))
+    return reports
+
+
+def main(argv=None) -> int:
+    """CLI: full-scale sweep gate (the reference's always-on startup check)."""
+    import argparse
+    import sys
+    import time
+
+    p = argparse.ArgumentParser(prog="jefferson-sweep")
+    p.add_argument("-i", "--input", default=None, help="input WAV (default: noise)")
+    p.add_argument("--blocks", type=int, default=172)
+    p.add_argument("--steps", type=int, default=72)
+    p.add_argument("--eps", type=float, default=2e-7)
+    args = p.parse_args(argv)
+
+    from ..hrtf.kemar import synthetic_database
+
+    config = DEFAULT_CONFIG
+    if args.input:
+        from ..io.wavio import read_wav_mono
+
+        signal, _ = read_wav_mono(args.input)
+    else:
+        signal = (np.random.default_rng(0).standard_normal(131072) * 0.2).astype(np.float32)
+    from ..cli.main import load_hrtf
+
+    db = load_hrtf(None, config, quiet=False)
+    t0 = time.time()
+    reports = run_benchmark_sweep(
+        signal, db, config, blocks_per_step=args.blocks, num_steps=args.steps, eps=args.eps
+    )
+    ok = True
+    for (azi, ele), rep in zip(SCENARIOS, reports):
+        print(f"scenario azi={azi} ele={ele}: {rep}")
+        ok &= rep.ok
+    print(f"sweep {'PASSED' if ok else 'FAILED'} in {time.time()-t0:.1f}s")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--initial-old", default="0,0",
                    help="crossfade state before block 0 as 'azi,ele' (reference "
                         "constructor default 0,0) or 'none' to disable")
+    p.add_argument("--viz", action="store_true",
+                   help="write <output>.scene.svg and <output>.wave.svg "
+                        "(the offline analogue of the reference's GL window)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the render into this dir")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -161,17 +166,24 @@ def main(argv=None) -> int:
     )
 
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
+
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     t0 = time.time()
-    if ptype.is_oracle:
-        from ..oracle.reference import render_oracle
+    with prof:
+        if ptype.is_oracle:
+            from ..oracle.reference import render_oracle
 
-        out = render_oracle(signal, db, [tuple(p) for p in positions], config, ptype,
-                            initial_old=initial_old)
-    else:
-        from ..engine.renderer import Renderer
+            out = render_oracle(signal, db, [tuple(p) for p in positions], config, ptype,
+                                initial_old=initial_old)
+        else:
+            from ..engine.renderer import Renderer
 
-        r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend)
-        out = r.render(signal, positions, ptype, initial_old=initial_old)
+            r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend)
+            out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0
 
     clip = np.abs(out) > 1.0
@@ -179,6 +191,13 @@ def main(argv=None) -> int:
         print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)
 
     write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
+    if args.viz:
+        from ..viz.scene import scene_svg, waveform_svg
+
+        scene_svg(positions, f"{args.output}.scene.svg", config=config)
+        waveform_svg(out, f"{args.output}.wave.svg")
+        if not args.quiet:
+            print(f"viz: {args.output}.scene.svg, {args.output}.wave.svg", file=sys.stderr)
     if not args.quiet:
         audio_s = num_blocks * config.block_duration
         print(

@@ -1,0 +1,51 @@
+"""Observability + visualization tests."""
+
+import numpy as np
+
+from jefferson_tpu.utils.profiling import RTFMeter, device_memory_report, trace
+from jefferson_tpu.viz.scene import decimate_waveform, scene_svg, waveform_svg
+
+
+def test_rtf_meter():
+    m = RTFMeter()
+    with m.measure(blocks=10):
+        pass
+    assert m.num_calls == 10
+    assert m.avg_ms >= 0
+    assert m.rtf > 0
+
+
+def test_memory_report(capsys):
+    out = device_memory_report()
+    assert len(out) >= 1
+
+
+def test_trace_no_crash(tmp_path):
+    with trace(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+
+        (jnp.ones(8) * 2).block_until_ready()
+
+
+def test_decimate_waveform():
+    x = np.ones(4096, np.float32)
+    env = decimate_waveform(x, bins=64)
+    np.testing.assert_allclose(env, 1.0)
+    short = decimate_waveform(np.ones(10, np.float32), bins=64)
+    assert short.shape == (64,) and short[:10].sum() == 10
+
+
+def test_svg_outputs(tmp_path, config):
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    pos = CircularOrbit(period_s=2.0, r=1.5).sample(200, config)
+    p1 = tmp_path / "scene.svg"
+    scene_svg(pos, p1)
+    text = p1.read_text()
+    assert text.startswith("<svg") and "listener" in text and "polyline" in text
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((5000, 2)).astype(np.float32) * 0.3
+    p2 = tmp_path / "wave.svg"
+    waveform_svg(wav, p2)
+    assert "<polygon" in p2.read_text()
