@@ -49,6 +49,21 @@ def _segments(full: jax.Array, num_blocks: int, config: EngineConfig) -> jax.Arr
     return full[idx]
 
 
+def _forward_split(full: jax.Array, num_blocks: int, config: EngineConfig):
+    """Forward DFT planes of all overlap-save windows (matmul backend).
+
+    Uses the sliding sub-block decomposition when the history is a whole
+    number of blocks (the default geometry), avoiding the q-fold duplicated
+    window materialization; falls back to explicit windows otherwise.
+    """
+    if config.history_len % config.frames_per_buffer == 0:
+        return fft_ops.rfft_sliding_split(
+            full, num_blocks, config.frames_per_buffer, config.pad_len
+        )
+    segs = _segments(full, num_blocks, config)
+    return fft_ops.rfft_split(segs, config.pad_len)
+
+
 def _fd_complex_chunk(
     spectra,
     hist: jax.Array,
@@ -76,13 +91,12 @@ def _fd_complex_chunk(
     TPU stacks that support it).
     """
     full = jnp.concatenate([hist, fed])
-    segs = _segments(full, num_blocks, config)
     new_hist = full[num_blocks * config.frames_per_buffer :]
     fpb = config.frames_per_buffer
 
     if backend == "fft":
         spectra_c = spectra
-        x_spec = fft_ops.rfft(segs, config.pad_len)
+        x_spec = fft_ops.rfft(_segments(full, num_blocks, config), config.pad_len)
         df = distance_factors(u_hi, u_lo, inv_frac, config.num_bins)
         g_new = blend_filters(spectra_c, idx_new, w_new) * df[:, None, :]
         prod_new = x_spec[:, None, :] * g_new
@@ -97,7 +111,7 @@ def _fd_complex_chunk(
         return jnp.transpose(out, (0, 2, 1)), new_hist
 
     hr, hi = spectra
-    xr, xi = fft_ops.rfft_split(segs, config.pad_len)
+    xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     dr, di = dr[:, None, :], di[:, None, :]
 
@@ -123,15 +137,14 @@ def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend)
     """Nearest-HRTF FD path: no interpolation/distance/crossfade
     (reference: Jefferson/src/CPUSoundSource.cpp:113-142)."""
     full = jnp.concatenate([hist, fed])
-    segs = _segments(full, num_blocks, config)
     new_hist = full[num_blocks * config.frames_per_buffer :]
     if backend == "fft":
-        x_spec = fft_ops.rfft(segs, config.pad_len)
+        x_spec = fft_ops.rfft(_segments(full, num_blocks, config), config.pad_len)
         g = spectra[nearest]  # (B, 2, bins)
         y = fft_ops.irfft(x_spec[:, None, :] * g, config.pad_len)[..., config.history_len :]
         return jnp.transpose(y, (0, 2, 1)), new_hist
     hr, hi = spectra
-    xr, xi = fft_ops.rfft_split(segs, config.pad_len)
+    xr, xi = _forward_split(full, num_blocks, config)
     gr = jnp.take(hr, nearest, axis=0)
     gi = jnp.take(hi, nearest, axis=0)
     pr, pi = cmul(xr[:, None, :], xi[:, None, :], gr, gi)

@@ -101,6 +101,61 @@ def rfft_split(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return jnp.matmul(x, cr, precision=p), jnp.matmul(x, ci, precision=p)
 
 
+@functools.lru_cache(maxsize=8)
+def _subblock_dft_matrices(n: int, sub: int):
+    """DFT basis of a length-``sub`` block zero-padded to n: (sub, bins) planes."""
+    bins = n // 2 + 1
+    k = np.arange(bins)[None, :]
+    t = np.arange(sub)[:, None]
+    ang = 2.0 * np.pi * t * k / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _sliding_twiddles(n: int, sub: int):
+    """Twiddles e^{-2πi k (sub*m)/n} for m = 0..n/sub-1: (q, bins) planes."""
+    q = n // sub
+    bins = n // 2 + 1
+    k = np.arange(bins)[None, :]
+    m = np.arange(q)[:, None]
+    ang = 2.0 * np.pi * k * m / q
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def rfft_sliding_split(stream: jax.Array, num_blocks: int, sub: int, n: int):
+    """Overlap-save windows' DFTs from the contiguous sample stream.
+
+    stream: (num_blocks*sub + (n - sub),) — history followed by fed samples,
+    with history length (n - sub) a multiple of sub (896 = 7x128 by default).
+
+    Window b is stream[b*sub : b*sub + n]; its length-n DFT decomposes into
+    the q = n/sub zero-padded sub-block DFTs P[b..b+q-1] combined with
+    q-th-root twiddles:  X[b] = sum_m e^{-2πik m/q} P[b+m].
+
+    vs materializing (B, n) windows + a (n, bins) matmul this is a qx FLOP
+    and memory-traffic reduction (the windows overlap q-fold); the sub-block
+    DFTs are also shallower dots (sub instead of n), so it is *more*
+    accurate, not less.
+    """
+    q = n // sub
+    assert stream.shape[-1] == num_blocks * sub + (n - sub)
+    subs = stream.reshape(num_blocks + q - 1, sub)
+    cr, ci = _subblock_dft_matrices(n, sub)
+    p = jax.lax.Precision.HIGHEST
+    pr = jnp.matmul(subs, cr, precision=p)  # (B+q-1, bins)
+    pi = jnp.matmul(subs, ci, precision=p)
+    twr, twi = _sliding_twiddles(n, sub)
+    xr = pr[0:num_blocks]  # m = 0: twiddle is 1
+    xi = pi[0:num_blocks]
+    for m in range(1, q):
+        a, b = twr[m][None, :], twi[m][None, :]
+        prm = pr[m : m + num_blocks]
+        pim = pi[m : m + num_blocks]
+        xr = xr + (a * prm - b * pim)
+        xi = xi + (a * pim + b * prm)
+    return xr, xi
+
+
 @functools.lru_cache(maxsize=16)
 def _idft_tail_matrices(n: int, tail: int):
     cr, ci = _idft_matrices(n)
