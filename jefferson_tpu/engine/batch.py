@@ -26,23 +26,69 @@ from .renderer import _fd_complex_chunk
 
 
 def batched_chunk_fn(config: EngineConfig, num_blocks: int, with_xfade: bool = True):
-    """Source-batched interpolating FD chunk: all leading dims get a source
-    axis S; the HRTF spectra are shared (broadcast).
+    """Source-batched interpolating FD chunk: leading source axis S, shared
+    HRTF spectra.
 
     Signature of the returned function:
       (spectra=(hr, hi), hists (S, hist), feds (S, nb*fpb),
        idx_new (S, nb, 4), w_new, idx_old, w_old, xfade (S, nb),
        u_hi, u_lo, inv_frac (S, nb))
       -> (outs (S, nb, fpb, 2), new_hists (S, hist))
+
+    Not a vmap: after the per-source forward transform, sources x blocks are
+    fully independent rows, so the filter core runs on the flattened
+    (S*nb, bins) layout — one tall matrix per op instead of S short ones
+    (a vmapped inner nb of 32 leaves 3/4 of the MXU rows idle).
     """
-    chunk = functools.partial(
-        _fd_complex_chunk,
-        config=config,
-        num_blocks=num_blocks,
-        backend="matmul",
-        with_xfade=with_xfade,
-    )
-    return jax.vmap(chunk, in_axes=(None,) + (0,) * 10)
+    from ..ops import fft as fft_ops
+    from .renderer import apply_filters_core, blend_channels
+
+    fpb = config.frames_per_buffer
+    if config.history_len % fpb:
+        # non-aligned geometry: fall back to the vmapped per-source chunk
+        chunk = functools.partial(
+            _fd_complex_chunk, config=config, num_blocks=num_blocks,
+            backend="matmul", with_xfade=with_xfade,
+        )
+        return jax.vmap(chunk, in_axes=(None,) + (0,) * 10)
+
+    def fn(spectra, hists, feds, idx_new, w_new, idx_old, w_old, xfade, u_hi, u_lo, inv_frac):
+        s = hists.shape[0]
+        streams = jnp.concatenate([hists, feds], axis=1)
+        new_hists = streams[:, num_blocks * fpb :]
+        xr, xi = fft_ops.rfft_sliding_split_batched(
+            streams, num_blocks, fpb, config.pad_len
+        )
+        flat = lambda a: a.reshape((s * num_blocks,) + a.shape[2:])
+        if with_xfade:
+            # per-source extended blend: old[b] == new[b-1] by construction
+            idx_ext = jnp.concatenate([idx_old[:, :1], idx_new], axis=1)
+            w_ext = jnp.concatenate([w_old[:, :1], w_new], axis=1)
+            rows = s * (num_blocks + 1)
+            g = blend_channels(
+                spectra, idx_ext.reshape(rows, 4), w_ext.reshape(rows, 4)
+            )
+            g = tuple(a.reshape(s, num_blocks + 1, -1) for a in g)
+            g_old = tuple(flat(a[:, :num_blocks]) for a in g)
+            g_new = tuple(flat(a[:, 1:]) for a in g)
+        else:
+            g_new = blend_channels(spectra, flat(idx_new), flat(w_new))
+            g_old = None
+        out = apply_filters_core(
+            flat(xr),
+            flat(xi),
+            g_old,
+            g_new,
+            flat(xfade),
+            flat(u_hi),
+            flat(u_lo),
+            flat(inv_frac),
+            config=config,
+            with_xfade=with_xfade,
+        )
+        return out.reshape(s, num_blocks, fpb, 2), new_hists
+
+    return fn
 
 
 def mix_sources(outs: jax.Array) -> jax.Array:

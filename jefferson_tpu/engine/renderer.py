@@ -31,8 +31,8 @@ from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
 from ..hrtf.kemar import HRTFDatabase
 from ..ops import fft as fft_ops
 from ..ops.filters import (
+    blend_channel,
     blend_filters,
-    blend_filters_split,
     cmul,
     crossfade_tails,
     distance_factors,
@@ -110,27 +110,69 @@ def _fd_complex_chunk(
             out = fft_ops.irfft(prod_new, config.pad_len)[..., config.history_len :]
         return jnp.transpose(out, (0, 2, 1)), new_hist
 
-    hr, hi = spectra
     xr, xi = _forward_split(full, num_blocks, config)
-    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
-    dr, di = dr[:, None, :], di[:, None, :]
-
-    def filtered(idx, w):
-        gr, gi = blend_filters_split(hr, hi, idx, w)
-        pr, pi = cmul(xr[:, None, :], xi[:, None, :], gr, gi)
-        return cmul(pr, pi, dr, di)
-
-    qr_new, qi_new = filtered(idx_new, w_new)
     if with_xfade:
-        qr_old, qi_old = filtered(idx_old, w_old)
-        # one batched tail-inverse over {old,new} x {L,R}: (B, 4, bins)
-        qr = jnp.concatenate([qr_old, qr_new], axis=1)
-        qi = jnp.concatenate([qi_old, qi_new], axis=1)
-        y = fft_ops.irfft_tail_split(qr, qi, config.pad_len, fpb)
-        out = crossfade_tails(y[:, :2], y[:, 2:], xfade)
+        # old filters of block b are new filters of block b-1 by plan
+        # construction, so one extended blend of B+1 rows serves both sets.
+        idx_ext = jnp.concatenate([idx_old[:1], idx_new], axis=0)
+        w_ext = jnp.concatenate([w_old[:1], w_new], axis=0)
+        g = blend_channels(spectra, idx_ext, w_ext)
+        g_old = tuple(a[:num_blocks] for a in g)
+        g_new = tuple(a[1:] for a in g)
     else:
-        out = fft_ops.irfft_tail_split(qr_new, qi_new, config.pad_len, fpb)
-    return jnp.transpose(out, (0, 2, 1)), new_hist
+        g_new = blend_channels(spectra, idx_new, w_new)
+        g_old = None
+    out = apply_filters_core(
+        xr, xi, g_old, g_new, xfade, u_hi, u_lo, inv_frac,
+        config=config, with_xfade=with_xfade,
+    )
+    return out, new_hist
+
+
+def blend_channels(spectra, indices: jax.Array, weights: jax.Array):
+    """Per-ear weighted filter blends: (rows, 4) indices/weights ->
+    (grL, giL, grR, giR), each (rows, bins)."""
+    hr, hi = spectra
+    return (
+        blend_channel(hr[:, 0, :], indices, weights),
+        blend_channel(hi[:, 0, :], indices, weights),
+        blend_channel(hr[:, 1, :], indices, weights),
+        blend_channel(hi[:, 1, :], indices, weights),
+    )
+
+
+def apply_filters_core(
+    xr, xi, g_old, g_new, xfade, u_hi, u_lo, inv_frac,
+    *, config: EngineConfig, with_xfade: bool,
+):
+    """Filter application on forward planes -> (B, fpb, 2) stereo tails.
+
+    Channel-split layout: every tensor is (B, bins) — per ear, per plane —
+    so nothing carries the (…, 2, bins) sublane padding (a 4x HBM-traffic
+    tax on TPU for a second-minor dimension of 2).  The distance factor is
+    folded into the input spectrum once ((X·D)·G instead of (X·G)·D, a
+    float-safe reassociation within the parity gates), shared by all filter
+    sets.  Used by the single-source renderer and the flattened batch.
+    """
+    fpb = config.frames_per_buffer
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
+    xdr, xdi = cmul(xr, xi, dr, di)
+
+    def q_set(g):
+        grl, gil, grr, gir = g
+        return [cmul(xdr, xdi, grl, gil), cmul(xdr, xdi, grr, gir)]
+
+    qs = (q_set(g_old) if with_xfade else []) + q_set(g_new)
+    qr = jnp.stack([q[0] for q in qs])  # (2 or 4, B, bins)
+    qi = jnp.stack([q[1] for q in qs])
+    y = fft_ops.irfft_tail_split(qr, qi, config.pad_len, fpb)  # (S, B, fpb)
+    if with_xfade:
+        fn = jnp.arange(fpb, dtype=jnp.float32) / jnp.float32(fpb - 1)
+        mixed = y[:2] * (1.0 - fn) + y[2:] * fn
+        out = jnp.where(xfade[None, :, None], mixed, y[2:])
+    else:
+        out = y
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend):
@@ -145,11 +187,18 @@ def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend)
         return jnp.transpose(y, (0, 2, 1)), new_hist
     hr, hi = spectra
     xr, xi = _forward_split(full, num_blocks, config)
-    gr = jnp.take(hr, nearest, axis=0)
-    gi = jnp.take(hi, nearest, axis=0)
-    pr, pi = cmul(xr[:, None, :], xi[:, None, :], gr, gi)
-    y = fft_ops.irfft_tail_split(pr, pi, config.pad_len, config.frames_per_buffer)
-    return jnp.transpose(y, (0, 2, 1)), new_hist
+    qs = []
+    for ch in (0, 1):
+        gr = jnp.take(hr[:, ch, :], nearest, axis=0)
+        gi = jnp.take(hi[:, ch, :], nearest, axis=0)
+        qs.append(cmul(xr, xi, gr, gi))
+    y = fft_ops.irfft_tail_split(
+        jnp.stack([q[0] for q in qs]),
+        jnp.stack([q[1] for q in qs]),
+        config.pad_len,
+        config.frames_per_buffer,
+    )
+    return jnp.transpose(y, (1, 2, 0)), new_hist
 
 
 def _td_chunk(hrirs, hist, fed, nearest, *, config, num_blocks):
@@ -244,6 +293,17 @@ class Renderer:
         self, signal: np.ndarray, plan: RenderPlan, ptype: ProcessType = ProcessType.TPU_FD_COMPLEX
     ) -> np.ndarray:
         cfg = self.config
+        if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX) and plan.num_blocks > 1:
+            # the chunk kernel derives the old filter set from the previous
+            # block's new set (one extended blend); make_plan guarantees this
+            if not (
+                np.array_equal(plan.idx_old[1:], plan.idx_new[:-1])
+                and np.array_equal(plan.w_old[1:], plan.w_new[:-1])
+            ):
+                raise ValueError(
+                    "RenderPlan old-position arrays must equal the previous "
+                    "block's new arrays (build plans with make_plan)"
+                )
         fpb = cfg.frames_per_buffer
         b_total = plan.num_blocks
         fed_all = fed_stream(signal, b_total, cfg)

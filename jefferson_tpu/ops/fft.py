@@ -156,6 +156,31 @@ def rfft_sliding_split(stream: jax.Array, num_blocks: int, sub: int, n: int):
     return xr, xi
 
 
+def rfft_sliding_split_batched(streams: jax.Array, num_blocks: int, sub: int, n: int):
+    """Batched rfft_sliding_split: streams (S, num_blocks*sub + n - sub) ->
+    ((S, num_blocks, bins) re, im).  The sub-block DFT matmul is flattened
+    over sources so the MXU sees one tall matrix instead of S short ones."""
+    q = n // sub
+    s = streams.shape[0]
+    rows = num_blocks + q - 1
+    subs = streams.reshape(s * rows, sub)
+    cr, ci = _subblock_dft_matrices(n, sub)
+    p = jax.lax.Precision.HIGHEST
+    bins = n // 2 + 1
+    pr = jnp.matmul(subs, cr, precision=p).reshape(s, rows, bins)
+    pi = jnp.matmul(subs, ci, precision=p).reshape(s, rows, bins)
+    twr, twi = _sliding_twiddles(n, sub)
+    xr = pr[:, 0:num_blocks]
+    xi = pi[:, 0:num_blocks]
+    for m in range(1, q):
+        a, b = twr[m][None, None, :], twi[m][None, None, :]
+        prm = pr[:, m : m + num_blocks]
+        pim = pi[:, m : m + num_blocks]
+        xr = xr + (a * prm - b * pim)
+        xi = xi + (a * pim + b * prm)
+    return xr, xi
+
+
 @functools.lru_cache(maxsize=16)
 def _idft_tail_matrices(n: int, tail: int):
     cr, ci = _idft_matrices(n)

@@ -100,6 +100,21 @@ def blend_filters_split(spec_r: jax.Array, spec_i: jax.Array, indices: jax.Array
     return gr, gi
 
 
+def blend_channel(table: jax.Array, indices: jax.Array, weights: jax.Array) -> jax.Array:
+    """Weighted 4-row gather from one (num_hrtf, bins) channel plane -> (B, bins).
+
+    Unrolled per bracket: XLA lowers each term to a single row-gather fused
+    with the scale/add.  ~3x faster than the einsum-over-(B,4,...) form and,
+    with per-channel (bins)-wide rows, free of the (…, 2, bins) sublane
+    padding that quadruples HBM traffic on TPU.
+    """
+    w = weights.astype(jnp.float32)
+    acc = w[:, 0:1] * jnp.take(table, indices[:, 0], axis=0)
+    for j in range(1, indices.shape[1]):
+        acc = acc + w[:, j : j + 1] * jnp.take(table, indices[:, j], axis=0)
+    return acc
+
+
 def crossfade_tails(y_old: jax.Array, y_new: jax.Array, xfade: jax.Array) -> jax.Array:
     """Linear crossfade of the final block frames when the source moved.
 
