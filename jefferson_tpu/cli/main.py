@@ -122,8 +122,30 @@ def load_hrtf(hrtf_dir, config, quiet=False):
     return synthetic_database(config)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations (~20-40s saved per
+    run on TPU).  Opt out with JEFFERSON_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("JEFFERSON_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "JEFFERSON_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "jefferson_tpu", "xla"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
     from ..config import DEFAULT_CONFIG, ProcessType
     from ..io.wavio import read_wav_mono, write_wav
 

@@ -306,41 +306,54 @@ class Renderer:
                 )
         fpb = cfg.frames_per_buffer
         b_total = plan.num_blocks
+        cb = min(self.chunk_blocks, b_total) if b_total else self.chunk_blocks
         fed_all = fed_stream(signal, b_total, cfg)
         hist = jnp.zeros(cfg.history_len, dtype=jnp.float32)
         out = np.empty((b_total * fpb, 2), dtype=np.float32)
-        for start in range(0, b_total, self.chunk_blocks):
-            stop = min(start + self.chunk_blocks, b_total)
+        # one compiled program per render: fixed chunk size (last partial
+        # chunk padded and trimmed) and one global xfade variant — XLA
+        # compiles are expensive, especially via remote TPU compile services
+        with_xfade = bool(plan.xfade.any())
+
+        def pad(a, nb):
+            if nb == cb:
+                return jnp.asarray(a)
+            return jnp.asarray(np.concatenate([a, np.repeat(a[-1:], cb - nb, axis=0)]))
+
+        for start in range(0, b_total, cb):
+            stop = min(start + cb, b_total)
             nb = stop - start
-            fed = jnp.asarray(fed_all[start * fpb : stop * fpb])
             sl = slice(start, stop)
+            fed_np = fed_all[start * fpb : stop * fpb]
+            if nb < cb:
+                fed_np = np.concatenate([fed_np, np.zeros((cb - nb) * fpb, np.float32)])
+            fed = jnp.asarray(fed_np)
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
-                with_xfade = bool(plan.xfade[sl].any())
-                key = (nb, with_xfade)
+                key = (cb, with_xfade)
                 if key not in self._fd_complex:
-                    self._fd_complex[key] = self._mk_fd_complex(nb, with_xfade)
+                    self._fd_complex[key] = self._mk_fd_complex(cb, with_xfade)
                 y, hist = self._fd_complex[key](
                     self._spectra,
                     hist,
                     fed,
-                    jnp.asarray(plan.idx_new[sl]),
-                    jnp.asarray(plan.w_new[sl]),
-                    jnp.asarray(plan.idx_old[sl]),
-                    jnp.asarray(plan.w_old[sl]),
-                    jnp.asarray(plan.xfade[sl]),
-                    jnp.asarray(plan.u_hi[sl]),
-                    jnp.asarray(plan.u_lo[sl]),
-                    jnp.asarray(plan.inv_frac[sl]),
+                    pad(plan.idx_new[sl], nb),
+                    pad(plan.w_new[sl], nb),
+                    pad(plan.idx_old[sl], nb),
+                    pad(plan.w_old[sl], nb),
+                    pad(plan.xfade[sl], nb),
+                    pad(plan.u_hi[sl], nb),
+                    pad(plan.u_lo[sl], nb),
+                    pad(plan.inv_frac[sl], nb),
                 )
             elif ptype in (ProcessType.TPU_FD_BASIC, ProcessType.CPU_FD_BASIC):
-                if nb not in self._fd_basic:
-                    self._fd_basic[nb] = self._mk_fd_basic(nb)
-                y, hist = self._fd_basic[nb](
-                    self._spectra, hist, fed, jnp.asarray(plan.nearest[sl])
+                if cb not in self._fd_basic:
+                    self._fd_basic[cb] = self._mk_fd_basic(cb)
+                y, hist = self._fd_basic[cb](
+                    self._spectra, hist, fed, pad(plan.nearest[sl], nb)
                 )
             else:
-                if nb not in self._td:
-                    self._td[nb] = self._mk_td(nb)
-                y, hist = self._td[nb](self._hrirs, hist, fed, jnp.asarray(plan.nearest[sl]))
-            out[start * fpb : stop * fpb] = np.asarray(y).reshape(nb * fpb, 2)
+                if cb not in self._td:
+                    self._td[cb] = self._mk_td(cb)
+                y, hist = self._td[cb](self._hrirs, hist, fed, pad(plan.nearest[sl], nb))
+            out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
         return out

@@ -221,26 +221,34 @@ def synthetic_database(
 ) -> HRTFDatabase:
     """Deterministic synthetic HRIR set with KEMAR-like structure.
 
-    Each filter is a decaying random burst with a position-dependent
-    interaural delay and level difference, so interpolation/crossfade tests
-    exercise realistic left/right asymmetry without shipping the real data.
+    Like real HRTFs, the filters vary *smoothly* with direction: a fixed set
+    of decaying bursts is mixed with weights given by the source direction
+    vector, each ear gets a fractional interaural delay and a level
+    difference proportional to laterality, and normalization is global (not
+    per filter) so level cues stay spatially continuous.  Spatial
+    smoothness matters: interpolation, crossfade and localization tests all
+    assume neighboring grid filters are correlated, as in the real data.
     """
     n_taps = n_taps or config.hrtf_len
     rng = np.random.default_rng(seed)
-    taps = np.zeros((NUM_HRTF, 2, n_taps), dtype=np.float32)
     t = np.arange(n_taps, dtype=np.float32)
+    env = np.exp(-t / 40.0)
+    bursts = rng.standard_normal((4, n_taps)).astype(np.float32) * env  # A + x,y,z parts
+    tap_grid = np.arange(n_taps, dtype=np.float64)
+
+    taps = np.zeros((NUM_HRTF, 2, n_taps), dtype=np.float32)
     for idx in range(NUM_HRTF):
         ele, azi = grid_position(idx)
-        azi_rad = np.deg2rad(azi)
-        lateral = np.sin(azi_rad) * np.cos(np.deg2rad(ele))  # +1 = hard right
-        # interaural time difference: up to ~15 taps of lead/lag
-        itd = 15.0 * lateral
-        burst = rng.standard_normal(n_taps).astype(np.float32) * np.exp(-t / 40.0)
+        a, e = np.deg2rad(azi), np.deg2rad(ele)
+        # direction vector in the reference's convention (+x right, +y up, -z ahead)
+        dx, dy, dz = np.sin(a) * np.cos(e), np.sin(e), -np.cos(a) * np.cos(e)
+        mix = bursts[0] + 0.5 * dx * bursts[1] + 0.5 * dy * bursts[2] + 0.5 * dz * bursts[3]
         # channel 0 = left ear: delayed and attenuated when the source is right
-        for ch, (delay, level) in enumerate(
-            [(max(itd, 0.0), 1.0 - 0.45 * lateral), (max(-itd, 0.0), 1.0 + 0.45 * lateral)]
-        ):
-            d = int(round(delay))
-            taps[idx, ch, d:] = level * burst[: n_taps - d]
-        taps[idx] *= 0.25 / max(np.max(np.abs(taps[idx])), 1e-9)
+        for ch, sign in ((0, +1.0), (1, -1.0)):
+            delay = 7.5 * (1.0 + sign * dx)      # fractional taps, smooth in angle
+            level = 1.0 - sign * 0.45 * dx
+            taps[idx, ch] = level * np.interp(
+                tap_grid - delay, tap_grid, mix.astype(np.float64), left=0.0, right=0.0
+            ).astype(np.float32)
+    taps *= 0.25 / max(np.max(np.abs(taps)), 1e-9)
     return HRTFDatabase.from_hrirs(taps, config, source=f"synthetic:{seed}")
