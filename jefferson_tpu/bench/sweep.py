@@ -61,6 +61,10 @@ def main(argv=None) -> int:
     p.add_argument("--blocks", type=int, default=172)
     p.add_argument("--steps", type=int, default=72)
     p.add_argument("--eps", type=float, default=2e-7)
+    p.add_argument("--write-dir", default=None,
+                   help="also write each scenario's engine render as a WAV "
+                        "(the reference's waveFileTesting, "
+                        "precision_test.cu:2203-2250)")
     args = p.parse_args(argv)
 
     from ..hrtf.kemar import synthetic_database
@@ -83,6 +87,25 @@ def main(argv=None) -> int:
     for (azi, ele), rep in zip(SCENARIOS, reports):
         print(f"scenario azi={azi} ele={ele}: {rep}")
         ok &= rep.ok
+    if args.write_dir:
+        import pathlib
+
+        from ..io.wavio import write_wav
+        from ..trajectory.trajectory import AzimuthSweep
+
+        outdir = pathlib.Path(args.write_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        renderer = Renderer(db, config)
+        for azi, ele in SCENARIOS:
+            traj = AzimuthSweep(
+                start_azi=azi, ele=ele, r=0.5, step_deg=5.0,
+                blocks_per_step=args.blocks, num_steps=args.steps,
+            )
+            pos = traj.sample(traj.total_blocks, config)
+            out = renderer.render(signal, pos, initial_old=(0.0, 0.0))
+            path = outdir / f"sweep_azi{int(azi)}_ele{int(ele)}.wav"
+            write_wav(path, out, config.sample_rate)
+            print(f"wrote {path}")
     print(f"sweep {'PASSED' if ok else 'FAILED'} in {time.time()-t0:.1f}s")
     return 0 if ok else 1
 

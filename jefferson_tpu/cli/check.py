@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     if sr_a != sr_b:
         print(f"FAIL: sample rates differ ({sr_a} vs {sr_b})")
         return 1
+    if a.shape[1] != b.shape[1]:
+        print(f"FAIL: channel counts differ ({a.shape[1]} vs {b.shape[1]})")
+        return 1
     n = min(len(a), len(b))
     if len(a) != len(b):
         print(f"note: lengths differ ({len(a)} vs {len(b)}); comparing first {n} frames")

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process type: 0=TPU FD interpolating, 1=TPU FD nearest, "
                         "2=TPU time-domain, 3/4/5=CPU oracle equivalents (default 0)")
     p.add_argument("-i", "--input", default=None, help="input WAV (mono or stereo; downmixed)")
+    p.add_argument("--scene", default=None,
+                   help="multi-source scene JSON: {\"sources\": [{\"input\": WAV, "
+                        "\"trajectory\": SPEC, \"gain\": 1.0}, …]} — sources are "
+                        "rendered concurrently (vmapped) and mixed like the "
+                        "reference's per-source accumulation (Audio.cu:98-158)")
     p.add_argument("-r", "--reverb", default=None, help="reverb impulse-response WAV (mono)")
     p.add_argument("-o", "--output", default="ofile.wav", help="output WAV (default ofile.wav)")
     p.add_argument("--reverb-mode", choices=["off", "reference", "linear"], default="off",
@@ -143,6 +148,55 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def render_scene(args, config) -> int:
+    """Multi-source render: each source spatialized along its trajectory,
+    summed into one stereo mix (per-source gain applied pre-render)."""
+    import numpy as np
+
+    from ..engine.batch import BatchRenderer
+    from ..engine.plan import fed_stream
+    from ..io.wavio import read_wav_mono, write_wav
+
+    scene = json.loads(Path(args.scene).read_text())
+    sources = scene.get("sources", [])
+    if not sources:
+        raise SystemExit("scene has no sources")
+    signals, trajs = [], []
+    for s in sources:
+        sig, sr = read_wav_mono(s["input"])
+        if sr != config.sample_rate:
+            print(f"warning: {s['input']} rate {sr} != {config.sample_rate}", file=sys.stderr)
+        signals.append(sig * np.float32(s.get("gain", 1.0)))
+        trajs.append(parse_trajectory(s["trajectory"]))
+    if args.blocks is not None:
+        num_blocks = args.blocks
+    elif args.duration is not None:
+        num_blocks = int(np.ceil(args.duration / config.block_duration))
+    else:
+        num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
+    feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
+    positions = np.stack([t.sample(num_blocks, config) for t in trajs])
+    db = load_hrtf(args.hrtf_dir, config, args.quiet)
+    t0 = time.time()
+    br = BatchRenderer(db, config, chunk_blocks=min(args.chunk_blocks, num_blocks), mix=True)
+    out = br.render(feds, positions).reshape(-1, 2)
+    dt = time.time() - t0
+    if not np.isfinite(out).all():
+        raise SystemExit("ERROR: non-finite samples in render output")
+    clip = np.abs(out) > 1.0
+    if clip.any():
+        print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)
+    write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
+    if not args.quiet:
+        audio_s = num_blocks * config.block_duration
+        print(
+            f"scene: {len(sources)} sources, {num_blocks} blocks ({audio_s:.2f}s) in "
+            f"{dt:.2f}s = {audio_s/dt:.1f}x real time -> {args.output}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _enable_compilation_cache()
@@ -152,8 +206,10 @@ def main(argv=None) -> int:
     config = DEFAULT_CONFIG
     ptype = ProcessType(args.type)
 
+    if args.scene is not None:
+        return render_scene(args, config)
     if args.input is None:
-        raise SystemExit("missing -i/--input")
+        raise SystemExit("missing -i/--input (or --scene)")
     signal, sr = read_wav_mono(args.input)
     if sr != config.sample_rate:
         print(f"warning: input rate {sr} != engine rate {config.sample_rate}; "
@@ -208,6 +264,8 @@ def main(argv=None) -> int:
             out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0
 
+    if not np.isfinite(out).all():
+        raise SystemExit("ERROR: non-finite samples in render output")
     clip = np.abs(out) > 1.0
     if clip.any():
         print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)

@@ -1,0 +1,82 @@
+"""CLI tests: flag surface, trajectory parsing, scene rendering, gates."""
+
+import json
+
+import numpy as np
+import pytest
+
+from jefferson_tpu.cli.main import main as cli_main, parse_trajectory
+from jefferson_tpu.cli.check import main as check_main
+from jefferson_tpu.io.wavio import read_wav, write_wav
+
+
+@pytest.fixture
+def wav_in(tmp_path, castanets):
+    p = tmp_path / "in.wav"
+    write_wav(p, castanets[:16000], 44100, bits=24)
+    return p
+
+
+def _run(args):
+    return cli_main([str(a) for a in args])
+
+
+def test_render_roundtrip(tmp_path, wav_in, monkeypatch):
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")  # force synthetic
+    out = tmp_path / "out.wav"
+    rc = _run(["-i", wav_in, "-o", out, "-t", 0, "--blocks", 20,
+               "--trajectory", "orbit:period=1,r=1", "--chunk-blocks", 16, "--quiet"])
+    assert rc == 0
+    y, sr = read_wav(out)
+    assert sr == 44100 and y.shape == (20 * 128, 2)
+    assert np.abs(y).max() > 1e-4
+
+
+def test_oracle_and_engine_agree_via_cli(tmp_path, wav_in):
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    common = ["-i", wav_in, "--blocks", 12, "--trajectory", "static:azi=40,ele=10,r=1",
+              "--chunk-blocks", 12, "--quiet", "--float", "--bits", 32]
+    assert _run(["-t", 0, "-o", a] + common) == 0
+    assert _run(["-t", 3, "-o", b] + common) == 0
+    assert check_main([str(a), str(b), "--eps", "1e-6"]) == 0
+    # and the gate really fails on different content
+    assert check_main([str(a), str(wav_in), "--eps", "1e-6"]) == 1
+
+
+def test_scene_rendering(tmp_path, wav_in, castanets):
+    second = tmp_path / "in2.wav"
+    write_wav(second, np.roll(castanets, 777)[:12000], 44100, bits=24)
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps({
+        "sources": [
+            {"input": str(wav_in), "trajectory": "orbit:period=1,r=1", "gain": 0.8},
+            {"input": str(second), "trajectory": "static:azi=270,ele=0,r=2", "gain": 0.5},
+        ]
+    }))
+    out = tmp_path / "mix.wav"
+    rc = _run(["--scene", scene, "-o", out, "--blocks", 16, "--chunk-blocks", 16, "--quiet"])
+    assert rc == 0
+    y, _ = read_wav(out)
+    assert y.shape == (16 * 128, 2) and np.abs(y).max() > 1e-4
+
+
+def test_trajectory_parsing():
+    t = parse_trajectory("static:azi=30,ele=-10,r=2")
+    assert (t.azi, t.ele, t.r) == (30, -10, 2)
+    t = parse_trajectory("orbit:period=4,start=90")
+    assert t.period_s == 4 and t.start_azi == 90
+    t = parse_trajectory("sweep:start=10,blocks=5,steps=3")
+    assert t.blocks_per_step == 5 and t.num_steps == 3
+    t = parse_trajectory("path:0,0,1:1,0,-1:2.5")
+    assert t.duration_s == 2.5
+    with pytest.raises(SystemExit):
+        parse_trajectory("spiral:x=1")
+    with pytest.raises(SystemExit):
+        parse_trajectory("orbit:frequency=2")
+
+
+def test_empty_scene_rejected(tmp_path):
+    scene = tmp_path / "empty.json"
+    scene.write_text(json.dumps({"sources": []}))
+    with pytest.raises(SystemExit):
+        _run(["--scene", scene, "-o", tmp_path / "x.wav", "--quiet"])
