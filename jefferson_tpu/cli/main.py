@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the offline analogue of the reference's GL window)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the render into this dir")
+    p.add_argument("--no-resample", action="store_true",
+                   help="feed wrong-rate inputs raw (pitch-shifted) like the reference")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -212,8 +214,15 @@ def main(argv=None) -> int:
         raise SystemExit("missing -i/--input (or --scene)")
     signal, sr = read_wav_mono(args.input)
     if sr != config.sample_rate:
-        print(f"warning: input rate {sr} != engine rate {config.sample_rate}; "
-              "rendering at engine rate", file=sys.stderr)
+        if args.no_resample:
+            print(f"warning: input rate {sr} != engine rate {config.sample_rate}; "
+                  "rendering raw (pitch-shifted, the reference's behavior)", file=sys.stderr)
+        else:
+            from ..io.resample import resample
+
+            signal = resample(signal, sr, config.sample_rate)
+            if not args.quiet:
+                print(f"resampled input {sr} -> {config.sample_rate} Hz", file=sys.stderr)
 
     if args.reverb_mode != "off":
         if args.reverb is None:

@@ -1,0 +1,24 @@
+"""Sample-rate conversion for inputs not at the engine rate.
+
+The reference ignores the input file's sample rate entirely — a 22.05 kHz
+file plays pitch-shifted through the 44.1 kHz engine (readFile never checks
+it, reference: Jefferson/src/cudaPart.cu:21-63).  Here wrong-rate inputs are
+polyphase-resampled to the engine rate by default (CLI --no-resample
+restores the reference's raw behavior).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import scipy.signal
+
+
+def resample(signal: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample 1-D float32 audio from sr_in to sr_out."""
+    if sr_in == sr_out:
+        return np.asarray(signal, dtype=np.float32)
+    frac = Fraction(sr_out, sr_in).limit_denominator(1000)
+    out = scipy.signal.resample_poly(np.asarray(signal, dtype=np.float64), frac.numerator, frac.denominator)
+    return out.astype(np.float32)

@@ -80,3 +80,27 @@ def test_empty_scene_rejected(tmp_path):
     scene.write_text(json.dumps({"sources": []}))
     with pytest.raises(SystemExit):
         _run(["--scene", scene, "-o", tmp_path / "x.wav", "--quiet"])
+
+
+def test_resampling_input(tmp_path, castanets):
+    """22.05 kHz input is resampled to the engine rate by default."""
+    p = tmp_path / "in22.wav"
+    write_wav(p, castanets[:8000], 22050, bits=16)
+    out = tmp_path / "o.wav"
+    rc = _run(["-i", p, "-o", out, "--blocks", 10, "--chunk-blocks", 10, "--quiet"])
+    assert rc == 0
+    y, sr = read_wav(out)
+    assert sr == 44100 and y.shape[0] == 1280
+
+
+def test_resample_function():
+    from jefferson_tpu.io.resample import resample
+
+    t = np.arange(22050) / 22050
+    sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    up = resample(sig, 22050, 44100)
+    assert abs(len(up) - 44100) <= 2
+    # the tone frequency is preserved
+    spec = np.abs(np.fft.rfft(up[:32768] * np.hanning(32768)))
+    peak_hz = np.argmax(spec) * 44100 / 32768
+    assert abs(peak_hz - 440) < 3
