@@ -118,9 +118,21 @@ class StreamingSpatializer:
     when fed from a buffer) with a single jitted device step per block.
     """
 
-    def __init__(self, db: HRTFDatabase, config: EngineConfig | None = None):
+    def __init__(
+        self,
+        db: HRTFDatabase,
+        config: EngineConfig | None = None,
+        pipeline_latency: int = 0,
+    ):
+        """``pipeline_latency=1`` reproduces the reference GPU path's timing:
+        each call emits the *previous* block's result (silence first) while
+        the current block is processed — the callback/enqueue overlap of
+        reference: Jefferson/src/Audio.cu:104-117.  0 (default) is the
+        synchronous CPU-path timing."""
         self.db = db
         self.config = config or db.config
+        self.pipeline_latency = pipeline_latency
+        self._pending: list[np.ndarray] = []
         self._spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
         self._spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
         self._hist = jnp.zeros(self.config.history_len, dtype=jnp.float32)
@@ -181,6 +193,11 @@ class StreamingSpatializer:
         out = np.asarray(out)
         if np.any(np.abs(out) > 1.0):
             self.clipping = True  # reference: clipping alert (Audio.cu:111-113)
+        if self.pipeline_latency:
+            self._pending.append(out)
+            if len(self._pending) > self.pipeline_latency:
+                return self._pending.pop(0)
+            return np.zeros_like(out)
         return out
 
     def process_next(self) -> np.ndarray:

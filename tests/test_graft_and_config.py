@@ -1,0 +1,68 @@
+"""Graft entry points on the virtual mesh + non-default engine geometry."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out, hists = jax.jit(fn)(*args)
+    assert out.shape == (4, 16, 128, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_dryrun_smaller_mesh():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
+
+
+def test_nondefault_geometry_parity(castanets):
+    """A 64-sample block / 256-tap / 512-FFT engine stays oracle-exact."""
+    from jefferson_tpu import EngineConfig, ProcessType, synthetic_database
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.oracle.reference import render_oracle
+    from jefferson_tpu.testing import precision_check
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    cfg = EngineConfig(frames_per_buffer=64, hrtf_len=256)
+    assert cfg.pad_len == 512 and cfg.num_bins == 257 and cfg.history_len == 448
+    db = synthetic_database(cfg, n_taps=256, seed=7)
+    pos = CircularOrbit(period_s=0.2, ele=5, r=1.0).sample(40, cfg)
+    got = Renderer(db, cfg, chunk_blocks=16).render(castanets, pos)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], cfg)
+    rep = precision_check(got, want, eps=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_unaligned_geometry_falls_back(castanets):
+    """history_len not a multiple of fpb: windowed forward path still exact."""
+    from jefferson_tpu import EngineConfig, synthetic_database
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.oracle.reference import render_oracle
+    from jefferson_tpu.testing import precision_check
+    from jefferson_tpu.trajectory.trajectory import StaticPosition
+
+    cfg = EngineConfig(frames_per_buffer=96, hrtf_len=256)  # pad 512, hist 416
+    assert cfg.history_len % cfg.frames_per_buffer != 0
+    db = synthetic_database(cfg, n_taps=256, seed=8)
+    pos = StaticPosition(azi=30, ele=0, r=1.0).sample(20, cfg)
+    got = Renderer(db, cfg, chunk_blocks=10).render(castanets, pos)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], cfg)
+    rep = precision_check(got, want, eps=1e-6)
+    assert rep.ok, str(rep)

@@ -57,3 +57,20 @@ def test_streaming_clipping_flag(db, config):
     sp.process_block(loud)
     sp.process_block(loud)  # let the filter ring build up
     assert sp.clipping
+
+
+def test_pipeline_latency_mode(db, config, castanets):
+    """pipeline_latency=1 reproduces the reference GPU path's one-block
+    delay: block 0 is silence, block k emits block k-1's result."""
+    from jefferson_tpu.engine.stream import StreamingSpatializer as SS
+
+    sync = SS(db, config)
+    lat = SS(db, config, pipeline_latency=1)
+    for sp in (sync, lat):
+        sp.buf = castanets
+        sp.set_position(azi=30, ele=0, r=1.0)
+    a = [sync.process_next() for _ in range(5)]
+    b = [lat.process_next() for _ in range(5)]
+    np.testing.assert_array_equal(b[0], np.zeros_like(b[0]))
+    for k in range(1, 5):
+        np.testing.assert_array_equal(b[k], a[k - 1])
