@@ -67,8 +67,6 @@ def main(argv=None) -> int:
                         "precision_test.cu:2203-2250)")
     args = p.parse_args(argv)
 
-    from ..hrtf.kemar import synthetic_database
-
     config = DEFAULT_CONFIG
     if args.input:
         from ..io.wavio import read_wav_mono

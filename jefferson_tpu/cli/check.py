@@ -20,8 +20,6 @@ def main(argv=None) -> int:
     p.add_argument("--rms", type=float, default=1e-4, help="RMS error gate (default 1e-4)")
     args = p.parse_args(argv)
 
-    import numpy as np
-
     from ..io.wavio import read_wav
     from ..testing import precision_check
 

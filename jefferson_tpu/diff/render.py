@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DEFAULT_CONFIG, EngineConfig
+from ..config import EngineConfig
 from ..hrtf.kemar import AZIMUTH_COUNTS, AZIMUTH_INC, AZIMUTH_OFFSET, ELEVATIONS, HRTFDatabase
 from ..ops import fft as fft_ops
 

@@ -11,17 +11,15 @@ optional mixdown reduces across the source axis (GSPMD inserts the psum).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..config import EngineConfig
 from ..hrtf.kemar import HRTFDatabase
-from .plan import RenderPlan, fed_stream, make_plan
+from .plan import fed_stream, make_plan
 from .renderer import _fd_complex_chunk
 
 

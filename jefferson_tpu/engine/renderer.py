@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..config import EngineConfig, ProcessType
 from ..hrtf.kemar import HRTFDatabase
 from ..ops import fft as fft_ops
 from ..ops.filters import (

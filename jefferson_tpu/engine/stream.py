@@ -24,13 +24,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DEFAULT_CONFIG, EngineConfig, ProcessType
+from ..config import DEFAULT_CONFIG, EngineConfig
 from ..hrtf.kemar import HRTFDatabase, round_half_away
 from ..ops import fft as fft_ops
 from ..ops.filters import blend_filters_split, cmul, distance_factors_split
 from ..trajectory.interpolation import interpolation_calculations
 from ..trajectory.spatial import radius_from_cartesian, spherical_to_cartesian
-from .plan import RenderPlan, fed_stream, make_plan
+from .plan import fed_stream, make_plan
 
 _F32 = np.float32
 

@@ -24,18 +24,13 @@ def decode_wav(data: bytes):
     """WAV bytes -> (float32[frames, ch], sample_rate)."""
     if HAVE_NATIVE:
         return _native.decode_wav(data)
-    import io
     import tempfile
 
     from ..io import wavio
 
-    # fallback goes through the python parser on a temp path-free buffer
-    chunks = wavio._parse_chunks(data)
-    if b"fmt " not in chunks or b"data" not in chunks:
+    if b"fmt " not in wavio._parse_chunks(data):
         raise ValueError("malformed WAV (missing fmt/data)")
-    import tempfile as _tf
-
-    with _tf.NamedTemporaryFile(suffix=".wav") as f:
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
         f.write(data)
         f.flush()
         return wavio.read_wav(f.name)
