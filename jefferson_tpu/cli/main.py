@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the render into this dir")
     p.add_argument("--no-resample", action="store_true",
                    help="feed wrong-rate inputs raw (pitch-shifted) like the reference")
+    p.add_argument("--selftest", action="store_true",
+                   help="run a quick engine-vs-oracle sweep gate before rendering "
+                        "(the reference runs benchmarkTesting on every launch, "
+                        "main.cu:88); aborts on mismatch")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -253,6 +257,22 @@ def main(argv=None) -> int:
     )
 
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
+
+    if args.selftest and not ptype.is_oracle:
+        from ..bench.sweep import SCENARIOS, run_benchmark_sweep
+        from ..engine.renderer import Renderer as _R
+
+        reports = run_benchmark_sweep(
+            signal[: 8 * config.frames_per_buffer * 16] if len(signal) else signal,
+            db, config, blocks_per_step=8, num_steps=12, eps=5e-7,
+            renderer=_R(db, config, chunk_blocks=104, backend=args.backend),
+            scenarios=SCENARIOS[:2],
+        )
+        for (sa, se), rep in zip(SCENARIOS, reports):
+            if not rep.ok:
+                raise SystemExit(f"selftest FAILED at scenario ({sa},{se}): {rep}")
+        if not args.quiet:
+            print("selftest passed (engine-vs-oracle sweep gate)", file=sys.stderr)
 
     import contextlib
 

@@ -104,3 +104,11 @@ def test_resample_function():
     spec = np.abs(np.fft.rfft(up[:32768] * np.hanning(32768)))
     peak_hz = np.argmax(spec) * 44100 / 32768
     assert abs(peak_hz - 440) < 3
+
+
+def test_selftest_flag(tmp_path, wav_in):
+    out = tmp_path / "st.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
+               "--selftest", "--quiet"])
+    assert rc == 0
+    assert out.exists()

@@ -130,3 +130,14 @@ def test_distance_attenuation_behavior(renderer, config, castanets):
     near = renderer.render(castanets, StaticPosition(azi=45, r=1.0).sample(20, config))
     far = renderer.render(castanets, StaticPosition(azi=45, r=4.0).sample(20, config))
     assert np.sqrt(np.mean(far**2)) < 0.3 * np.sqrt(np.mean(near**2))
+
+
+def test_td_equals_fd_basic_static(renderer, db, config, castanets):
+    """Independent math cross-check: with the same nearest filter, the naive
+    time-domain convolution and the overlap-save FD convolution compute the
+    same linear convolution — two disjoint code paths, one answer."""
+    pos = StaticPosition(azi=75, ele=-20, r=1.0).sample(24, config)
+    td = renderer.render(castanets, pos, ProcessType.TPU_TD)
+    fd = renderer.render(castanets, pos, ProcessType.TPU_FD_BASIC)
+    rep = precision_check(td, fd, eps=2e-5)
+    assert rep.ok, str(rep)

@@ -66,3 +66,15 @@ def test_unaligned_geometry_falls_back(castanets):
     want = render_oracle(castanets, db, [tuple(p) for p in pos], cfg)
     rep = precision_check(got, want, eps=1e-6)
     assert rep.ok, str(rep)
+
+
+def test_mesh_factorizations():
+    """2-D meshes factor any device count sensibly."""
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    m = make_mesh(8, ("src", "blk"))
+    assert m.shape["src"] * m.shape["blk"] == 8
+    m1 = make_mesh(1)
+    assert m1.shape == {"src": 1}
+    with pytest.raises(ValueError):
+        make_mesh(1024)
