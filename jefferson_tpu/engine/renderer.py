@@ -5,12 +5,13 @@ Jefferson/src/Audio.cu:94-163): offline, the overlap-save dependency chain is
 on the *input*, which is fully known, so output blocks are independent.  The
 whole render becomes one batched pipeline per chunk of blocks:
 
-    gather overlap-save segments (B, 1024)
-    -> batched rfft -> (B, 513)
-    -> gather 4 HRTF pairs + case-weight blend + distance factor -> (B, 2, 513)
-    -> batched irfft (old & new filter sets) -> crossfade tails -> (B, 128, 2)
+    sliding sub-block forward DFT over the sample stream -> (B, bins) planes
+    -> extended HRTF blend (old set = previous block's new set) per ear
+    -> x distance factor (shared), x blended filters -> tail-only inverse DFT
+    -> crossfade tails -> (B, 128, 2)
 
-with zero sequential state on the device.  The reference needs ~16 kernel
+with zero sequential state on the device, all tensors channel-split
+(B, bins) float32 planes.  The reference needs ~16 kernel
 launches + 3 FFTs per 128-sample block (reference:
 Jefferson/src/GPUSoundSource.cu:320-385); here XLA sees the entire chunk as
 one fused program, and all FLOPs are batched dense ops that tile onto the
