@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's per-source accumulation (Audio.cu:98-158)")
     p.add_argument("-r", "--reverb", default=None, help="reverb impulse-response WAV (mono)")
     p.add_argument("-o", "--output", default="ofile.wav", help="output WAV (default ofile.wav)")
+    p.add_argument("--reverb-backend", choices=["host", "tpu"], default="host",
+                   help="host = one-shot scipy FFT (fast preprocessing default); "
+                        "tpu = partitioned accelerator convolution")
     p.add_argument("--reverb-mode", choices=["off", "reference", "linear"], default="off",
                    help="off (reference default reverbFlag=false), reference "
                         "(circular wrap + RMS renorm), or linear convolution")
@@ -236,9 +239,9 @@ def main(argv=None) -> int:
 
         t0 = time.time()
         if args.reverb_mode == "reference":
-            signal = reverb_reference(signal, ir, config)
+            signal = reverb_reference(signal, ir, config, backend=args.reverb_backend)
         else:
-            signal = convolve_linear(signal, ir, config)
+            signal = convolve_linear(signal, ir, config, backend=args.reverb_backend)
         if not args.quiet:
             print(f"reverb ({args.reverb_mode}): {len(ir)}-tap IR in {time.time()-t0:.2f}s",
                   file=sys.stderr)

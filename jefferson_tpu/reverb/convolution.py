@@ -9,17 +9,23 @@ followed by an RMS renormalization of the output back to the input level.
 swapped and the whole path is compiled out behind reverbFlag=false; we
 implement the intended behavior.)
 
-TPU re-design: arbitrary-length single FFTs don't map to the deployed
-runtime (no FFT HLO) and are HBM-hostile anyway.  Instead the IR is
-partitioned into uniform pad_len-sized blocks and convolved in the frequency
-domain with the input's block spectra — the spectral accumulation
-``y[m] = sum_j S[m-j] * H[j]`` runs as grouped 1-D convolutions along the
-block axis (one per real/imag plane combination), which XLA maps to dense
-TPU ops.  Linear convolution falls out directly; the reference's circular
-semantics are recovered by folding the tail back (``mode='reference'``).
+Two backends:
+  * 'host' (offline default): one scipy float64 FFT — reverb is one-shot
+    preprocessing (as in the reference), and the deployed TPU stack takes
+    minutes to compile the big grouped convolution, so the host transform
+    is the right offline tradeoff.
+  * 'tpu': uniform pad_len-sized IR partitions convolved in the frequency
+    domain with the input's block spectra — the spectral accumulation
+    ``y[m] = sum_j S[m-j] * H[j]`` as grouped 1-D convolutions with
+    power-of-two size bucketing so compiles cache across lengths.  This is
+    also the formulation behind the streaming convolver.
+The reference's circular semantics are recovered from the linear result by
+folding the tail back (``reverb_reference``).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -42,14 +48,15 @@ def _block_spectra_split(x: np.ndarray, part: int, fft_size: int):
     return fft_ops.rfft_split(jnp.asarray(buf), fft_size)
 
 
-def _spectral_conv_blocks(sr, si, hr, hi):
-    """y[m] = sum_j s[m-j] * h[j] per frequency bin (full length M+J-1).
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
 
-    s*: (M, K) input block spectra planes; h*: (J, K) IR partition planes.
-    Implemented as 4 grouped 1-D convolutions with K channel groups.
-    """
-    m, k = sr.shape
-    j = hr.shape[0]
+
+@functools.partial(jax.jit, static_argnames=("j_rows",))
+def _spectral_conv_grouped(sr, si, hr, hi, j_rows: int):
+    """y[m] = sum_j s[m-j] * h[j] per frequency bin (full length M+J-1),
+    as 4 grouped 1-D convolutions with one channel group per bin."""
+    k = sr.shape[1]
 
     def gconv(a, b):
         lhs = a.T[None]          # (1, K, M)
@@ -58,7 +65,7 @@ def _spectral_conv_blocks(sr, si, hr, hi):
             lhs,
             jnp.flip(rhs, axis=-1),
             window_strides=(1,),
-            padding=[(j - 1, j - 1)],
+            padding=[(j_rows - 1, j_rows - 1)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=k,
         )
@@ -67,6 +74,23 @@ def _spectral_conv_blocks(sr, si, hr, hi):
     yr = gconv(sr, hr) - gconv(si, hi)
     yi = gconv(sr, hi) + gconv(si, hr)
     return yr, yi
+
+
+def _spectral_conv_blocks(sr, si, hr, hi):
+    """Bucketed wrapper: pads M and J to powers of two so the (expensive,
+    minutes-scale on the deployed TPU stack) grouped-conv compile is reused
+    across signal/IR lengths, then trims to the true M+J-1."""
+    m, k = sr.shape
+    j = hr.shape[0]
+    m_pad = _next_pow2(m)
+    j_pad = _next_pow2(j)
+    pad_rows = lambda a, rows: jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+    yr, yi = _spectral_conv_grouped(
+        pad_rows(sr, m_pad), pad_rows(si, m_pad),
+        pad_rows(hr, j_pad), pad_rows(hi, j_pad),
+        j_rows=j_pad,
+    )
+    return yr[: m + j - 1], yi[: m + j - 1]
 
 
 def _overlap_add(y_blocks: jax.Array, part: int, fft_size: int, total: int) -> jax.Array:
@@ -88,11 +112,27 @@ def convolve_linear(
     ir: np.ndarray,
     config: EngineConfig = DEFAULT_CONFIG,
     partition: int | None = None,
+    backend: str = "host",
 ) -> np.ndarray:
-    """Full linear convolution (len = len(signal)+len(ir)-1) via uniform
-    partitioned frequency-domain convolution on the accelerator."""
+    """Full linear convolution (len = len(signal)+len(ir)-1).
+
+    backend 'host' (default): one float64 scipy FFT on the host — reverb is
+    one-shot *preprocessing* (like the reference's cudaFFT before playout),
+    and the deployed TPU stack needs minutes to compile the large grouped
+    conv, so the host transform is the right offline default.
+    backend 'tpu': the uniform partitioned frequency-domain convolution on
+    the accelerator (bucketed compiles; also the streaming formulation).
+    """
     signal = np.asarray(signal, dtype=np.float32)
     ir = np.asarray(ir, dtype=np.float32)
+    if backend == "host":
+        import scipy.fft
+
+        n = len(signal) + len(ir) - 1
+        spec = scipy.fft.rfft(signal.astype(np.float64), n) * scipy.fft.rfft(
+            ir.astype(np.float64), n
+        )
+        return scipy.fft.irfft(spec, n).astype(np.float32)
     part = partition or config.pad_len
     fft_size = 2 * part
     sr_, si_ = _block_spectra_split(signal, part, fft_size)
@@ -112,6 +152,7 @@ def reverb_reference(
     ir: np.ndarray,
     config: EngineConfig = DEFAULT_CONFIG,
     normalize: bool = True,
+    backend: str = "host",
 ) -> np.ndarray:
     """The reference's preprocessing reverb with intended semantics.
 
@@ -124,7 +165,7 @@ def reverb_reference(
     ir = np.asarray(ir, dtype=np.float32)
     min_radius = len(ir) // 2
     new_size = len(signal) + (len(ir) - min_radius)
-    lin = convolve_linear(signal, ir, config)
+    lin = convolve_linear(signal, ir, config, backend=backend)
     out = np.zeros(new_size, dtype=np.float32)
     out[:] = lin[:new_size]
     tail = lin[new_size:]

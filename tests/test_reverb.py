@@ -26,9 +26,13 @@ def ir():
     return (rng.standard_normal(n) * env * 0.1).astype(np.float32)
 
 
-def test_linear_convolution_matches_numpy(dry, ir):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("backend", ["host", "tpu"])
+def test_linear_convolution_matches_numpy(dry, ir, backend):
     want = np.convolve(dry.astype(np.float64), ir.astype(np.float64))
-    got = convolve_linear(dry, ir)
+    got = convolve_linear(dry, ir, backend=backend)
     assert got.shape == want.shape
     err = np.max(np.abs(got - want))
     assert err < 5e-5, err
