@@ -135,11 +135,16 @@ class DifferentiableRenderer:
         steps: int = 300,
         lr: float = 2.0,
         optimize_r: bool = True,
+        segment_blocks: int | None = None,
     ):
         """Recover per-block source positions from a binaural recording.
 
         target: (B*fpb, 2) rendered/recorded stereo of ``signal``.
         init_positions: (B, 3) starting guess.
+        segment_blocks: None -> one grid candidate initializes every block
+        (static or slowly-moving source); an int -> the grid search picks a
+        winner per segment of that many blocks, so moving trajectories start
+        each segment in the right basin.
         Returns (fitted positions (B, 3) np.ndarray, loss history list).
         """
         import optax
@@ -192,18 +197,29 @@ class DifferentiableRenderer:
         aa, ee, rr = np.meshgrid(azis, eles, radii, indexing="ij")
         cand = np.stack([aa.ravel(), ee.ravel(), rr.ravel()], axis=-1).astype(np.float32)
 
-        grid_loss = make_loss(64)  # wide basin: tolerate off-grid r delay
+        # wide-basin (lowpassed) per-block losses for every grid candidate
+        sm64 = smoother(64)
+        tgt64 = sm64(tgt)
 
         @jax.jit
-        def grid_losses(cands):
+        def grid_losses_per_block(cands):
             def one(c):
-                return grid_loss(jnp.broadcast_to(c, (b, 3)))
+                out = sm64(self.render_spectra(xr, xi, jnp.broadcast_to(c, (b, 3))))
+                return jnp.mean((out - tgt64) ** 2, axis=(1, 2)) * 1e4  # (b,)
 
-            return jax.vmap(one)(cands)
+            return jax.vmap(one)(cands)  # (C, b)
 
-        gl = np.asarray(grid_losses(jnp.asarray(cand)))
-        best = cand[int(np.argmin(gl))]
-        pos = jnp.broadcast_to(jnp.asarray(best), (b, 3)).astype(jnp.float32)
+        gl_blocks = np.asarray(grid_losses_per_block(jnp.asarray(cand)))
+        seg = segment_blocks or b
+        pos_np = np.empty((b, 3), np.float32)
+        seg_mins = []
+        for s0 in range(0, b, seg):
+            s1 = min(s0 + seg, b)
+            seg_loss = gl_blocks[:, s0:s1].mean(axis=1)
+            pos_np[s0:s1] = cand[int(np.argmin(seg_loss))]
+            seg_mins.append(float(np.min(seg_loss)))
+        gl = np.asarray(seg_mins)
+        pos = jnp.asarray(pos_np)
 
         # Stage 2 — coarse-to-fine gradient refinement (per-block positions):
         # heavy lowpass first (wide, smooth basin for r/ITD), full band last.

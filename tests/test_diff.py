@@ -76,3 +76,25 @@ def test_localization_recovers_position(db, config):
     assert np.abs(fitted[:, 0] - 62.0).mean() < 15.0
     assert np.abs(fitted[:, 1] - 18.0).mean() < 12.0
     assert np.abs(fitted[:, 2] - 1.3).mean() < 0.1
+
+
+def test_localization_moving_source(db, config):
+    """Two-segment trajectory: per-segment grid init finds both basins."""
+    rng = np.random.default_rng(3)
+    sig = np.convolve(rng.standard_normal(9000), np.hanning(16), mode="same")
+    sig = (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+    r = DifferentiableRenderer(db, config)
+    b = 12
+    true_pos = np.concatenate([
+        np.tile([80.0, 0.0, 1.0], (b // 2, 1)),
+        np.tile([290.0, 0.0, 1.0], (b // 2, 1)),
+    ]).astype(np.float32)
+    target = np.asarray(r.render(sig, true_pos))
+    init = np.tile([0.0, 0.0, 1.0], (b, 1)).astype(np.float32)
+    fitted, hist = r.localize(
+        sig, target, init, steps=200, lr=0.1, segment_blocks=b // 2
+    )
+    # each half lands in its own hemisphere basin
+    assert np.abs(fitted[: b // 2, 0] - 80.0).mean() < 20.0
+    d2 = np.minimum(np.abs(fitted[b // 2 :, 0] - 290.0), 360 - np.abs(fitted[b // 2 :, 0] - 290.0))
+    assert d2.mean() < 20.0
