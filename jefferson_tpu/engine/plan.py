@@ -105,6 +105,8 @@ def fed_stream(signal: np.ndarray, num_blocks: int, config: EngineConfig = DEFAU
     signal = np.asarray(signal, dtype=_F32)
     if signal.ndim != 1:
         raise ValueError("signal must be mono (1-D)")
+    if len(signal) == 0:
+        raise ValueError("empty signal")
     total = num_blocks * config.frames_per_buffer
     if len(signal) >= total:
         return signal[:total]

@@ -141,3 +141,8 @@ def test_td_equals_fd_basic_static(renderer, db, config, castanets):
     fd = renderer.render(castanets, pos, ProcessType.TPU_FD_BASIC)
     rep = precision_check(td, fd, eps=2e-5)
     assert rep.ok, str(rep)
+
+
+def test_empty_signal_rejected(renderer, config):
+    with pytest.raises(ValueError, match="empty"):
+        renderer.render(np.zeros(0, np.float32), StaticPosition().sample(4, config))
