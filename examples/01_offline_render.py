@@ -4,6 +4,11 @@ Runs on CPU by default for instant startup; set JEFFERSON_EXAMPLES_TPU=1 to
 run on the attached TPU (first compile takes minutes through remote stacks).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
+
 import os
 
 if not os.environ.get("JEFFERSON_EXAMPLES_TPU"):

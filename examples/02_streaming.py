@@ -4,6 +4,11 @@ This is the PortAudio-callback analogue — wire ``process_block`` into any
 audio callback. Runs on CPU by default (JEFFERSON_EXAMPLES_TPU=1 for TPU).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
+
 import os
 
 if not os.environ.get("JEFFERSON_EXAMPLES_TPU"):

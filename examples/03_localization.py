@@ -4,6 +4,11 @@ Uses the differentiable (smooth-interpolation) renderer: coarse grid search
 over direction x radius, then coarse-to-fine gradient refinement.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
+
 import os
 
 if not os.environ.get("JEFFERSON_EXAMPLES_TPU"):

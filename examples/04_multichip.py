@@ -1,9 +1,13 @@
 """Multi-chip scaling: shard 16 concurrent sources over a device mesh.
 
-Run with virtual devices to try it anywhere:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/04_multichip.py
+Runs anywhere: if fewer than 8 devices are visible (e.g. one TPU chip), it
+self-provisions an 8-device virtual CPU mesh — no env setup needed.
 """
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
 
 import numpy as np
 
@@ -11,8 +15,10 @@ import jax
 
 import jefferson_tpu as jt
 from jefferson_tpu.engine.batch import BatchRenderer
-from jefferson_tpu.parallel.mesh import make_mesh
+from jefferson_tpu.parallel.mesh import ensure_virtual_devices, make_mesh
 from jefferson_tpu.trajectory.trajectory import CircularOrbit, StaticPosition
+
+ensure_virtual_devices(8)
 
 cfg = jt.DEFAULT_CONFIG
 db = jt.synthetic_database(cfg)

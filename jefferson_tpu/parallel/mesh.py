@@ -16,6 +16,10 @@ Axis conventions:
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 import jax
@@ -39,6 +43,49 @@ def make_mesh(n_devices: int | None = None, axis_names: tuple[str, ...] = ("src"
     else:
         raise ValueError("only 1-D or 2-D meshes supported")
     return Mesh(arr, axis_names)
+
+
+def ensure_virtual_devices(n: int) -> None:
+    """Make sure >= n jax devices exist, re-execing the current script onto
+    an n-device virtual CPU mesh if necessary.
+
+    Call this at the top of a script (before any other backend use).  Three
+    cases:
+      * child marker set: we ARE the re-exec'd child — force the CPU
+        platform via ``jax.config`` (this container's sitecustomize preloads
+        jax under JAX_PLATFORMS=axon, so env vars alone are too late) and
+        return.
+      * enough devices already: return (no-op).
+      * too few devices: re-exec ``sys.argv`` in a subprocess configured for
+        an n-device virtual CPU mesh, then exit with its return code.
+    """
+    if os.environ.get("JT_VIRTUAL_MESH") == "1":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if len(jax.devices()) >= n:
+        return
+    env = dict(os.environ)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JT_VIRTUAL_MESH"] = "1"
+    print(
+        f"[jefferson_tpu] {len(jax.devices())} device(s) < {n}; "
+        f"re-exec on an {n}-device virtual CPU mesh",
+        file=sys.stderr,
+    )
+    rc = subprocess.call([sys.executable] + sys.argv, env=env)
+    sys.exit(rc)
 
 
 def source_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -72,6 +72,56 @@ def test_mesh_utilities():
     assert sh.spec == jax.sharding.PartitionSpec("src", None, None)
 
 
+def test_2d_mesh_src_and_blk_sharding(db, config, castanets):
+    """Both mesh axes at once: sources AND time blocks sharded over a 2-D
+    ('src','blk') mesh match the unsharded render exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jefferson_tpu.engine.batch import batched_chunk_fn
+    from jefferson_tpu.engine.plan import fed_stream, make_plan
+
+    s, nb = 4, 16
+    signals, positions = _mk_batch(config, castanets, s=s, blocks=nb)
+    plans = [make_plan(positions[i], config) for i in range(s)]
+    feds = np.stack([fed_stream(signals[i], nb, config) for i in range(s)])
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    hists = np.zeros((s, config.history_len), np.float32)
+    stack = lambda attr: np.stack([getattr(p, attr) for p in plans])
+    args = [feds, stack("idx_new"), stack("w_new"), stack("idx_old"),
+            stack("w_old"), stack("xfade"), stack("u_hi"), stack("u_lo"),
+            stack("inv_frac")]
+
+    fn = jax.jit(batched_chunk_fn(config, num_blocks=nb, with_xfade=True))
+    want, _ = fn(spectra, jnp.asarray(hists), *[jnp.asarray(a) for a in args])
+
+    mesh = make_mesh(8, ("src", "blk"))
+    def shard(x):
+        axes = ["src"] + [None] * (x.ndim - 1)
+        if x.ndim >= 2:
+            axes[1] = "blk"
+        return jax.device_put(x, NamedSharding(mesh, P(*axes)))
+
+    got, _ = fn(
+        spectra,
+        jax.device_put(hists, NamedSharding(mesh, P("src", None))),
+        *[shard(np.asarray(a)) for a in args],
+    )
+    rep = precision_check(np.asarray(got), np.asarray(want), eps=1e-7)
+    assert rep.ok, str(rep)
+
+
+def test_ensure_virtual_devices_noop():
+    """With enough devices present, ensure_virtual_devices returns in-process."""
+    from jefferson_tpu.parallel.mesh import ensure_virtual_devices
+
+    ensure_virtual_devices(8)  # conftest provisions 8 virtual CPU devices
+    assert len(jax.devices()) == 8
+
+
 def test_block_axis_sharding(db, config, castanets):
     """One render's blocks sharded over the mesh ('sp'-style): GSPMD handles
     the sliding-window halo between block shards; output matches unsharded."""
