@@ -146,6 +146,12 @@ class StreamingSpatializer:
         self.buf: np.ndarray | None = None
         self.count = 0
         self.clipping = False
+        # host-side per-position caches: live callers hold a position for
+        # many consecutive blocks, so the interpolation/distance setup math
+        # (pure functions of azi/ele/r) is memoized to keep per-block host
+        # overhead inside the realtime budget
+        self._interp_cache: dict[tuple, tuple] = {}
+        self._dist_cache: dict[float, tuple] = {}
 
     def set_position(self, azi=None, ele=None, r=None) -> None:
         if azi is not None:
@@ -161,33 +167,91 @@ class StreamingSpatializer:
         azi, ele, r = cartesian_to_spherical(np.asarray(xyz, dtype=_F32))
         self.azi, self.ele, self.r = _F32(azi), _F32(ele), _F32(r)
 
+    def _interp(self, ele, azi):
+        key = (float(ele), float(azi))
+        hit = self._interp_cache.get(key)
+        if hit is None:
+            c = interpolation_calculations(ele, azi)
+            hit = (jnp.asarray(c.indices[0]), jnp.asarray(c.weights[0]))
+            self._interp_cache[key] = hit
+        return hit
+
+    def _distance(self, key: tuple):
+        hit = self._dist_cache.get(key)
+        if hit is None:
+            from ..ops.filters import distance_phase_split
+
+            cfg = self.config
+            azi, ele, r = key
+            coords = spherical_to_cartesian(_F32(azi), _F32(ele), _F32(r))
+            scaled_r = np.float32(
+                radius_from_cartesian(coords) / _F32(cfg.distance_scale)
+            )
+            u_hi, u_lo, inv_frac = distance_phase_split(
+                cfg.fsvs, scaled_r[None], cfg.num_bins
+            )
+            hit = (jnp.asarray(u_hi[0]), jnp.asarray(u_lo[0]), jnp.asarray(inv_frac[0]))
+            self._dist_cache[key] = hit
+        return hit
+
+    def prime(self) -> None:
+        """Compile the block step without mutating streaming state.
+
+        Realtime callers (rt.playout) invoke this before opening the device
+        stream so the first audible block doesn't absorb the jit compile —
+        the analogue of the reference doing all CUDA/cuFFT setup in the
+        constructor before PortAudio starts (Jefferson/src/GPUSoundSource.cu:17-71).
+        """
+        cfg = self.config
+        cn = interpolation_calculations(self.ele, self.azi)
+        from ..ops.filters import distance_phase_split
+
+        u_hi, u_lo, inv_frac = distance_phase_split(
+            cfg.fsvs, np.float32(self.r / _F32(cfg.distance_scale))[None], cfg.num_bins
+        )
+        out, _ = self._step(
+            self._spec_r,
+            self._spec_i,
+            self._hist,
+            jnp.zeros(cfg.frames_per_buffer, jnp.float32),
+            jnp.asarray(cn.indices[0]),
+            jnp.asarray(cn.weights[0]),
+            jnp.asarray(cn.indices[0]),
+            jnp.asarray(cn.weights[0]),
+            jnp.asarray(False),
+            jnp.asarray(u_hi[0]),
+            jnp.asarray(u_lo[0]),
+            jnp.asarray(inv_frac[0]),
+        )
+        np.asarray(out)  # force completion
+
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """Push frames_per_buffer mono samples -> (fpb, 2) float32 stereo."""
         cfg = self.config
         block = np.asarray(block, dtype=_F32)
         if block.shape != (cfg.frames_per_buffer,):
             raise ValueError(f"block must be ({cfg.frames_per_buffer},), got {block.shape}")
-        cn = interpolation_calculations(self.ele, self.azi)
-        co = interpolation_calculations(self.old_ele, self.old_azi)
+        idx_n, w_n = self._interp(self.ele, self.azi)
+        idx_o, w_o = self._interp(self.old_ele, self.old_azi)
         xfade = bool(self.old_azi != self.azi or self.old_ele != self.ele)
-        coords = spherical_to_cartesian(self.azi, self.ele, self.r)
-        scaled_r = np.float32(radius_from_cartesian(coords) / _F32(cfg.distance_scale))
-        from ..ops.filters import distance_phase_split
-
-        u_hi, u_lo, inv_frac = distance_phase_split(cfg.fsvs, scaled_r[None], cfg.num_bins)
+        # key on the full position: the float32 xyz roundtrip makes the
+        # effective radius minutely angle-dependent (reference semantics)
+        u_hi, u_lo, inv_frac = self._distance(
+            (float(self.azi), float(self.ele), float(self.r))
+        )
         out, self._hist = self._step(
             self._spec_r,
             self._spec_i,
             self._hist,
             jnp.asarray(block),
-            jnp.asarray(cn.indices[0]),
-            jnp.asarray(cn.weights[0]),
-            jnp.asarray(co.indices[0]),
-            jnp.asarray(co.weights[0]),
+            idx_n,
+            w_n,
+            idx_o,
+            w_o,
             jnp.asarray(xfade),
-            jnp.asarray(u_hi[0]),
-            jnp.asarray(u_lo[0]),
-            jnp.asarray(inv_frac[0]),
+            u_hi,
+            u_lo,
+            inv_frac,
         )
         self.old_azi, self.old_ele = self.azi, self.ele
         out = np.asarray(out)

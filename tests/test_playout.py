@@ -1,0 +1,106 @@
+"""Realtime playout adapter: fake-device callback loop + deadline stats."""
+
+import time
+
+import numpy as np
+import pytest
+
+from jefferson_tpu.engine.stream import StreamingSpatializer
+from jefferson_tpu.io.wavio import StreamingWavWriter, read_wav
+from jefferson_tpu.rt.playout import AudioPlayout, BlockStats, have_output_device
+from jefferson_tpu.testing import precision_check
+
+
+def _src(db, config, castanets, azi=30.0, roll=0):
+    s = StreamingSpatializer(db, config)
+    s.set_position(azi=azi, ele=0, r=1.0)
+    s.buf = np.roll(castanets, roll)[: 4000].astype(np.float32)
+    return s
+
+
+def test_offline_playout_mixes_and_writes(db, config, castanets, tmp_path):
+    """Fake-device loop == sum of per-source streams; WAV appended per block."""
+    nb = 40
+    mixed_srcs = [_src(db, config, castanets), _src(db, config, castanets, azi=300.0, roll=500)]
+    wav = tmp_path / "live.wav"
+    writer = StreamingWavWriter(wav, config.sample_rate, bits=24)
+    play = AudioPlayout(mixed_srcs, config, writer=writer)
+    stats = play.run_offline(nb)
+    writer.close()
+
+    assert stats.blocks == nb
+    assert stats.budget_ms == pytest.approx(1e3 * config.frames_per_buffer / config.sample_rate)
+    assert stats.avg_ms > 0 and stats.max_ms >= stats.avg_ms >= 0
+
+    # the same two sources separately, summed
+    want = np.zeros((nb * config.frames_per_buffer, 2), np.float32)
+    for azi, roll in [(30.0, 0), (300.0, 500)]:
+        s = _src(db, config, castanets, azi=azi, roll=roll)
+        for b in range(nb):
+            want[b * config.frames_per_buffer : (b + 1) * config.frames_per_buffer] += (
+                s.process_next()
+            )
+    got, sr = read_wav(wav)
+    assert sr == config.sample_rate
+    rep = precision_check(got, want, eps=2e-7)  # 24-bit quantization floor
+    assert rep.ok, str(rep)
+
+
+def test_prime_does_not_mutate_state(db, config, castanets):
+    a = _src(db, config, castanets)
+    b = _src(db, config, castanets)
+    a.prime()
+    for _ in range(5):
+        ya, yb = a.process_next(), b.process_next()
+        rep = precision_check(ya, yb, eps=0.0)
+        assert rep.ok, str(rep)
+
+
+def test_deadline_miss_accounting(config):
+    """A source slower than the block budget is counted as a miss."""
+    budget_s = config.block_duration
+
+    def slow():
+        time.sleep(budget_s * 1.5)
+        return np.zeros((config.frames_per_buffer, 2), np.float32)
+
+    play = AudioPlayout([slow], config)
+    stats = play.run_offline(3)
+    assert stats.blocks == 3
+    assert stats.misses == 3
+    assert stats.miss_rate == 1.0
+    assert stats.max_ms > stats.budget_ms
+    assert "deadline misses" in stats.summary()
+
+
+def test_paced_run_holds_cadence(config):
+    """Paced mode takes at least num_blocks * block_duration of wall time."""
+    fast = lambda: np.zeros((config.frames_per_buffer, 2), np.float32)
+    play = AudioPlayout([fast], config)
+    nb = 20
+    t0 = time.perf_counter()
+    play.run_offline(nb, paced=True)
+    elapsed = time.perf_counter() - t0
+    assert elapsed >= (nb - 1) * config.block_duration
+
+
+def test_clipping_alert(config):
+    loud = lambda: np.full((config.frames_per_buffer, 2), 1.5, np.float32)
+    play = AudioPlayout([loud], config)
+    play.run_offline(1)
+    assert play.clipping
+
+
+def test_play_degrades_gracefully(db, config, castanets):
+    """Without sounddevice/a device, play() raises a clear error (and the
+    probe reports unavailability) instead of crashing obscurely."""
+    if have_output_device():
+        pytest.skip("host has a real output device; live path would run")
+    play = AudioPlayout([_src(db, config, castanets)], config)
+    with pytest.raises(RuntimeError, match="sounddevice|output device"):
+        play.play(num_blocks=2)
+
+
+def test_playout_requires_sources(config):
+    with pytest.raises(ValueError):
+        AudioPlayout([], config)
