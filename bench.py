@@ -93,17 +93,21 @@ def main() -> int:
         f"-> {bps:,.0f} blocks/s/chip = {rt:,.0f}x real time"
     )
 
-    # parity spot check against the oracle (first source, first blocks)
+    # parity spot check against the oracle, through the very function being
+    # measured: one fresh step of batched_chunk_fn, source 0's blocks vs the
+    # NumPy oracle on the same signal/trajectory
     try:
-        from jefferson_tpu.engine.renderer import Renderer
         from jefferson_tpu.oracle.reference import render_oracle
 
-        pos = CircularOrbit(period_s=0.4, ele=5, r=1.0).sample(16, cfg)
-        sig = np.asarray(feds[0][: 16 * cfg.frames_per_buffer])
-        got = Renderer(db, cfg, chunk_blocks=16).render(sig, pos)
-        want = render_oracle(sig, db, [tuple(p) for p in pos], cfg)
+        out1, _ = step(spectra, hists, feds, *xs)
+        got = np.asarray(out1[0]).reshape(nb * cfg.frames_per_buffer, 2)
+        pos0 = CircularOrbit(period_s=0.4, ele=5, r=1.0).sample(nb, cfg)
+        want = render_oracle(np.asarray(feds[0]), db, [tuple(p) for p in pos0], cfg)
         rms = float(np.sqrt(np.mean((got - want) ** 2)))
-        log(f"parity: rms vs oracle = {rms:.2e} (budget 1e-4)")
+        log(f"parity (batched_chunk_fn vs oracle): rms = {rms:.2e} (budget 1e-4)")
+        assert rms < 1e-4, f"bench parity outside budget: rms={rms:.2e}"
+    except AssertionError:
+        raise
     except Exception as e:  # parity reporting must not kill the bench
         log("parity check skipped:", e)
         rms = None

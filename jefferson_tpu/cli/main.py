@@ -127,12 +127,20 @@ def load_hrtf(hrtf_dir, config, quiet=False):
 
     hrtf_dir = hrtf_dir or os.environ.get("JEFFERSON_HRTF_DIR")
     if hrtf_dir:
+        if not Path(hrtf_dir).exists():
+            raise SystemExit(
+                f"HRTF dir {hrtf_dir!r} does not exist — fetch the MIT KEMAR "
+                "set with scripts/fetch_kemar.py or point --hrtf-dir/"
+                "$JEFFERSON_HRTF_DIR at an existing full/compact tree"
+            )
         return load_database(hrtf_dir, config)
-    default = Path("/root/reference/Jefferson/compact")
-    if default.exists():
-        return load_database(default, config)
     if not quiet:
-        print("warning: no HRTF dir given; using the synthetic test set", file=sys.stderr)
+        print(
+            "warning: no HRTF dir given; using the synthetic test set "
+            "(real KEMAR data: scripts/fetch_kemar.py, then --hrtf-dir "
+            "or $JEFFERSON_HRTF_DIR)",
+            file=sys.stderr,
+        )
     return synthetic_database(config)
 
 
@@ -267,9 +275,8 @@ def main(argv=None) -> int:
 
         reports = run_benchmark_sweep(
             signal[: 8 * config.frames_per_buffer * 16] if len(signal) else signal,
-            db, config, blocks_per_step=8, num_steps=12, eps=5e-7,
+            db, config, blocks_per_step=8, num_steps=12, eps=2e-7,
             renderer=_R(db, config, chunk_blocks=104, backend=args.backend),
-            scenarios=SCENARIOS[:2],
         )
         for (sa, se), rep in zip(SCENARIOS, reports):
             if not rep.ok:

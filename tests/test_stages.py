@@ -33,7 +33,11 @@ def test_fft_roundtrip_sanity(config):
             rfft, irfft = fft_ops.get_backend(backend)
             spec = np.asarray(rfft(jnp.asarray(x), n))
             want = scipy.fft.rfft(x)
-            assert precision_check(spec.view(np.float32), want.astype(np.complex64).view(np.float32), eps=1e-3 if backend == "matmul" else 1e-3).ok
+            # fft backend is bit-exact vs scipy here; the DFT-matmul backend
+            # accumulates fp32 rounding over 1024 terms on O(512)-magnitude
+            # unnormalized bins (measured worst ~1e-4)
+            eps = 2e-4 if backend == "matmul" else 1e-6
+            assert precision_check(spec.view(np.float32), want.astype(np.complex64).view(np.float32), eps=eps).ok
             back = np.asarray(irfft(jnp.asarray(spec), n))
             assert precision_check(back, x, eps=1e-5).ok, f"{backend} freq {freq}"
 

@@ -24,20 +24,20 @@ def test_four_scenario_sweep_fft_backend(db, config, castanets):
 
 
 def test_four_scenario_sweep_matmul_backend(db, config, castanets):
-    """The MXU DFT-matmul backend crosses transform algorithms, so its
-    worst-case float32 deviation vs the scipy-FFT oracle is ~3e-7; gate at
-    5e-7 max-abs (RMS stays ~2e-8, 5000x under the 1e-4 budget)."""
+    """The MXU DFT-matmul backend holds the reference's own 2e-7 gate even
+    across transform algorithms (measured worst 8.2e-8 here, 1.19e-7 on the
+    real chip's full-scale sweep — PERF.md)."""
     reports = run_benchmark_sweep(
         castanets,
         db,
         config,
         blocks_per_step=12,
         num_steps=24,
-        eps=5e-7,
+        eps=2e-7,
         renderer=Renderer(db, config, chunk_blocks=128, backend="matmul"),
     )
     for (azi, ele), rep in zip(SCENARIOS, reports):
-        assert rep.ok and rep.rms < 1e-7, f"scenario ({azi},{ele}): {rep}"
+        assert rep.ok and rep.rms < 2e-8, f"scenario ({azi},{ele}): {rep}"
 
 
 def test_sweep_wraps_azimuth(config):
