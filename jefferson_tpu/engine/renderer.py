@@ -130,6 +130,49 @@ def _fd_complex_chunk(
     return out, new_hist
 
 
+def _fd_complex_chunk_dedup(
+    spectra,
+    hist: jax.Array,
+    fed: jax.Array,
+    uniq_idx: jax.Array,
+    uniq_w: jax.Array,
+    inv: jax.Array,
+    xfade: jax.Array,
+    u_hi: jax.Array,
+    u_lo: jax.Array,
+    inv_frac: jax.Array,
+    *,
+    config: EngineConfig,
+    num_blocks: int,
+    with_xfade: bool,
+):
+    """Deduplicated variant of the matmul-backend FD chunk.
+
+    Real trajectories hold each position for many blocks, so the (B+1, 4)
+    blend rows contain few unique values.  Blend only the U unique rows
+    (U << B) and broadcast with one row-gather per plane: 4(B+1) HBM row
+    reads per plane become 4U + (B+1).  Bit-identical to the direct path
+    (same per-row op order).  ``inv`` maps extended row b -> unique id;
+    with_xfade consumes B+1 rows (old[b] == new[b-1] by plan construction),
+    otherwise B.
+    """
+    full = jnp.concatenate([hist, fed])
+    new_hist = full[num_blocks * config.frames_per_buffer :]
+    xr, xi = _forward_split(full, num_blocks, config)
+    g_u = blend_channels(spectra, uniq_idx, uniq_w)  # (U, bins) x 4
+    g = tuple(jnp.take(a, inv, axis=0) for a in g_u)
+    if with_xfade:
+        g_old = tuple(a[:num_blocks] for a in g)
+        g_new = tuple(a[1:] for a in g)
+    else:
+        g_old, g_new = None, g
+    out = apply_filters_core(
+        xr, xi, g_old, g_new, xfade, u_hi, u_lo, inv_frac,
+        config=config, with_xfade=with_xfade,
+    )
+    return out, new_hist
+
+
 def blend_channels(spectra, indices: jax.Array, weights: jax.Array):
     """Per-ear weighted filter blends: (rows, 4) indices/weights ->
     (grL, giL, grR, giR), each (rows, bins)."""
@@ -249,11 +292,16 @@ class Renderer:
         config: EngineConfig | None = None,
         chunk_blocks: int = 2048,
         backend: str = "matmul",
+        dedup: bool = True,
     ):
+        """``dedup``: blend only unique (index, weight) rows per chunk and
+        broadcast (bit-identical; auto-disabled when a chunk has too many
+        unique positions for it to pay). matmul backend only."""
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
         self.backend = backend
+        self.dedup = dedup and backend != "fft"
         if backend == "fft":
             self._spectra = jnp.asarray(db.spectra)
         else:
@@ -268,10 +316,14 @@ class Renderer:
             return jax.jit(functools.partial(fn, **kw))
 
         self._fd_complex = {}
+        self._fd_dedup = {}
         self._fd_basic = {}
         self._td = {}
         self._mk_fd_complex = lambda nb, xf: jit_chunk(
             _fd_complex_chunk, config=cfg, num_blocks=nb, backend=self.backend, with_xfade=xf
+        )
+        self._mk_fd_dedup = lambda nb, xf: jit_chunk(
+            _fd_complex_chunk_dedup, config=cfg, num_blocks=nb, with_xfade=xf
         )
         self._mk_fd_basic = lambda nb: jit_chunk(
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
@@ -321,6 +373,39 @@ class Renderer:
                 return jnp.asarray(a)
             return jnp.asarray(np.concatenate([a, np.repeat(a[-1:], cb - nb, axis=0)]))
 
+        # static-segment dedup: one pass over the chunks to find the unique
+        # blend rows per chunk; one Upad bucket per render (single compiled
+        # program).  Pays when positions persist across blocks (the common
+        # case); falls back to the direct path for every-block movers.
+        dedup_chunks = None
+        if (
+            self.dedup
+            and ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX)
+            and b_total
+        ):
+            from .plan import dedup_rows
+
+            dedup_chunks, max_u = [], 1
+            for start in range(0, b_total, cb):
+                stop = min(start + cb, b_total)
+                sl = slice(start, stop)
+                if with_xfade:
+                    ext_idx = np.concatenate([plan.idx_old[start : start + 1], plan.idx_new[sl]])
+                    ext_w = np.concatenate([plan.w_old[start : start + 1], plan.w_new[sl]])
+                else:
+                    ext_idx, ext_w = plan.idx_new[sl], plan.w_new[sl]
+                rows = cb + 1 if with_xfade else cb
+                if ext_idx.shape[0] < rows:  # final partial chunk
+                    reps = rows - ext_idx.shape[0]
+                    ext_idx = np.concatenate([ext_idx, np.repeat(ext_idx[-1:], reps, axis=0)])
+                    ext_w = np.concatenate([ext_w, np.repeat(ext_w[-1:], reps, axis=0)])
+                uniq_idx, uniq_w, inv = dedup_rows(ext_idx, ext_w)
+                max_u = max(max_u, uniq_idx.shape[0])
+                dedup_chunks.append((uniq_idx, uniq_w, inv))
+            u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+            if u_pad * 2 > cb:  # not enough duplication to pay off
+                dedup_chunks = None
+
         for start in range(0, b_total, cb):
             stop = min(start + cb, b_total)
             nb = stop - start
@@ -330,6 +415,29 @@ class Renderer:
                 fed_np = np.concatenate([fed_np, np.zeros((cb - nb) * fpb, np.float32)])
             fed = jnp.asarray(fed_np)
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
+                if dedup_chunks is not None:
+                    uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
+                    if uniq_idx.shape[0] < u_pad:  # pad to the render's bucket
+                        reps = u_pad - uniq_idx.shape[0]
+                        uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, axis=0)])
+                        uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, axis=0)])
+                    key = (cb, with_xfade, u_pad)
+                    if key not in self._fd_dedup:
+                        self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)
+                    y, hist = self._fd_dedup[key](
+                        self._spectra,
+                        hist,
+                        fed,
+                        jnp.asarray(uniq_idx),
+                        jnp.asarray(uniq_w),
+                        jnp.asarray(inv),
+                        pad(plan.xfade[sl], nb),
+                        pad(plan.u_hi[sl], nb),
+                        pad(plan.u_lo[sl], nb),
+                        pad(plan.inv_frac[sl], nb),
+                    )
+                    out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                    continue
                 key = (cb, with_xfade)
                 if key not in self._fd_complex:
                     self._fd_complex[key] = self._mk_fd_complex(cb, with_xfade)

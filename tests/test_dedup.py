@@ -1,0 +1,63 @@
+"""Static-segment blend dedup: bit-exact vs the direct path, auto-gating."""
+
+import numpy as np
+
+from jefferson_tpu.engine.plan import dedup_rows
+from jefferson_tpu.engine.renderer import Renderer
+from jefferson_tpu.trajectory.trajectory import AzimuthSweep, CircularOrbit, StaticPosition
+
+
+def test_dedup_rows_roundtrip():
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 710, size=(64, 4)).astype(np.int32)
+    w = rng.random((64, 4), dtype=np.float32)
+    # duplicate rows heavily
+    idx, w = np.repeat(idx[:5], 13, axis=0)[:64], np.repeat(w[:5], 13, axis=0)[:64]
+    u_idx, u_w, inv = dedup_rows(idx, w)
+    assert u_idx.shape[0] == 5
+    np.testing.assert_array_equal(u_idx[inv], idx)
+    np.testing.assert_array_equal(u_w[inv], w)
+
+
+def test_dedup_render_bit_exact_sweep(db, config, castanets):
+    """Sweep workload (positions persist across blocks): dedup path taken and
+    bit-identical to the direct blend."""
+    traj = AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5, blocks_per_step=16, num_steps=6)
+    pos = traj.sample(traj.total_blocks, config)
+    on = Renderer(db, config, chunk_blocks=48, dedup=True)
+    off = Renderer(db, config, chunk_blocks=48, dedup=False)
+    got = on.render(castanets, pos, initial_old=(0.0, 0.0))
+    want = off.render(castanets, pos, initial_old=(0.0, 0.0))
+    assert on._fd_dedup and not on._fd_complex, "dedup path not exercised"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dedup_render_bit_exact_static(db, config, castanets):
+    """Fully static render: one unique row, non-xfade dedup path."""
+    pos = StaticPosition(azi=42, ele=10, r=1.2).sample(40, config)
+    on = Renderer(db, config, chunk_blocks=40, dedup=True)
+    off = Renderer(db, config, chunk_blocks=40, dedup=False)
+    got = on.render(castanets, pos, initial_old=None)
+    want = off.render(castanets, pos, initial_old=None)
+    assert on._fd_dedup
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dedup_falls_back_for_movers(db, config, castanets):
+    """A source moving every block has ~B unique rows: direct path used."""
+    pos = CircularOrbit(period_s=0.2, ele=5, r=1.0).sample(48, config)
+    r = Renderer(db, config, chunk_blocks=48, dedup=True)
+    r.render(castanets, pos)
+    assert r._fd_complex and not r._fd_dedup
+
+
+def test_dedup_partial_final_chunk(db, config, castanets):
+    """Partial last chunk pads rows consistently (regression guard)."""
+    traj = AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5, blocks_per_step=16, num_steps=4)
+    pos = traj.sample(traj.total_blocks, config)  # 80 blocks
+    on = Renderer(db, config, chunk_blocks=64, dedup=True)
+    off = Renderer(db, config, chunk_blocks=64, dedup=False)
+    np.testing.assert_array_equal(
+        on.render(castanets, pos, initial_old=(0.0, 0.0)),
+        off.render(castanets, pos, initial_old=(0.0, 0.0)),
+    )
