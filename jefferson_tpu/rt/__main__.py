@@ -1,0 +1,78 @@
+"""jefferson-rt — realtime block-loop demo (the reference's live mode).
+
+Drives StreamingSpatializer block-by-block through the AudioPlayout callback
+loop along a trajectory, like the reference's PortAudio + GLUT run
+(reference: Jefferson/src/main.cu:93-99), writing the output WAV per block
+and reporting per-block deadline statistics.  --live plays through an audio
+device (needs the optional sounddevice package); the default fake-device
+mode runs anywhere.
+
+    python -m jefferson_tpu.rt -i in.wav --trajectory orbit:period=4 \
+        --seconds 5 -o live.wav [--live] [--paced]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jefferson-rt", description=__doc__.splitlines()[0])
+    p.add_argument("-i", "--input", required=True, help="input WAV (mono/stereo)")
+    p.add_argument("-o", "--output", default="live.wav")
+    p.add_argument("--trajectory", default="orbit:period=4,ele=10,r=1.0")
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--hrtf-dir", default=None)
+    p.add_argument("--live", action="store_true",
+                   help="play through an audio device (sounddevice backend)")
+    p.add_argument("--paced", action="store_true",
+                   help="fake-device mode: sleep to the realtime block cadence")
+    args = p.parse_args(argv)
+
+    from ..cli.main import load_hrtf, parse_trajectory
+    from ..config import DEFAULT_CONFIG
+    from ..engine.stream import StreamingSpatializer
+    from ..io.wavio import StreamingWavWriter, read_wav_mono
+    from .playout import AudioPlayout
+
+    cfg = DEFAULT_CONFIG
+    signal, sr = read_wav_mono(args.input)
+    if sr != cfg.sample_rate:
+        from ..io.resample import resample
+
+        signal = resample(signal, sr, cfg.sample_rate)
+    db = load_hrtf(args.hrtf_dir, cfg)
+    num_blocks = int(np.ceil(args.seconds / cfg.block_duration))
+    positions = parse_trajectory(args.trajectory).sample(num_blocks, cfg)
+
+    spat = StreamingSpatializer(db, cfg)
+    spat.buf = signal
+    state = {"b": 0}
+
+    def source():
+        b = min(state["b"], num_blocks - 1)
+        state["b"] += 1
+        azi, ele, r = positions[b]
+        spat.set_position(azi=azi, ele=ele, r=r)
+        return spat.process_next()
+
+    source.prime = spat.prime  # AudioPlayout primes through the wrapper
+
+    writer = StreamingWavWriter(args.output, cfg.sample_rate)
+    play = AudioPlayout([source], cfg, writer=writer)
+    if args.live:
+        stats = play.play(num_blocks=num_blocks)
+    else:
+        stats = play.run_offline(num_blocks, paced=args.paced)
+    writer.close()
+    if play.clipping:
+        print("ALERT! CLIPPING AUDIO!", file=sys.stderr)
+    print(f"{args.output}: {stats.summary()}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

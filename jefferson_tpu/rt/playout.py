@@ -129,10 +129,15 @@ class AudioPlayout:
         self.stats = BlockStats(budget_ms=1e3 * self.config.block_duration)
 
     def prime(self) -> None:
-        """Compile every source's device step before the stream opens."""
+        """Compile every source's device step before the stream opens.
+
+        Duck-typed: any source exposing ``prime()`` (StreamingSpatializer, or
+        a wrapper callable carrying one) is primed so the first audible block
+        doesn't absorb a jit compile."""
         for s in self.sources:
-            if isinstance(s, StreamingSpatializer):
-                s.prime()
+            prime = getattr(s, "prime", None)
+            if callable(prime):
+                prime()
 
     def _pull(self, s) -> np.ndarray:
         if isinstance(s, StreamingSpatializer):

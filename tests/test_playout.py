@@ -104,3 +104,38 @@ def test_play_degrades_gracefully(db, config, castanets):
 def test_playout_requires_sources(config):
     with pytest.raises(ValueError):
         AudioPlayout([], config)
+
+
+def test_rt_cli_offline(db, config, castanets, tmp_path, monkeypatch):
+    """python -m jefferson_tpu.rt end-to-end in fake-device mode."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "live.wav"
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+    rc = main(["-i", str(src), "-o", str(out), "--seconds", "0.3",
+               "--trajectory", "orbit:period=1"])
+    assert rc == 0
+    y, sr = read_wav(out)
+    assert sr == config.sample_rate
+    assert y.shape[0] == int(np.ceil(0.3 / config.block_duration)) * config.frames_per_buffer
+    assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
+def test_prime_through_wrapper(db, config, castanets):
+    """AudioPlayout primes duck-typed sources (wrapper carrying .prime)."""
+    s = _src(db, config, castanets)
+    primed = {"n": 0}
+
+    def wrapper():
+        return s.process_next()
+
+    def prime():
+        primed["n"] += 1
+        s.prime()
+
+    wrapper.prime = prime
+    AudioPlayout([wrapper], config).run_offline(2)
+    assert primed["n"] == 1
