@@ -89,6 +89,48 @@ def batched_chunk_fn(config: EngineConfig, num_blocks: int, with_xfade: bool = T
     return fn
 
 
+def batched_chunk_fn_dedup(config: EngineConfig, num_blocks: int, with_xfade: bool = True):
+    """Dedup variant of batched_chunk_fn: the caller pre-deduplicates the
+    extended blend rows across ALL sources (scene sources are often static
+    or slow), the device blends only the unique rows and broadcasts with a
+    row-gather — bit-identical to the direct path (see plan.dedup_rows).
+
+    Signature: (spectra, hists (S, hist), feds, uniq_idx (U, 4),
+    uniq_w (U, 4), inv (S, nb+1|nb) int32, xfade, u_hi, u_lo, inv_frac)
+    -> (outs (S, nb, fpb, 2), new_hists).
+    """
+    from ..ops import fft as fft_ops
+    from .renderer import apply_filters_core, blend_cat, cat_table, split_planes
+
+    fpb = config.frames_per_buffer
+    assert config.history_len % fpb == 0, "dedup path needs aligned geometry"
+
+    def fn(spectra, hists, feds, uniq_idx, uniq_w, inv, xfade, u_hi, u_lo, inv_frac):
+        s = hists.shape[0]
+        streams = jnp.concatenate([hists, feds], axis=1)
+        new_hists = streams[:, num_blocks * fpb :]
+        xr, xi = fft_ops.rfft_sliding_split_batched(
+            streams, num_blocks, fpb, config.pad_len
+        )
+        flat = lambda a: a.reshape((s * num_blocks,) + a.shape[2:])
+        g_cat = blend_cat(cat_table(spectra), uniq_idx, uniq_w)  # (U, 4*bins)
+        g = split_planes(jnp.take(g_cat, inv.reshape(-1), axis=0), config.num_bins)
+        if with_xfade:
+            g = tuple(a.reshape(s, num_blocks + 1, -1) for a in g)
+            g_old = tuple(flat(a[:, :num_blocks]) for a in g)
+            g_new = tuple(flat(a[:, 1:]) for a in g)
+        else:
+            g_old, g_new = None, g
+        out = apply_filters_core(
+            flat(xr), flat(xi), g_old, g_new,
+            flat(xfade), flat(u_hi), flat(u_lo), flat(inv_frac),
+            config=config, with_xfade=with_xfade,
+        )
+        return out.reshape(s, num_blocks, fpb, 2), new_hists
+
+    return fn
+
+
 def mix_sources(outs: jax.Array) -> jax.Array:
     """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
     the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
@@ -110,21 +152,27 @@ class BatchRenderer:
         chunk_blocks: int = 512,
         mesh: Mesh | None = None,
         mix: bool = False,
+        dedup: bool = True,
     ):
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
         self.mesh = mesh
         self.mix = mix
+        self.dedup = dedup and self.config.history_len % self.config.frames_per_buffer == 0
         self._spectra = (
             jnp.asarray(np.real(db.spectra).astype(np.float32)),
             jnp.asarray(np.imag(db.spectra).astype(np.float32)),
         )
         self._jitted = {}
 
-    def _get_fn(self, nb: int):
-        if nb not in self._jitted:
-            fn = batched_chunk_fn(self.config, nb, with_xfade=True)
+    def _get_fn(self, nb: int, dedup_key=None):
+        key = (nb, dedup_key)
+        if key not in self._jitted:
+            if dedup_key is None:
+                fn = batched_chunk_fn(self.config, nb, with_xfade=True)
+            else:
+                fn = batched_chunk_fn_dedup(self.config, nb, with_xfade=True)
             if self.mix:
                 inner = fn
 
@@ -133,8 +181,8 @@ class BatchRenderer:
                     return mix_sources(outs), hists
 
                 fn = mixed
-            self._jitted[nb] = jax.jit(fn)
-        return self._jitted[nb]
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     def _shard(self, x: np.ndarray) -> jax.Array:
         if self.mesh is None:
@@ -154,22 +202,79 @@ class BatchRenderer:
         feds = np.stack([fed_stream(signals[i], b_total, cfg) for i in range(s)])
         hists = self._shard(np.zeros((s, cfg.history_len), np.float32))
 
+        # cross-source static-segment dedup: one Upad bucket per render
+        # (see engine/plan.dedup_rows; bit-identical to the direct path)
+        dedup_chunks = None
+        if self.dedup:
+            from .plan import dedup_rows
+
+            dedup_chunks, max_u = [], 1
+            for start in range(0, b_total, self.chunk_blocks):
+                stop = min(start + self.chunk_blocks, b_total)
+                sl = slice(start, stop)
+                ei = np.concatenate(
+                    [np.stack([p.idx_old[start : start + 1] for p in plans], 0),
+                     np.stack([p.idx_new[sl] for p in plans], 0)], axis=1,
+                )  # (S, nb+1, 4)
+                ew = np.concatenate(
+                    [np.stack([p.w_old[start : start + 1] for p in plans], 0),
+                     np.stack([p.w_new[sl] for p in plans], 0)], axis=1,
+                )
+                rows = ei.shape[0] * ei.shape[1]
+                uniq_idx, uniq_w, inv = dedup_rows(
+                    ei.reshape(rows, 4), ew.reshape(rows, 4)
+                )
+                max_u = max(max_u, uniq_idx.shape[0])
+                dedup_chunks.append((uniq_idx, uniq_w, inv.reshape(ei.shape[:2])))
+            u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+            if u_pad * 2 > s * (min(self.chunk_blocks, b_total) + 1):
+                dedup_chunks = None
+
         outs = []
-        for start in range(0, b_total, self.chunk_blocks):
+        for ci, start in enumerate(range(0, b_total, self.chunk_blocks)):
             stop = min(start + self.chunk_blocks, b_total)
             nb = stop - start
-            fn = self._get_fn(nb)
             sl = slice(start, stop)
             args = dict(
                 fed=feds[:, start * fpb : stop * fpb],
-                idx_new=np.stack([p.idx_new[sl] for p in plans]),
-                w_new=np.stack([p.w_new[sl] for p in plans]),
-                idx_old=np.stack([p.idx_old[sl] for p in plans]),
-                w_old=np.stack([p.w_old[sl] for p in plans]),
                 xfade=np.stack([p.xfade[sl] for p in plans]),
                 u_hi=np.stack([p.u_hi[sl] for p in plans]),
                 u_lo=np.stack([p.u_lo[sl] for p in plans]),
                 inv_frac=np.stack([p.inv_frac[sl] for p in plans]),
+            )
+            if dedup_chunks is not None:
+                uniq_idx, uniq_w, inv = dedup_chunks[ci]
+                if uniq_idx.shape[0] < u_pad:
+                    reps = u_pad - uniq_idx.shape[0]
+                    uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
+                    uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
+                fn = self._get_fn(nb, dedup_key=u_pad)
+                rep = (
+                    jnp.asarray
+                    if self.mesh is None
+                    else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
+                )
+                sharded = {k: self._shard(v) for k, v in args.items()}
+                y, hists = fn(
+                    self._spectra,
+                    hists,
+                    sharded["fed"],
+                    rep(uniq_idx),
+                    rep(uniq_w),
+                    self._shard(inv),
+                    sharded["xfade"],
+                    sharded["u_hi"],
+                    sharded["u_lo"],
+                    sharded["inv_frac"],
+                )
+                outs.append(np.asarray(y))
+                continue
+            fn = self._get_fn(nb)
+            args.update(
+                idx_new=np.stack([p.idx_new[sl] for p in plans]),
+                w_new=np.stack([p.w_new[sl] for p in plans]),
+                idx_old=np.stack([p.idx_old[sl] for p in plans]),
+                w_old=np.stack([p.w_old[sl] for p in plans]),
             )
             sharded = {k: self._shard(v) for k, v in args.items()}
             y, hists = fn(

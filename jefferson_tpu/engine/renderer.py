@@ -159,8 +159,8 @@ def _fd_complex_chunk_dedup(
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * config.frames_per_buffer :]
     xr, xi = _forward_split(full, num_blocks, config)
-    g_u = blend_channels(spectra, uniq_idx, uniq_w)  # (U, bins) x 4
-    g = tuple(jnp.take(a, inv, axis=0) for a in g_u)
+    g_cat = blend_cat(cat_table(spectra), uniq_idx, uniq_w)  # (U, 4*bins)
+    g = split_planes(jnp.take(g_cat, inv, axis=0), config.num_bins)
     if with_xfade:
         g_old = tuple(a[:num_blocks] for a in g)
         g_new = tuple(a[1:] for a in g)
@@ -173,16 +173,37 @@ def _fd_complex_chunk_dedup(
     return out, new_hist
 
 
+def cat_table(spectra) -> jax.Array:
+    """Combined-plane filter table (num_hrtf, 4*bins) = [rL | iL | rR | iR].
+
+    One wide row per filter: the blend becomes 4 row-gathers of the combined
+    table instead of 16 narrow per-plane gathers — measured 1.57x faster on
+    v5e (scripts/bench_blend_variants.py: 1.035 vs 1.624 ms at 8448 rows),
+    bit-identical.  Built inside the jitted chunk (a (710, 2052) concat,
+    ~16 us — negligible vs the gather it accelerates)."""
+    hr, hi = spectra
+    return jnp.concatenate([hr[:, 0, :], hi[:, 0, :], hr[:, 1, :], hi[:, 1, :]], axis=1)
+
+
+def blend_cat(table_cat: jax.Array, indices: jax.Array, weights: jax.Array) -> jax.Array:
+    """Weighted 4-row gather on the combined table -> (rows, 4*bins)."""
+    w = weights.astype(jnp.float32)
+    acc = w[:, 0:1] * jnp.take(table_cat, indices[:, 0], axis=0)
+    for j in range(1, indices.shape[1]):
+        acc = acc + w[:, j : j + 1] * jnp.take(table_cat, indices[:, j], axis=0)
+    return acc
+
+
+def split_planes(cat: jax.Array, bins: int):
+    """(rows, 4*bins) combined blend -> (grL, giL, grR, giR) column views."""
+    return tuple(cat[..., k * bins : (k + 1) * bins] for k in range(4))
+
+
 def blend_channels(spectra, indices: jax.Array, weights: jax.Array):
     """Per-ear weighted filter blends: (rows, 4) indices/weights ->
-    (grL, giL, grR, giR), each (rows, bins)."""
+    (grL, giL, grR, giR), each (rows, bins).  Combined-plane formulation."""
     hr, hi = spectra
-    return (
-        blend_channel(hr[:, 0, :], indices, weights),
-        blend_channel(hi[:, 0, :], indices, weights),
-        blend_channel(hr[:, 1, :], indices, weights),
-        blend_channel(hi[:, 1, :], indices, weights),
-    )
+    return split_planes(blend_cat(cat_table(spectra), indices, weights), hr.shape[-1])
 
 
 def apply_filters_core(

@@ -17,14 +17,16 @@ bit-identical.  Variants:
             brackets
   pallas  — double-buffered per-row async DMA from HBM into VMEM scratch,
             accumulate bracket k while bracket k+1 is in flight
-            (the ROADMAP "DMA-gather" idea)
+            (the ROADMAP "DMA-gather" idea).  NOTE: a 2-D tiled HBM table
+            cannot be row-sliced (Mosaic: "Slice shape along dimension 0
+            must be aligned to tiling (8)"), so the table is stored flat
+            (1-D) with rows padded to a lane multiple and DMA'd by offset.
 
 Usage: python scripts/bench_blend_variants.py [R] [TB]
 """
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -36,20 +38,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pallas_dma_blend(table, idx, w, tb: int = 256, interpret: bool = False):
-    """table (H, C) f32 in HBM; idx (R, 4) i32; w (R, 4) f32 -> (R, C)."""
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pallas_dma_blend(table_flat, idx, w, c_pad: int, tb: int = 256, interpret: bool = False):
+    """table_flat (H*c_pad,) f32 HBM; idx (R,4) i32; w (R,4) f32 -> (R, c_pad).
+
+    Per tile of TB rows: start all TB row DMAs for bracket k+1, wait bracket
+    k's, then one vectorized weighted accumulate.  1-D layouts keep every
+    DMA slice lane-aligned (c_pad is a multiple of 128).
+    """
     r, _ = idx.shape
-    h, c = table.shape
-    assert r % tb == 0
+    assert r % tb == 0 and c_pad % 128 == 0
 
     def kernel(idx_ref, w_ref, table_ref, out_ref, scratch, sem):
         t = pl.program_id(0)
         base = t * tb
 
         def copy(j, k, slot):
+            row = idx_ref[base + j, k]
             return pltpu.make_async_copy(
-                table_ref.at[pl.ds(idx_ref[base + j, k], 1), :],
-                scratch.at[slot, pl.ds(j, 1), :],
+                table_ref.at[pl.ds(row * c_pad, c_pad)],
+                scratch.at[slot, pl.ds(j * c_pad, c_pad)],
                 sem.at[slot],
             )
 
@@ -64,7 +75,8 @@ def pallas_dma_blend(table, idx, w, tb: int = 256, interpret: bool = False):
             if k + 1 < 4:
                 start(k + 1, (k + 1) % 2)
             wait(k, k % 2)
-            contrib = w_ref[:, k][:, None] * scratch[k % 2]
+            rows = scratch[k % 2].reshape(tb, c_pad)
+            contrib = w_ref[:, k][:, None] * rows
             if k == 0:
                 out_ref[:] = contrib
             else:
@@ -75,20 +87,20 @@ def pallas_dma_blend(table, idx, w, tb: int = 256, interpret: bool = False):
         grid=(r // tb,),
         in_specs=[
             pl.BlockSpec((tb, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat table stays in HBM
         ],
-        out_specs=pl.BlockSpec((tb, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tb, c_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, c), jnp.float32),
+            pltpu.VMEM((2, tb * c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, c_pad), jnp.float32),
         interpret=interpret,
-    )(idx, w, table)
+    )(idx, w, table_flat)
 
 
 def xla16(planes, idx, w):
@@ -130,11 +142,12 @@ def main() -> int:
     cfg = DEFAULT_CONFIG
     bins = cfg.num_bins
     c = 4 * bins
-    print(f"devices: {jax.devices()}  R={r_rows} C={c} TB={tb}", file=sys.stderr)
+    c_pad = _round_up(c, 128)
+    print(f"devices: {jax.devices()}  R={r_rows} C={c} (pad {c_pad}) TB={tb}", file=sys.stderr)
 
     # realistic bench-like rows: orbiting sources, crossfade every block
     nb = 32
-    n_src = r_rows // (nb + 1)
+    n_src = -(-r_rows // (nb + 1))
     rows_i, rows_w = [], []
     for i in range(n_src):
         p = make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
@@ -142,15 +155,14 @@ def main() -> int:
         rows_w.append(np.concatenate([p.w_old[:1], p.w_new]))
     idx = np.concatenate(rows_i)[:r_rows].astype(np.int32)
     w = np.concatenate(rows_w)[:r_rows].astype(np.float32)
-    pad = r_rows - idx.shape[0]
-    if pad:
-        idx = np.concatenate([idx, idx[:pad]])
-        w = np.concatenate([w, w[:pad]])
 
     rng = np.random.default_rng(0)
     table_np = rng.standard_normal((NUM_HRTF, c)).astype(np.float32)
+    table_pad = np.zeros((NUM_HRTF, c_pad), np.float32)
+    table_pad[:, :c] = table_np
     planes = tuple(jnp.asarray(table_np[:, j * bins : (j + 1) * bins]) for j in range(4))
     table = jnp.asarray(table_np)
+    table_flat = jnp.asarray(table_pad.reshape(-1))
 
     # successor + pair table/ids
     succ = np.empty(NUM_HRTF, np.int32)
@@ -175,18 +187,24 @@ def main() -> int:
     pair_d = jnp.asarray(pair)
 
     fns = {
-        "xla16": jax.jit(lambda: xla16(planes, idx_d, w_d)),
-        "xla4": jax.jit(lambda: xla4(table, idx_d, w_d)),
-        "xla2pair": jax.jit(lambda: xla2pair(pair_d, pid0_d, pid2_d, w_d, c)),
-        "pallas": jax.jit(lambda: pallas_dma_blend(table, idx_d, w_d, tb=tb)),
+        "xla16": (jax.jit(lambda i, ww: xla16(planes, i, ww)), (idx_d, w_d)),
+        "xla4": (jax.jit(lambda i, ww: xla4(table, i, ww)), (idx_d, w_d)),
+        "xla2pair": (
+            jax.jit(lambda p0, p2, ww: xla2pair(pair_d, p0, p2, ww, c)),
+            (pid0_d, pid2_d, w_d),
+        ),
+        "pallas": (
+            jax.jit(lambda i, ww: pallas_dma_blend(table_flat, i, ww, c_pad, tb=tb)),
+            (idx_d, w_d),
+        ),
     }
     probe = jax.jit(lambda o: jnp.sum(o))
 
     results, outs = {}, {}
-    for name, fn in fns.items():
+    for name, (fn, args) in fns.items():
         try:
             t0 = time.time()
-            out = fn()
+            out = fn(*args)
             float(probe(out))
             print(f"{name}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -194,7 +212,7 @@ def main() -> int:
                 t0 = time.time()
                 o = None
                 for _ in range(k):
-                    o = fn()
+                    o = fn(*args)
                 float(probe(o))
                 return time.time() - t0
 
@@ -203,10 +221,10 @@ def main() -> int:
             per = (t_l - t_s) / 50
             gbps = (r_rows * 4 * c * 4 + r_rows * c * 4) / per / 1e9
             results[name] = per
-            outs[name] = np.asarray(out)
+            outs[name] = np.asarray(out)[:, :c]
             print(f"{name}: {per*1e3:.3f} ms  (~{gbps:.0f} GB/s effective)", file=sys.stderr)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
     ref = outs.get("xla16")
     for name, o in outs.items():

@@ -43,6 +43,37 @@ def test_dedup_render_bit_exact_static(db, config, castanets):
     np.testing.assert_array_equal(got, want)
 
 
+def test_batch_dedup_bit_exact(db, config, castanets):
+    """Scene-style batch (static + slow sources): dedup == direct, also
+    under source sharding."""
+    import jax
+
+    from jefferson_tpu.engine.batch import BatchRenderer
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    s, blocks = 4, 24
+    signals = np.stack([np.roll(castanets, 700 * i)[:6000] for i in range(s)])
+    trajs = [
+        StaticPosition(azi=45 * i, ele=5, r=1.0).sample(blocks, config)
+        if i % 2
+        else AzimuthSweep(start_azi=10 * i, ele=0, r=0.8, step_deg=5,
+                          blocks_per_step=8, num_steps=2).sample(blocks, config)
+        for i in range(s)
+    ]
+    positions = np.stack(trajs)
+    want = BatchRenderer(db, chunk_blocks=12, dedup=False).render(signals, positions)
+    on = BatchRenderer(db, chunk_blocks=12, dedup=True)
+    got = on.render(signals, positions)
+    assert any(k[1] is not None for k in on._jitted), "dedup path not exercised"
+    np.testing.assert_array_equal(got, want)
+
+    mesh = make_mesh(4)
+    got_sh = BatchRenderer(db, chunk_blocks=12, mesh=mesh, dedup=True).render(
+        signals, positions
+    )
+    np.testing.assert_allclose(got_sh, want, atol=1e-7)
+
+
 def test_dedup_falls_back_for_movers(db, config, castanets):
     """A source moving every block has ~B unique rows: direct path used."""
     pos = CircularOrbit(period_s=0.2, ele=5, r=1.0).sample(48, config)
