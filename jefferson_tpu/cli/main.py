@@ -311,12 +311,16 @@ def main(argv=None) -> int:
 
     write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
     if args.viz:
+        from ..viz.html import scene_html
         from ..viz.scene import scene_svg, waveform_svg
 
         scene_svg(positions, f"{args.output}.scene.svg", config=config)
         waveform_svg(out, f"{args.output}.wave.svg")
+        scene_html(positions, out, f"{args.output}.html", config=config,
+                   title=f"jefferson_tpu — {Path(args.output).name}")
         if not args.quiet:
-            print(f"viz: {args.output}.scene.svg, {args.output}.wave.svg", file=sys.stderr)
+            print(f"viz: {args.output}.scene.svg, {args.output}.wave.svg, "
+                  f"{args.output}.html", file=sys.stderr)
     if not args.quiet:
         audio_s = num_blocks * config.block_duration
         print(
