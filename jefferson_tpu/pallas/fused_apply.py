@@ -1,0 +1,183 @@
+"""Fused filter-apply + tail-IDFT + crossfade Pallas kernel.
+
+The apply stage dominates the moving-source step after the combined-plane
+blend (measured 1.9 ms of the ~2.6 ms step in isolation,
+scripts/bench_stages.py): XLA materializes the 8 complex-multiply products
+(old/new x L/R x re/im planes) to HBM before the inverse-DFT matmuls read
+them back (~270 MB of avoidable traffic per 8192 blocks).  This kernel keeps
+the products in VMEM: per tile of TB blocks it
+
+  * reads the distance-premultiplied forward planes (TB, bins),
+  * reads one tile of the OLD-filter blend rows g_old (plane stride padded
+    to a lane multiple so in-kernel plane slices stay aligned),
+  * derives the NEW-filter rows from the same tile: new[k] = old[k+1]
+    within a stream segment (reference crossfade state: old == previous
+    new, engine/plan invariant), via a sublane roll patched at segment
+    ends with the per-segment last-new rows,
+  * does the complex multiplies on the VPU and feeds the MXU tail-IDFT
+    matmuls directly from VMEM,
+  * applies the crossfade as select-then-multiply weights (bit-exact with
+    the where() formulation: a = xf ? 1-f : 0, b = xf ? f : 1).
+
+``seg`` is the per-stream segment length in blocks (the batch's per-source
+nb, or the whole chunk for a single stream).  Replaces the XLA chain in
+apply_filters_core when enabled; the reference analogue is the per-block
+kernel chain + cufft C2R + crossFade of
+reference: Jefferson/src/GPUSoundSource.cu:320-385.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def plane_stride(bins: int) -> int:
+    """Per-plane column stride in the padded cat layout (lane multiple)."""
+    return (bins + 127) // 128 * 128
+
+
+def pad_cat_planes(cat: np.ndarray, bins: int) -> np.ndarray:
+    """(rows, 4*bins) packed cat -> (rows, 4*stride) lane-aligned layout."""
+    stride = plane_stride(bins)
+    out = np.zeros((cat.shape[0], 4 * stride), cat.dtype)
+    for j in range(4):
+        out[:, j * stride : j * stride + bins] = cat[:, j * bins : (j + 1) * bins]
+    return out
+
+
+def _kernel(
+    xdr_ref,   # (TB, bins)
+    xdi_ref,   # (TB, bins)
+    g_ref,     # (TB, 4*stride) old-filter rows [rL|iL|rR|iR], stride-padded
+    patch_ref,  # (P, 4*stride) replacement new-rows for segment ends
+    xf_ref,    # (TB, 1) float32: 1.0 where crossfading
+    icr_ref,   # (bins, fpb) inverse tail basis, cos
+    ici_ref,   # (bins, fpb) inverse tail basis, sin
+    out_ref,   # (TB, 2*fpb): [L | R]
+    *,
+    tb: int,
+    seg: int,
+    bins: int,
+    stride: int,
+    fpb: int,
+):
+    f32 = jnp.float32
+    c4 = 4 * stride
+    xdr = xdr_ref[:]
+    xdi = xdi_ref[:]
+    go = g_ref[:]
+    # new rows: old rows shifted up one block within each segment; segment
+    # ends take the patch rows (per-segment last-new filters / boundary)
+    rolled = pltpu.roll(go, shift=tb - 1, axis=0)  # rolled[j] = go[(j+1) % tb]
+    local = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
+    p = patch_ref.shape[0]
+    reps = tb // p  # kernel rows covered by one patch row
+    if seg >= tb:
+        pred = local == tb - 1
+    else:
+        pred = (local + 1) % seg == 0
+    gn = rolled
+    for j in range(p):  # row local takes patch[local // reps] at segment ends
+        gn = jnp.where(
+            pred & (local // reps == j),
+            jnp.broadcast_to(patch_ref[j : j + 1, :], (tb, c4)),
+            gn,
+        )
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
+    fn = iota / f32(fpb - 1)
+    xf = xf_ref[:]  # (TB, 1)
+    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))  # (TB, fpb)
+    b = jnp.where(xf > 0, fn, f32(1.0))
+
+    def tail(g, off_r, off_i):
+        gr = g[:, off_r : off_r + bins]
+        gi = g[:, off_i : off_i + bins]
+        qr = xdr * gr - xdi * gi
+        qi = xdr * gi + xdi * gr
+        return jax.lax.dot_general(
+            qr, icr_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            qi, ici_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )
+
+    for c in range(2):  # L, R
+        off_r, off_i = 2 * c * stride, (2 * c + 1) * stride
+        y_old = tail(go, off_r, off_i)
+        y_new = tail(gn, off_r, off_i)
+        out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "bins", "fpb", "tb", "interpret"))
+def fused_apply_xfade(
+    xdr: jax.Array,     # (B, bins) forward plane x distance, real
+    xdi: jax.Array,     # (B, bins)
+    g_old: jax.Array,   # (B, 4*stride) old-filter rows, stride-padded
+    g_last: jax.Array,  # (B//seg, 4*stride) per-segment LAST new-filter rows
+    xf: jax.Array,      # (B, 1) float32 crossfade mask
+    icr: jax.Array,     # (bins, fpb)
+    ici: jax.Array,     # (bins, fpb)
+    seg: int,
+    bins: int,
+    fpb: int,
+    tb: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> (B, 2*fpb) crossfaded stereo tails [L | R] per block.
+
+    seg: blocks per independent stream segment; within a segment
+    new[k] = old[k+1] and the segment's final new row is g_last[segment].
+    Requires tb | B and (seg | tb or tb | seg).
+    """
+    b = xdr.shape[0]
+    c4 = g_old.shape[1]
+    stride = c4 // 4
+    assert b % tb == 0, f"block count {b} must be a multiple of tile {tb}"
+    assert b % seg == 0
+    n_tiles = b // tb
+    if seg >= tb:
+        assert seg % tb == 0
+        # per-tile boundary row: old[(i+1)*tb], except at segment ends where
+        # it is that segment's g_last row
+        cand = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
+        grp = cand.reshape(b // seg, seg // tb, c4)
+        patch = jnp.concatenate([grp[:, :-1], g_last[:, None, :]], axis=1).reshape(
+            n_tiles, c4
+        )
+        p_rows = 1
+    else:
+        assert tb % seg == 0
+        p_rows = tb // seg
+        patch = g_last  # (n_tiles * p_rows, C), natural order
+
+    kernel = functools.partial(
+        _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb
+    )
+    tile = lambda cols, rows=tb: pl.BlockSpec(
+        (rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(bins),
+            tile(bins),
+            tile(c4),
+            tile(c4, rows=p_rows),
+            tile(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tile(2 * fpb),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
+        interpret=interpret,
+    )(xdr, xdi, g_old, patch, xf, icr, ici)

@@ -1,0 +1,86 @@
+"""Fused apply+IDFT+crossfade kernel: parity with the XLA apply core.
+
+Interpreter mode on CPU; the compiled path is measured on hardware by
+scripts/bench_fused_apply.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jefferson_tpu.engine.plan import make_plan
+from jefferson_tpu.engine.renderer import apply_filters_core, blend_cat, split_planes
+from jefferson_tpu.ops import fft as fft_ops
+from jefferson_tpu.ops.filters import cmul, distance_factors_split
+from jefferson_tpu.pallas.fused_apply import (
+    fused_apply_xfade,
+    pad_cat_planes,
+    plane_stride,
+)
+from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+
+def _tables(db):
+    hr = np.real(db.spectra).astype(np.float32)
+    hi = np.imag(db.spectra).astype(np.float32)
+    cat = np.concatenate([hr[:, 0], hi[:, 0], hr[:, 1], hi[:, 1]], axis=1)
+    return jnp.asarray(cat), jnp.asarray(pad_cat_planes(cat, hr.shape[-1]))
+
+
+@pytest.mark.parametrize("n_src,nb,tb", [(4, 8, 16), (1, 32, 8)])
+def test_fused_apply_matches_xla(db, config, n_src, nb, tb):
+    """Batch (seg < tb) and single-stream (seg > tb) variants vs the XLA core."""
+    bins, fpb = config.num_bins, config.frames_per_buffer
+    b = n_src * nb
+    rng = np.random.default_rng(1)
+    xr = jnp.asarray(rng.standard_normal((b, bins)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((b, bins)).astype(np.float32))
+    plans = [
+        make_plan(CircularOrbit(period_s=0.3 + 0.1 * i, ele=5, r=1.0).sample(nb, config), config)
+        for i in range(n_src)
+    ]
+    idx_ext = jnp.asarray(np.concatenate([np.concatenate([p.idx_old[:1], p.idx_new]) for p in plans]))
+    w_ext = jnp.asarray(np.concatenate([np.concatenate([p.w_old[:1], p.w_new]) for p in plans]))
+    idx_oldf = jnp.asarray(np.concatenate([p.idx_old for p in plans]))
+    w_oldf = jnp.asarray(np.concatenate([p.w_old for p in plans]))
+    idx_last = jnp.asarray(np.stack([p.idx_new[-1] for p in plans]))
+    w_last = jnp.asarray(np.stack([p.w_new[-1] for p in plans]))
+    catf = lambda a: jnp.asarray(np.concatenate([getattr(p, a) for p in plans]))
+    xfade, u_hi, u_lo, inv_frac = (catf(k) for k in ("xfade", "u_hi", "u_lo", "inv_frac"))
+
+    cat, catp = _tables(db)
+
+    # XLA reference
+    g_ext = blend_cat(cat, idx_ext, w_ext).reshape(n_src, nb + 1, -1)
+    g = tuple(a for a in split_planes(g_ext, bins))
+    flat = lambda a: a.reshape((b,) + a.shape[2:])
+    g_old = tuple(flat(a[:, :nb]) for a in g)
+    g_new = tuple(flat(a[:, 1:]) for a in g)
+    want = np.asarray(
+        apply_filters_core(xr, xi, g_old, g_new, xfade, u_hi, u_lo, inv_frac,
+                           config=config, with_xfade=True)
+    )
+
+    # fused kernel (interpret)
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, bins)
+    xdr, xdi = cmul(xr, xi, dr, di)
+    icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+    g_oldp = blend_cat(catp, idx_oldf, w_oldf)
+    g_lastp = blend_cat(catp, idx_last, w_last)
+    y = fused_apply_xfade(
+        xdr, xdi, g_oldp, g_lastp, xfade.astype(jnp.float32)[:, None],
+        jnp.asarray(icr), jnp.asarray(ici),
+        seg=nb, bins=bins, fpb=fpb, tb=tb, interpret=True,
+    )
+    got = np.asarray(jnp.transpose(y.reshape(b, 2, fpb), (0, 2, 1)))
+    peak = np.abs(want).max()
+    assert np.abs(got - want).max() < 4e-7 * max(peak, 1.0), (
+        np.abs(got - want).max(), peak
+    )
+
+
+def test_plane_stride():
+    assert plane_stride(513) == 640
+    assert plane_stride(257) == 384
+    assert plane_stride(128) == 128
