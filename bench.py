@@ -56,12 +56,26 @@ def main() -> int:
         for i in range(n_sources)
     ]
     stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
-    xs = (
-        stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),
-        stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
-    )
+    from jefferson_tpu.engine.renderer import fused_supported, pick_fused_tile
 
-    step = jax.jit(batched_chunk_fn(cfg, num_blocks=nb, with_xfade=True))
+    tb_f = pick_fused_tile(n_sources * nb, nb) if fused_supported() else None
+    if tb_f is not None:
+        from jefferson_tpu.engine.batch import batched_chunk_fn_fused
+
+        log(f"using fused Pallas apply kernel (tile {tb_f})")
+        xs = (
+            stack("idx_old"), stack("w_old"),
+            jnp.asarray(np.stack([p.idx_new[-1] for p in plans])),
+            jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+            stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+        )
+        step = jax.jit(batched_chunk_fn_fused(cfg, num_blocks=nb, tb=tb_f))
+    else:
+        xs = (
+            stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),
+            stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+        )
+        step = jax.jit(batched_chunk_fn(cfg, num_blocks=nb, with_xfade=True))
     # NOTE: jax.block_until_ready does not reliably synchronize on the axon
     # relay backend, so completion is forced by fetching a scalar reduction
     # of the final outputs (4-byte transfer), and throughput is taken from

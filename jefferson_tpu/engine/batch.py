@@ -131,6 +131,50 @@ def batched_chunk_fn_dedup(config: EngineConfig, num_blocks: int, with_xfade: bo
     return fn
 
 
+def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
+    """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
+
+    Signature: (spectra, hists (S, hist), feds, idx_old (S, nb, 4),
+    w_old, idx_last (S, 4), w_last, xfade (S, nb), u_hi, u_lo, inv_frac)
+    -> (outs (S, nb, fpb, 2), new_hists).  See renderer._fd_complex_chunk_fused.
+    """
+    from ..ops import fft as fft_ops
+    from ..ops.filters import cmul, distance_factors_split
+    from ..pallas.fused_apply import fused_apply_xfade
+    from .renderer import blend_cat, cat_table_padded
+
+    fpb = config.frames_per_buffer
+    assert config.history_len % fpb == 0, "fused path needs aligned geometry"
+
+    def fn(spectra, hists, feds, idx_old, w_old, idx_last, w_last, xfade, u_hi, u_lo, inv_frac):
+        s = hists.shape[0]
+        b = s * num_blocks
+        streams = jnp.concatenate([hists, feds], axis=1)
+        new_hists = streams[:, num_blocks * fpb :]
+        xr, xi = fft_ops.rfft_sliding_split_batched(
+            streams, num_blocks, fpb, config.pad_len
+        )
+        flat = lambda a: a.reshape((b,) + a.shape[2:])
+        dr, di = distance_factors_split(
+            flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
+        )
+        xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
+        # padded-table blend: faster than packed-blend + pad relayout (PERF.md)
+        catp = cat_table_padded(spectra)
+        g_old = blend_cat(catp, flat(idx_old), flat(w_old))
+        g_last = blend_cat(catp, idx_last, w_last)
+        icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+        y = fused_apply_xfade(
+            xdr, xdi, g_old, g_last, flat(xfade).astype(jnp.float32)[:, None],
+            jnp.asarray(icr), jnp.asarray(ici),
+            seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+        )
+        out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
+        return out, new_hists
+
+    return fn
+
+
 def mix_sources(outs: jax.Array) -> jax.Array:
     """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
     the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
@@ -153,23 +197,33 @@ class BatchRenderer:
         mesh: Mesh | None = None,
         mix: bool = False,
         dedup: bool = True,
+        fused: bool | None = None,
     ):
+        from .renderer import fused_supported
+
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
         self.mesh = mesh
         self.mix = mix
-        self.dedup = dedup and self.config.history_len % self.config.frames_per_buffer == 0
+        aligned = self.config.history_len % self.config.frames_per_buffer == 0
+        self.dedup = dedup and aligned
+        if fused is None:
+            fused = fused_supported()
+        # the fused kernel runs single-device; sharded renders use the XLA fn
+        self.fused = fused and aligned and mesh is None
         self._spectra = (
             jnp.asarray(np.real(db.spectra).astype(np.float32)),
             jnp.asarray(np.imag(db.spectra).astype(np.float32)),
         )
         self._jitted = {}
 
-    def _get_fn(self, nb: int, dedup_key=None):
-        key = (nb, dedup_key)
+    def _get_fn(self, nb: int, dedup_key=None, fused_tb=None):
+        key = (nb, dedup_key, fused_tb)
         if key not in self._jitted:
-            if dedup_key is None:
+            if fused_tb is not None:
+                fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb)
+            elif dedup_key is None:
                 fn = batched_chunk_fn(self.config, nb, with_xfade=True)
             else:
                 fn = batched_chunk_fn_dedup(self.config, nb, with_xfade=True)
@@ -242,6 +296,30 @@ class BatchRenderer:
                 u_lo=np.stack([p.u_lo[sl] for p in plans]),
                 inv_frac=np.stack([p.inv_frac[sl] for p in plans]),
             )
+            if dedup_chunks is None and self.fused:
+                from .renderer import pick_fused_tile
+
+                tb_f = pick_fused_tile(s * nb, nb)
+            else:
+                tb_f = None
+            if tb_f is not None:
+                fn = self._get_fn(nb, fused_tb=tb_f)
+                sharded = {k: self._shard(v) for k, v in args.items()}
+                y, hists = fn(
+                    self._spectra,
+                    hists,
+                    sharded["fed"],
+                    jnp.asarray(np.stack([p.idx_old[sl] for p in plans])),
+                    jnp.asarray(np.stack([p.w_old[sl] for p in plans])),
+                    jnp.asarray(np.stack([p.idx_new[stop - 1] for p in plans])),
+                    jnp.asarray(np.stack([p.w_new[stop - 1] for p in plans])),
+                    sharded["xfade"],
+                    sharded["u_hi"],
+                    sharded["u_lo"],
+                    sharded["inv_frac"],
+                )
+                outs.append(np.asarray(y))
+                continue
             if dedup_chunks is not None:
                 uniq_idx, uniq_w, inv = dedup_chunks[ci]
                 if uniq_idx.shape[0] < u_pad:

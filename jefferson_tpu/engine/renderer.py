@@ -173,6 +173,150 @@ def _fd_complex_chunk_dedup(
     return out, new_hist
 
 
+def fused_supported() -> bool:
+    """Fused Pallas apply requires a real TPU backend (Mosaic); the CPU test
+    mesh exercises it in interpret mode via tests/test_fused_apply.py."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
+    """Largest fused-kernel tile <= max_tb compatible with (B, seg), or None.
+
+    Needs tb | B and (seg | tb or tb | seg) — see pallas/fused_apply.py."""
+    if b <= 0 or seg <= 0 or b % seg:
+        return None
+    if seg >= max_tb:
+        for t in (256, 128, 64, 32, 16, 8):
+            if t <= max_tb and seg % t == 0:
+                return t
+        return None
+    n_seg = b // seg
+    for m in range(max_tb // seg, 0, -1):
+        if n_seg % m == 0:
+            t = m * seg
+            return t if t >= 8 else None
+    return None
+
+
+def cat_table_padded(spectra) -> jax.Array:
+    """Combined-plane table with each plane padded to a lane-multiple stride
+    (the fused kernel's layout; see pallas/fused_apply.plane_stride)."""
+    from ..pallas.fused_apply import plane_stride
+
+    hr, hi = spectra
+    bins = hr.shape[-1]
+    pad = plane_stride(bins) - bins
+    z = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+    return jnp.concatenate(
+        [z(hr[:, 0, :]), z(hi[:, 0, :]), z(hr[:, 1, :]), z(hi[:, 1, :])], axis=1
+    )
+
+
+def pad_packed_rows(x: jax.Array, bins: int) -> jax.Array:
+    """(rows, 4*bins) packed blend -> (rows, 4*stride) lane-aligned.
+
+    Blending on the PACKED table and padding afterwards reads 4 packed rows
+    per block from HBM instead of 4 stride-padded ones (zeros are ~20% of a
+    padded row at the default geometry) — the pad is one cheap relayout
+    pass instead of extra gather traffic."""
+    from ..pallas.fused_apply import plane_stride
+
+    pad = plane_stride(bins) - bins
+    planes = split_planes(x, bins)
+    return jnp.concatenate([jnp.pad(a, ((0, 0), (0, pad))) for a in planes], axis=1)
+
+
+def _fd_complex_chunk_fused(
+    spectra,
+    hist: jax.Array,
+    fed: jax.Array,
+    idx_old: jax.Array,   # (B, 4) old-aligned rows (plan.idx_old)
+    w_old: jax.Array,
+    idx_last: jax.Array,  # (1, 4) the chunk's final new row
+    w_last: jax.Array,
+    xfade: jax.Array,
+    u_hi: jax.Array,
+    u_lo: jax.Array,
+    inv_frac: jax.Array,
+    *,
+    config: EngineConfig,
+    num_blocks: int,
+    tb: int,
+):
+    """Fused-kernel variant of the interpolating FD chunk (TPU only).
+
+    The blend runs on OLD-aligned rows (idx_old[b] == idx_new[b-1] by plan
+    construction) plus the single last-new row; the kernel derives new rows
+    by roll+patch and fuses cmul + tail-IDFT + crossfade (5.2x the XLA
+    apply stage on v5e — scripts/bench_fused_apply.py)."""
+    from ..pallas.fused_apply import fused_apply_xfade
+
+    fpb = config.frames_per_buffer
+    full = jnp.concatenate([hist, fed])
+    new_hist = full[num_blocks * fpb :]
+    xr, xi = _forward_split(full, num_blocks, config)
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
+    xdr, xdi = cmul(xr, xi, dr, di)
+    # blend directly on the stride-padded table: measured FASTER than
+    # packed-blend + pad relayout (1.99 vs 2.10 ms full step on v5e)
+    catp = cat_table_padded(spectra)
+    g_old = blend_cat(catp, idx_old, w_old)
+    g_last = blend_cat(catp, idx_last, w_last)
+    icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+    y = fused_apply_xfade(
+        xdr, xdi, g_old, g_last, xfade.astype(jnp.float32)[:, None],
+        jnp.asarray(icr), jnp.asarray(ici),
+        seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+    )
+    return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
+def _fd_complex_chunk_dedup_fused(
+    spectra,
+    hist: jax.Array,
+    fed: jax.Array,
+    uniq_idx: jax.Array,  # (U, 4)
+    uniq_w: jax.Array,    # (U, 4)
+    inv_old: jax.Array,   # (B,) unique-row id of each block's OLD filters
+    inv_last: jax.Array,  # (1,) unique-row id of the chunk's final new row
+    xfade: jax.Array,
+    u_hi: jax.Array,
+    u_lo: jax.Array,
+    inv_frac: jax.Array,
+    *,
+    config: EngineConfig,
+    num_blocks: int,
+    tb: int,
+):
+    """Dedup + fused composition: blend only the unique rows, broadcast with
+    one padded-row gather, and run the fused apply kernel.  Covers the
+    reference benchmark workload (positions persist for many blocks) with
+    both optimizations stacked."""
+    from ..pallas.fused_apply import fused_apply_xfade
+
+    fpb = config.frames_per_buffer
+    full = jnp.concatenate([hist, fed])
+    new_hist = full[num_blocks * fpb :]
+    xr, xi = _forward_split(full, num_blocks, config)
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
+    xdr, xdi = cmul(xr, xi, dr, di)
+    g_u = pad_packed_rows(
+        blend_cat(cat_table(spectra), uniq_idx, uniq_w), config.num_bins
+    )
+    g_old = jnp.take(g_u, inv_old, axis=0)
+    g_last = jnp.take(g_u, inv_last, axis=0)
+    icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+    y = fused_apply_xfade(
+        xdr, xdi, g_old, g_last, xfade.astype(jnp.float32)[:, None],
+        jnp.asarray(icr), jnp.asarray(ici),
+        seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+    )
+    return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
 def cat_table(spectra) -> jax.Array:
     """Combined-plane filter table (num_hrtf, 4*bins) = [rL | iL | rR | iR].
 
@@ -314,15 +458,21 @@ class Renderer:
         chunk_blocks: int = 2048,
         backend: str = "matmul",
         dedup: bool = True,
+        fused: bool | None = None,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
-        unique positions for it to pay). matmul backend only."""
+        unique positions for it to pay). matmul backend only.
+        ``fused``: use the Pallas fused apply kernel for moving-source
+        chunks (None = auto: on when a TPU backend is attached)."""
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
         self.backend = backend
         self.dedup = dedup and backend != "fft"
+        if fused is None:
+            fused = fused_supported()
+        self.fused = fused and backend != "fft"
         if backend == "fft":
             self._spectra = jnp.asarray(db.spectra)
         else:
@@ -345,6 +495,14 @@ class Renderer:
         )
         self._mk_fd_dedup = lambda nb, xf: jit_chunk(
             _fd_complex_chunk_dedup, config=cfg, num_blocks=nb, with_xfade=xf
+        )
+        self._fd_fused = {}
+        self._mk_fd_fused = lambda nb, tb: jit_chunk(
+            _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb
+        )
+        self._fd_dedup_fused = {}
+        self._mk_fd_dedup_fused = lambda nb, tb: jit_chunk(
+            _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb
         )
         self._mk_fd_basic = lambda nb: jit_chunk(
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
@@ -436,12 +594,72 @@ class Renderer:
                 fed_np = np.concatenate([fed_np, np.zeros((cb - nb) * fpb, np.float32)])
             fed = jnp.asarray(fed_np)
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
+                if dedup_chunks is None and self.fused and with_xfade:
+                    tb_f = pick_fused_tile(cb, cb)
+                else:
+                    tb_f = None
+                if tb_f is not None:
+                    # old-aligned rows; the padded region's first row must be
+                    # the final real block's NEW row (the kernel's roll reads
+                    # old[nb] as block nb-1's new filter)
+                    last_i = plan.idx_new[stop - 1 : stop]
+                    last_w = plan.w_new[stop - 1 : stop]
+
+                    def pad_next(a, nxt):
+                        if nb == cb:
+                            return jnp.asarray(a)
+                        return jnp.asarray(
+                            np.concatenate([a, np.repeat(nxt, cb - nb, axis=0)])
+                        )
+
+                    key = (cb, tb_f)
+                    if key not in self._fd_fused:
+                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f)
+                    y, hist = self._fd_fused[key](
+                        self._spectra,
+                        hist,
+                        fed,
+                        pad_next(plan.idx_old[sl], last_i),
+                        pad_next(plan.w_old[sl], last_w),
+                        jnp.asarray(last_i),
+                        jnp.asarray(last_w),
+                        pad(plan.xfade[sl], nb),
+                        pad(plan.u_hi[sl], nb),
+                        pad(plan.u_lo[sl], nb),
+                        pad(plan.inv_frac[sl], nb),
+                    )
+                    out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                    continue
                 if dedup_chunks is not None:
                     uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
                     if uniq_idx.shape[0] < u_pad:  # pad to the render's bucket
                         reps = u_pad - uniq_idx.shape[0]
                         uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, axis=0)])
                         uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, axis=0)])
+                    tb_df = (
+                        pick_fused_tile(cb, cb)
+                        if self.fused and with_xfade
+                        else None
+                    )
+                    if tb_df is not None:  # dedup + fused composition
+                        key = (cb, u_pad, tb_df)
+                        if key not in self._fd_dedup_fused:
+                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df)
+                        y, hist = self._fd_dedup_fused[key](
+                            self._spectra,
+                            hist,
+                            fed,
+                            jnp.asarray(uniq_idx),
+                            jnp.asarray(uniq_w),
+                            jnp.asarray(inv[:cb]),
+                            jnp.asarray(inv[cb : cb + 1]),
+                            pad(plan.xfade[sl], nb),
+                            pad(plan.u_hi[sl], nb),
+                            pad(plan.u_lo[sl], nb),
+                            pad(plan.inv_frac[sl], nb),
+                        )
+                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        continue
                     key = (cb, with_xfade, u_pad)
                     if key not in self._fd_dedup:
                         self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)

@@ -67,6 +67,7 @@ def _kernel(
     bins: int,
     stride: int,
     fpb: int,
+    p_rows: int,
 ):
     f32 = jnp.float32
     c4 = 4 * stride
@@ -77,7 +78,7 @@ def _kernel(
     # ends take the patch rows (per-segment last-new filters / boundary)
     rolled = pltpu.roll(go, shift=tb - 1, axis=0)  # rolled[j] = go[(j+1) % tb]
     local = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
-    p = patch_ref.shape[0]
+    p = p_rows  # real patch rows; the operand is padded to a sublane multiple
     reps = tb // p  # kernel rows covered by one patch row
     if seg >= tb:
         pred = local == tb - 1
@@ -130,14 +131,19 @@ def fused_apply_xfade(
     bins: int,
     fpb: int,
     tb: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """-> (B, 2*fpb) crossfaded stereo tails [L | R] per block.
 
     seg: blocks per independent stream segment; within a segment
     new[k] = old[k+1] and the segment's final new row is g_last[segment].
     Requires tb | B and (seg | tb or tb | seg).
+    interpret=None auto-selects: compiled Mosaic on TPU backends,
+    interpreter elsewhere (so the engine's fused path stays testable on the
+    CPU mesh).
     """
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
     b = xdr.shape[0]
     c4 = g_old.shape[1]
     stride = c4 // 4
@@ -159,8 +165,16 @@ def fused_apply_xfade(
         p_rows = tb // seg
         patch = g_last  # (n_tiles * p_rows, C), natural order
 
+    # Mosaic block sublane dims must be multiples of 8: pad the per-tile
+    # patch block with dummy rows (the kernel only reads the first p_rows)
+    p_pad = max(8, (p_rows + 7) // 8 * 8)
+    if p_pad != p_rows:
+        patch3 = patch.reshape(n_tiles, p_rows, c4)
+        patch3 = jnp.pad(patch3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
+        patch = patch3.reshape(n_tiles * p_pad, c4)
+
     kernel = functools.partial(
-        _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb
+        _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb, p_rows=p_rows
     )
     tile = lambda cols, rows=tb: pl.BlockSpec(
         (rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -172,7 +186,7 @@ def fused_apply_xfade(
             tile(bins),
             tile(bins),
             tile(c4),
-            tile(c4, rows=p_rows),
+            tile(c4, rows=p_pad),
             tile(1),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -93,6 +93,23 @@ def main() -> int:
     print(f"bit-identical outputs: {same}", file=sys.stderr)
     print(f"speedup: {t_direct/t_dedup:.2f}x on the 172-blocks/position workload",
           file=sys.stderr)
+
+    # dedup + fused kernel composition (TPU only)
+    from jefferson_tpu.engine.renderer import (
+        _fd_complex_chunk_dedup_fused, fused_supported, pick_fused_tile,
+    )
+
+    tb_f = pick_fused_tile(nb, nb) if fused_supported() else None
+    if tb_f is not None:
+        dfused = jax.jit(functools.partial(
+            _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb_f))
+        args_df = (jnp.asarray(uniq_idx), jnp.asarray(uniq_w),
+                   jnp.asarray(inv[:nb]), jnp.asarray(inv[nb : nb + 1]))
+        t_df, out_df = bench(dfused, args_df, "dedup+fused")
+        d = np.abs(out_df - out_direct).max()
+        print(f"dedup+fused vs direct: max|diff|={d:.3e}; "
+              f"{t_direct/t_df:.2f}x vs direct, {t_dedup/t_df:.2f}x vs dedup",
+              file=sys.stderr)
     return 0 if same else 1
 
 

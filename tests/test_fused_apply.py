@@ -84,3 +84,80 @@ def test_plane_stride():
     assert plane_stride(513) == 640
     assert plane_stride(257) == 384
     assert plane_stride(128) == 128
+
+
+def test_fused_renderer_end_to_end(db, config, castanets):
+    """Renderer with the fused path forced on (interpret on CPU) matches the
+    direct XLA renderer within fp reassociation tolerance."""
+    from jefferson_tpu.engine.renderer import Renderer
+
+    pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(32, config)
+    on = Renderer(db, config, chunk_blocks=32, dedup=False, fused=True)
+    off = Renderer(db, config, chunk_blocks=32, dedup=False, fused=False)
+    got = on.render(castanets, pos)
+    want = off.render(castanets, pos)
+    assert on._fd_fused, "fused path not exercised"
+    assert np.abs(got - want).max() < 4e-7
+
+
+def test_fused_renderer_partial_chunk(db, config, castanets):
+    """Padded final chunk: the roll reads the pad's first row as the last
+    real block's new filter (regression guard)."""
+    from jefferson_tpu.engine.renderer import Renderer
+
+    pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(40, config)
+    on = Renderer(db, config, chunk_blocks=32, dedup=False, fused=True)
+    off = Renderer(db, config, chunk_blocks=32, dedup=False, fused=False)
+    got = on.render(castanets, pos)
+    want = off.render(castanets, pos)
+    assert np.abs(got - want).max() < 4e-7
+
+
+def test_fused_batch_end_to_end(db, config, castanets):
+    """BatchRenderer fused path matches the XLA batch path."""
+    from jefferson_tpu.engine.batch import BatchRenderer
+
+    s, nb = 4, 8
+    signals = np.stack([np.roll(castanets, 500 * i)[:4000] for i in range(s)])
+    positions = np.stack([
+        CircularOrbit(period_s=0.2 + 0.1 * i, ele=5, r=1.0).sample(nb, config)
+        for i in range(s)
+    ])
+    on = BatchRenderer(db, chunk_blocks=nb, dedup=False, fused=True)
+    got = on.render(signals, positions)
+    want = BatchRenderer(db, chunk_blocks=nb, dedup=False, fused=False).render(
+        signals, positions
+    )
+    assert any(k[2] is not None for k in on._jitted), "fused path not exercised"
+    assert np.abs(got - want).max() < 4e-7
+
+
+def test_dedup_fused_composition(db, config, castanets):
+    """Sweep workload through dedup+fused == plain dedup (XLA) within fp."""
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.trajectory.trajectory import AzimuthSweep
+
+    traj = AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5,
+                        blocks_per_step=8, num_steps=4)
+    pos = traj.sample(traj.total_blocks, config)
+    on = Renderer(db, config, chunk_blocks=40, dedup=True, fused=True)
+    off = Renderer(db, config, chunk_blocks=40, dedup=True, fused=False)
+    got = on.render(castanets, pos, initial_old=(0.0, 0.0))
+    want = off.render(castanets, pos, initial_old=(0.0, 0.0))
+    assert on._fd_dedup_fused, "dedup+fused path not exercised"
+    assert np.abs(got - want).max() < 4e-7
+
+
+def test_fused_vs_oracle(db, config, castanets):
+    """Fused renderer against the ground-truth oracle at the sweep gate."""
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.oracle.reference import render_oracle
+    from jefferson_tpu.testing import precision_check
+
+    pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(32, config)
+    got = Renderer(db, config, chunk_blocks=32, dedup=False, fused=True).render(
+        castanets, pos
+    )
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
