@@ -228,24 +228,57 @@ class DifferentiableRenderer:
         fullband_loss = jax.jit(make_loss(1))
         history = [float(np.min(gl))]
         best_pos, best_loss = pos, float(fullband_loss(pos))
-        schedule = [64, 16, 4, 1]
-        for width in schedule:
-            loss_fn = make_loss(width)
-            opt = optax.adam(lr)
-            state = opt.init(pos)
 
-            @jax.jit
-            def step(pos, state, _loss_fn=loss_fn, _opt=opt):
-                loss, grad = jax.value_and_grad(_loss_fn)(pos)
-                updates, state = _opt.update(grad * mask[None, :], state)
-                return optax.apply_updates(pos, updates), state, loss
+        def descend(pos, schedule, n_steps, rate):
+            nonlocal best_pos, best_loss
+            for width in schedule:
+                loss_fn = make_loss(width)
+                opt = optax.adam(rate)
+                state = opt.init(pos)
 
-            for i in range(max(1, steps // len(schedule))):
-                pos, state, loss = step(pos, state)
-                history.append(float(loss))
-                if i % 10 == 0 or i == steps // len(schedule) - 1:
-                    fl = float(fullband_loss(pos))
-                    if fl < best_loss:
-                        best_pos, best_loss = pos, fl
+                @jax.jit
+                def step(pos, state, _loss_fn=loss_fn, _opt=opt):
+                    loss, grad = jax.value_and_grad(_loss_fn)(pos)
+                    updates, state = _opt.update(grad * mask[None, :], state)
+                    return optax.apply_updates(pos, updates), state, loss
+
+                for i in range(max(1, n_steps // len(schedule))):
+                    pos, state, loss = step(pos, state)
+                    history.append(float(loss))
+                    if i % 10 == 0 or i == n_steps // len(schedule) - 1:
+                        fl = float(fullband_loss(pos))
+                        if fl < best_loss:
+                            best_pos, best_loss = pos, fl
+            return pos
+
+        pos = descend(pos, [64, 16, 4, 1], steps, lr)
+
+        # Stage 3 — direction re-grid at the fitted radius.  The coarse grid's
+        # 10-degree spacing and sparse radii can strand stage 2 in an
+        # interpolation-cell ripple (the waveform loss has ~5e-4-deep local
+        # minima one cell away from the exact zero); with r pinned to the
+        # fitted value a fine direction sweep is cheap and lands in the true
+        # basin, after which a short full-band polish converges.
+        fine_az = np.arange(0.0, 360.0, 3.0)
+        fine_el = np.arange(-40.0, 91.0, 3.0)
+        fa, fe_ = np.meshgrid(fine_az, fine_el, indexing="ij")
+        bp = np.asarray(best_pos)
+        pos_np = np.empty((b, 3), np.float32)
+        for s0 in range(0, b, seg):
+            s1 = min(s0 + seg, b)
+            r_fit = float(bp[s0:s1, 2].mean())
+            cand2 = np.stack(
+                [fa.ravel(), fe_.ravel(), np.full(fa.size, r_fit)], axis=-1
+            ).astype(np.float32)
+            # full-band per-block losses on the fine grid (radius already set)
+            gl2 = np.asarray(grid_losses_per_block(jnp.asarray(cand2)))[:, s0:s1]
+            pos_np[s0:s1] = cand2[int(np.argmin(gl2.mean(axis=1)))]
+            pos_np[s0:s1, 2] = bp[s0:s1, 2]
+        pos = jnp.asarray(pos_np)
+        fl = float(fullband_loss(pos))
+        if fl < best_loss:
+            best_pos, best_loss = pos, fl
+        descend(pos, [4, 1], max(40, steps // 4), lr * 0.5)
+
         history.append(best_loss)
         return np.asarray(best_pos), history

@@ -58,10 +58,10 @@ def test_localization_recovers_position(db, config):
     """Render at a hidden position, start elsewhere, recover it approximately.
 
     Uses a band-limited signal (white noise has a delta autocorrelation, so
-    any distance-delay mismatch decorrelates the waveform loss).  Residual
-    direction error of O(10 deg) along the cone of confusion is expected
-    with the synthetic HRTF set's simplified elevation cues; the radius
-    (distance delay + rolloff) is recovered nearly exactly.
+    any distance-delay mismatch decorrelates the waveform loss).  The
+    fitted-radius direction re-grid (localize stage 3) lands within a few
+    degrees; the radius (distance delay + rolloff) is recovered nearly
+    exactly.
     """
     rng = np.random.default_rng(42)
     sig = np.convolve(rng.standard_normal(9000), np.hanning(16), mode="same")
@@ -73,8 +73,8 @@ def test_localization_recovers_position(db, config):
     init = np.tile([40.0, 0.0, 1.0], (b, 1)).astype(np.float32)
     fitted, hist = r.localize(sig, target, init, steps=400, lr=0.1)
     assert hist[-1] < hist[0] * 0.25, f"loss did not drop: {hist[0]} -> {hist[-1]}"
-    assert np.abs(fitted[:, 0] - 62.0).mean() < 15.0
-    assert np.abs(fitted[:, 1] - 18.0).mean() < 12.0
+    assert np.abs(fitted[:, 0] - 62.0).mean() < 5.0
+    assert np.abs(fitted[:, 1] - 18.0).mean() < 5.0
     assert np.abs(fitted[:, 2] - 1.3).mean() < 0.1
 
 
@@ -95,6 +95,6 @@ def test_localization_moving_source(db, config):
         sig, target, init, steps=200, lr=0.1, segment_blocks=b // 2
     )
     # each half lands in its own hemisphere basin
-    assert np.abs(fitted[: b // 2, 0] - 80.0).mean() < 20.0
+    assert np.abs(fitted[: b // 2, 0] - 80.0).mean() < 10.0
     d2 = np.minimum(np.abs(fitted[b // 2 :, 0] - 290.0), 360 - np.abs(fitted[b // 2 :, 0] - 290.0))
-    assert d2.mean() < 20.0
+    assert d2.mean() < 10.0
