@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output PCM depth (default 24, the reference's format)")
     p.add_argument("--float", action="store_true", help="write float32 WAV instead of PCM")
     p.add_argument("--backend", choices=["matmul", "fft"], default="matmul")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused Pallas apply kernel (XLA numerics)")
     p.add_argument("--chunk-blocks", type=int, default=2048)
     p.add_argument("--initial-old", default="0,0",
                    help="crossfade state before block 0 as 'azi,ele' (reference "
@@ -299,7 +301,8 @@ def main(argv=None) -> int:
         else:
             from ..engine.renderer import Renderer
 
-            r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend)
+            r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend,
+                         fused=False if args.no_fused else None)
             out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0
 

@@ -210,8 +210,9 @@ class BatchRenderer:
         self.dedup = dedup and aligned
         if fused is None:
             fused = fused_supported()
-        # the fused kernel runs single-device; sharded renders use the XLA fn
-        self.fused = fused and aligned and mesh is None
+        # sharded renders wrap the fused kernel in shard_map (sources are
+        # fully data-parallel; each device runs the kernel on its shard)
+        self.fused = fused and aligned
         self._spectra = (
             jnp.asarray(np.real(db.spectra).astype(np.float32)),
             jnp.asarray(np.imag(db.spectra).astype(np.float32)),
@@ -223,6 +224,25 @@ class BatchRenderer:
         if key not in self._jitted:
             if fused_tb is not None:
                 fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb)
+                if self.mesh is not None:
+                    from jax.experimental.shard_map import shard_map
+
+                    src = self.mesh.axis_names[0]
+                    sh = lambda nd: P(src, *([None] * (nd - 1)))
+                    fn = shard_map(
+                        fn,
+                        mesh=self.mesh,
+                        in_specs=(
+                            (P(), P()),  # spectra: replicated planes
+                            sh(2),       # hists
+                            sh(2),       # feds
+                            sh(3), sh(3),  # idx_old, w_old
+                            sh(2), sh(2),  # idx_last, w_last
+                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                        ),
+                        out_specs=(sh(4), sh(2)),
+                        check_rep=False,
+                    )
             elif dedup_key is None:
                 fn = batched_chunk_fn(self.config, nb, with_xfade=True)
             else:
@@ -299,7 +319,9 @@ class BatchRenderer:
             if dedup_chunks is None and self.fused:
                 from .renderer import pick_fused_tile
 
-                tb_f = pick_fused_tile(s * nb, nb)
+                n_dev = self.mesh.size if self.mesh is not None else 1
+                s_local = s // n_dev if s % n_dev == 0 else 0
+                tb_f = pick_fused_tile(s_local * nb, nb) if s_local else None
             else:
                 tb_f = None
             if tb_f is not None:
@@ -309,10 +331,10 @@ class BatchRenderer:
                     self._spectra,
                     hists,
                     sharded["fed"],
-                    jnp.asarray(np.stack([p.idx_old[sl] for p in plans])),
-                    jnp.asarray(np.stack([p.w_old[sl] for p in plans])),
-                    jnp.asarray(np.stack([p.idx_new[stop - 1] for p in plans])),
-                    jnp.asarray(np.stack([p.w_new[stop - 1] for p in plans])),
+                    self._shard(np.stack([p.idx_old[sl] for p in plans])),
+                    self._shard(np.stack([p.w_old[sl] for p in plans])),
+                    self._shard(np.stack([p.idx_new[stop - 1] for p in plans])),
+                    self._shard(np.stack([p.w_new[stop - 1] for p in plans])),
                     sharded["xfade"],
                     sharded["u_hi"],
                     sharded["u_lo"],

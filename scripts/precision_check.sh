@@ -11,8 +11,10 @@ BLOCKS="${3:-800}"
 OUT=$(mktemp -d)
 trap 'rm -rf "$OUT"' EXIT
 
+# float32 WAVs so the gate measures the engines, not 24-bit quantization,
+# at the reference's own 2e-7 tolerance
 python -m jefferson_tpu.cli.main -i "$INPUT" -t 0 --trajectory "$TRAJ" \
-    --blocks "$BLOCKS" -o "$OUT/tpu.wav" --quiet
+    --blocks "$BLOCKS" -o "$OUT/tpu.wav" --bits 32 --float --quiet
 python -m jefferson_tpu.cli.main -i "$INPUT" -t 3 --trajectory "$TRAJ" \
-    --blocks "$BLOCKS" -o "$OUT/cpu.wav" --quiet
-python -m jefferson_tpu.cli.check "$OUT/tpu.wav" "$OUT/cpu.wav" --eps 5e-7
+    --blocks "$BLOCKS" -o "$OUT/cpu.wav" --bits 32 --float --quiet
+python -m jefferson_tpu.cli.check "$OUT/tpu.wav" "$OUT/cpu.wav" --eps 2e-7

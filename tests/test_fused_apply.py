@@ -148,6 +148,30 @@ def test_dedup_fused_composition(db, config, castanets):
     assert np.abs(got - want).max() < 4e-7
 
 
+def test_fused_sharded_batch(db, config, castanets):
+    """shard_map-wrapped fused kernel over the 8-device mesh == XLA batch."""
+    import jax
+
+    from jefferson_tpu.engine.batch import BatchRenderer
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    s, nb = 8, 8
+    signals = np.stack([np.roll(castanets, 300 * i)[:3000] for i in range(s)])
+    positions = np.stack([
+        CircularOrbit(period_s=0.2 + 0.05 * i, ele=5, r=1.0).sample(nb, config)
+        for i in range(s)
+    ])
+    mesh = make_mesh(8)
+    on = BatchRenderer(db, chunk_blocks=nb, mesh=mesh, dedup=False, fused=True)
+    got = on.render(signals, positions)
+    assert any(k[2] is not None for k in on._jitted), "fused path not exercised"
+    want = BatchRenderer(db, chunk_blocks=nb, dedup=False, fused=False).render(
+        signals, positions
+    )
+    assert np.abs(got - want).max() < 4e-7
+
+
 def test_fused_vs_oracle(db, config, castanets):
     """Fused renderer against the ground-truth oracle at the sweep gate."""
     from jefferson_tpu.engine.renderer import Renderer
