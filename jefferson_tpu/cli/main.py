@@ -41,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="off (reference default reverbFlag=false), reference "
                         "(circular wrap + RMS renorm), or linear convolution")
     p.add_argument("--hrtf-dir", default=None,
-                   help="KEMAR database dir (full or compact layout); default: "
-                        "$JEFFERSON_HRTF_DIR, else a deterministic synthetic set")
+                   help="HRTF database: a KEMAR dir (full or compact layout) or "
+                        "a SOFA (.sofa) file; default: $JEFFERSON_HRTF_DIR, "
+                        "else a deterministic synthetic set")
     p.add_argument("--trajectory", default="static:azi=0,ele=0,r=0.5",
                    help="trajectory spec: static:azi=A,ele=E,r=R | "
                         "orbit:period=P,ele=E,r=R[,start=A] | "

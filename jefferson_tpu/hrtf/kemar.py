@@ -207,13 +207,20 @@ def load_compact(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRT
 
 
 def load_database(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRTFDatabase:
-    """Auto-detect full vs compact layout under ``root``."""
+    """Auto-detect the database format: a SOFA file, or a full/compact
+    KEMAR WAV tree under ``root``."""
     root = Path(root)
+    if root.is_file() and root.suffix.lower() == ".sofa":
+        from .sofa import load_sofa
+
+        return load_sofa(root, config)
     if (root / "elev0" / "L0e000a.wav").exists():
         return load_full(root, config)
     if (root / "elev0" / "H0e000a.wav").exists():
         return load_compact(root, config)
-    raise FileNotFoundError(f"no KEMAR layout (full or compact) found under {root}")
+    raise FileNotFoundError(
+        f"no HRTF database (SOFA file or full/compact KEMAR tree) found at {root}"
+    )
 
 
 def synthetic_database(
