@@ -1,0 +1,184 @@
+"""jefferson-serve — long-lived render daemon (compile-once serving).
+
+XLA programs compile once per process (and this deployment's remote
+compile service adds 20 s - 5 min per program, PERF.md), so production
+serving wants a resident engine: load the HRTF database and keep the jit
+caches warm across renders.  This daemon is that surface — a JSON-line
+protocol over a Unix domain socket:
+
+    request : {"cmd": "render", "id": 1, "input": "in.wav",
+               "output": "out.wav", "trajectory": "orbit:period=4",
+               "blocks": 344, "type": 0, "bits": 24}
+    response: {"id": 1, "ok": true, "blocks": 344, "seconds": 0.41,
+               "rtf": 2.4, "output": "out.wav"}
+
+Other commands: {"cmd": "ping"} / {"cmd": "stats"} / {"cmd": "shutdown"}.
+
+    python -m jefferson_tpu.serve --socket /tmp/jefferson.sock &
+    python -m jefferson_tpu.serve --socket /tmp/jefferson.sock \
+        --request '{"cmd": "render", "input": ...}'
+
+The reference has no serving story (a GLUT window is its interface); this
+is the deployment analogue of its always-resident realtime process
+(reference: Jefferson/src/main.cu:93-99 keeps the engine alive for the
+whole session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import socketserver
+import sys
+import time
+from pathlib import Path
+
+
+class RenderService:
+    """Resident engine: one Renderer (warm jit caches) + one HRTF database."""
+
+    def __init__(self, hrtf_dir=None, chunk_blocks: int = 2048, quiet: bool = True):
+        from .cli.main import load_hrtf
+        from .config import DEFAULT_CONFIG
+        from .engine.renderer import Renderer
+
+        self.config = DEFAULT_CONFIG
+        self.db = load_hrtf(hrtf_dir, self.config, quiet=quiet)
+        self.renderer = Renderer(self.db, self.config, chunk_blocks=chunk_blocks)
+        self.stats = {"renders": 0, "blocks": 0, "seconds": 0.0, "errors": 0}
+
+    def handle(self, req: dict) -> dict:
+        cmd = req.get("cmd", "render")
+        rid = req.get("id")
+        if cmd == "ping":
+            return {"id": rid, "ok": True, "pong": True}
+        if cmd == "stats":
+            return {"id": rid, "ok": True, **self.stats}
+        if cmd == "shutdown":
+            return {"id": rid, "ok": True, "shutdown": True}
+        if cmd != "render":
+            return {"id": rid, "ok": False, "error": f"unknown cmd {cmd!r}"}
+        try:
+            return {"id": rid, **self._render(req)}
+        except Exception as e:  # report, don't kill the daemon
+            self.stats["errors"] += 1
+            return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _render(self, req: dict) -> dict:
+        import numpy as np
+
+        from .cli.main import parse_trajectory
+        from .config import ProcessType
+        from .io.wavio import read_wav_mono, write_wav
+
+        cfg = self.config
+        signal, sr = read_wav_mono(req["input"])
+        if sr != cfg.sample_rate:
+            from .io.resample import resample
+
+            signal = resample(signal, sr, cfg.sample_rate)
+        traj = parse_trajectory(req.get("trajectory", "static:azi=0,ele=0,r=0.5"))
+        if req.get("blocks"):
+            nb = int(req["blocks"])
+        elif req.get("duration"):
+            nb = int(np.ceil(float(req["duration"]) / cfg.block_duration))
+        else:
+            nb = int(np.ceil(len(signal) / cfg.frames_per_buffer))
+        positions = traj.sample(nb, cfg)
+        ptype = ProcessType(int(req.get("type", 0)))
+
+        t0 = time.time()
+        out = self.renderer.render(signal, positions, ptype)
+        dt = time.time() - t0
+        if not np.isfinite(out).all():
+            raise ValueError("non-finite samples in render output")
+        write_wav(
+            req["output"], out, cfg.sample_rate,
+            bits=int(req.get("bits", 24)), float_format=bool(req.get("float", False)),
+        )
+        self.stats["renders"] += 1
+        self.stats["blocks"] += nb
+        self.stats["seconds"] += dt
+        audio_s = nb * cfg.block_duration
+        return {
+            "ok": True,
+            "output": req["output"],
+            "blocks": nb,
+            "seconds": round(dt, 4),
+            "rtf": round(audio_s / dt, 2) if dt > 0 else None,
+        }
+
+
+def serve(socket_path: str | Path, service: RenderService) -> None:
+    """Blocking JSON-line server over a Unix domain socket."""
+    socket_path = Path(socket_path)
+    socket_path.unlink(missing_ok=True)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"ok": False, "error": f"bad json: {e}"}
+                else:
+                    resp = service.handle(req)
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+                if resp.get("shutdown"):
+                    # shut down from another thread so this handler can finish
+                    import threading
+
+                    threading.Thread(target=self.server.shutdown, daemon=True).start()
+                    return
+
+    class Server(socketserver.ThreadingUnixStreamServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    with Server(str(socket_path), Handler) as srv:
+        srv.serve_forever()
+    socket_path.unlink(missing_ok=True)
+
+
+def request(socket_path: str | Path, req: dict, timeout: float = 600.0) -> dict:
+    """Send one request to a running daemon and return its response."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(str(socket_path))
+        s.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jefferson-serve", description=__doc__.splitlines()[0])
+    p.add_argument("--socket", default="/tmp/jefferson.sock")
+    p.add_argument("--hrtf-dir", default=None)
+    p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--request", default=None,
+                   help="client mode: send this JSON request to a running daemon")
+    args = p.parse_args(argv)
+
+    if args.request is not None:
+        resp = request(args.socket, json.loads(args.request))
+        print(json.dumps(resp))
+        return 0 if resp.get("ok") else 1
+
+    service = RenderService(args.hrtf_dir, chunk_blocks=args.chunk_blocks)
+    print(f"jefferson-serve: listening on {args.socket}", file=sys.stderr)
+    serve(args.socket, service)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,6 +172,23 @@ def test_fused_sharded_batch(db, config, castanets):
     assert np.abs(got - want).max() < 4e-7
 
 
+def test_fused_nondefault_geometry(castanets):
+    """64-sample block / 256-tap / 512-FFT engine through the fused path."""
+    from jefferson_tpu import EngineConfig, synthetic_database
+    from jefferson_tpu.engine.renderer import Renderer
+
+    cfg = EngineConfig(frames_per_buffer=64, hrtf_len=256)
+    assert cfg.num_bins == 257  # stride 384
+    db2 = synthetic_database(cfg, n_taps=256, seed=7)
+    pos = CircularOrbit(period_s=0.15, ele=5, r=1.0).sample(24, cfg)
+    on = Renderer(db2, cfg, chunk_blocks=24, dedup=False, fused=True)
+    off = Renderer(db2, cfg, chunk_blocks=24, dedup=False, fused=False)
+    got = on.render(castanets, pos)
+    want = off.render(castanets, pos)
+    assert on._fd_fused
+    assert np.abs(got - want).max() < 4e-7
+
+
 def test_fused_vs_oracle(db, config, castanets):
     """Fused renderer against the ground-truth oracle at the sweep gate."""
     from jefferson_tpu.engine.renderer import Renderer

@@ -1,0 +1,69 @@
+"""Render daemon: JSON-line protocol, warm-engine renders, error isolation."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from jefferson_tpu.engine.renderer import Renderer
+from jefferson_tpu.io.wavio import read_wav, write_wav
+from jefferson_tpu.serve import RenderService, request, serve
+from jefferson_tpu.testing import precision_check
+from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    sock = tmp / "jt.sock"
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+    t = threading.Thread(target=serve, args=(sock, service), daemon=True)
+    t.start()
+    # wait until the socket accepts
+    for _ in range(200):
+        try:
+            assert request(sock, {"cmd": "ping"})["pong"]
+            break
+        except (ConnectionRefusedError, FileNotFoundError, OSError):
+            import time
+
+            time.sleep(0.05)
+    yield sock, service
+    request(sock, {"cmd": "shutdown"})
+    t.join(timeout=5)
+
+
+def test_daemon_renders_match_direct(daemon, db, config, castanets, tmp_path):
+    sock, service = daemon
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "out.wav"
+    resp = request(sock, {
+        "cmd": "render", "id": 7, "input": str(src), "output": str(out),
+        "trajectory": "orbit:period=1,ele=5,r=1.0", "blocks": 64, "float": True,
+        "bits": 32,
+    })
+    assert resp["ok"] and resp["id"] == 7 and resp["blocks"] == 64
+
+    pos = CircularOrbit(period_s=1.0, ele=5, r=1.0).sample(64, config)
+    want = Renderer(service.db, config, chunk_blocks=64).render(
+        read_wav(src)[0].mean(axis=1).astype(np.float32), pos
+    )
+    got, sr = read_wav(out)
+    assert sr == config.sample_rate
+    rep = precision_check(got, want, eps=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_daemon_stats_and_errors(daemon, tmp_path):
+    sock, service = daemon
+    stats = request(sock, {"cmd": "stats"})
+    assert stats["ok"] and stats["renders"] >= 1
+
+    resp = request(sock, {"cmd": "render", "input": str(tmp_path / "missing.wav"),
+                          "output": str(tmp_path / "x.wav")})
+    assert not resp["ok"] and "error" in resp
+    # daemon survives the error
+    assert request(sock, {"cmd": "ping"})["pong"]
+    assert request(sock, {"cmd": "nope"})["ok"] is False
