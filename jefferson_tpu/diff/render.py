@@ -264,14 +264,20 @@ class DifferentiableRenderer:
         fa, fe_ = np.meshgrid(fine_az, fine_el, indexing="ij")
         bp = np.asarray(best_pos)
         pos_np = np.empty((b, 3), np.float32)
+        gl2_cache: dict[float, tuple] = {}  # fine-grid losses per distinct r
         for s0 in range(0, b, seg):
             s1 = min(s0 + seg, b)
-            r_fit = float(bp[s0:s1, 2].mean())
-            cand2 = np.stack(
-                [fa.ravel(), fe_.ravel(), np.full(fa.size, r_fit)], axis=-1
-            ).astype(np.float32)
-            # full-band per-block losses on the fine grid (radius already set)
-            gl2 = np.asarray(grid_losses_per_block(jnp.asarray(cand2)))[:, s0:s1]
+            r_fit = round(float(bp[s0:s1, 2].mean()), 6)
+            if r_fit not in gl2_cache:
+                cand2 = np.stack(
+                    [fa.ravel(), fe_.ravel(), np.full(fa.size, r_fit)], axis=-1
+                ).astype(np.float32)
+                gl2_cache[r_fit] = (
+                    cand2,
+                    np.asarray(grid_losses_per_block(jnp.asarray(cand2))),
+                )
+            cand2, gl2_all = gl2_cache[r_fit]
+            gl2 = gl2_all[:, s0:s1]
             pos_np[s0:s1] = cand2[int(np.argmin(gl2.mean(axis=1)))]
             pos_np[s0:s1, 2] = bp[s0:s1, 2]
         pos = jnp.asarray(pos_np)

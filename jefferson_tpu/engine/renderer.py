@@ -32,7 +32,6 @@ from ..config import EngineConfig, ProcessType
 from ..hrtf.kemar import HRTFDatabase
 from ..ops import fft as fft_ops
 from ..ops.filters import (
-    blend_channel,
     blend_filters,
     cmul,
     crossfade_tails,
@@ -185,7 +184,9 @@ def fused_supported() -> bool:
 def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
     """Largest fused-kernel tile <= max_tb compatible with (B, seg), or None.
 
-    Needs tb | B and (seg | tb or tb | seg) — see pallas/fused_apply.py."""
+    Needs tb | B, (seg | tb or tb | seg), and tb % 8 == 0 (Mosaic sublane
+    tiling; CPU interpret mode would accept any tile, so enforce the
+    hardware constraint here) — see pallas/fused_apply.py."""
     if b <= 0 or seg <= 0 or b % seg:
         return None
     if seg >= max_tb:
@@ -195,9 +196,9 @@ def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
         return None
     n_seg = b // seg
     for m in range(max_tb // seg, 0, -1):
-        if n_seg % m == 0:
-            t = m * seg
-            return t if t >= 8 else None
+        t = m * seg
+        if n_seg % m == 0 and t % 8 == 0:
+            return t
     return None
 
 
@@ -218,10 +219,12 @@ def cat_table_padded(spectra) -> jax.Array:
 def pad_packed_rows(x: jax.Array, bins: int) -> jax.Array:
     """(rows, 4*bins) packed blend -> (rows, 4*stride) lane-aligned.
 
-    Blending on the PACKED table and padding afterwards reads 4 packed rows
-    per block from HBM instead of 4 stride-padded ones (zeros are ~20% of a
-    padded row at the default geometry) — the pad is one cheap relayout
-    pass instead of extra gather traffic."""
+    Used where the blended row count is small (the dedup path's unique
+    rows): padding U rows costs nothing there.  For full-size blends,
+    gathering from the stride-padded table directly measured FASTER than
+    packed-blend-then-pad (the pad relayout is a full extra HBM pass —
+    2.10 vs 1.99 ms full step, PERF.md), so the direct fused path does
+    NOT use this."""
     from ..pallas.fused_apply import plane_stride
 
     pad = plane_stride(bins) - bins

@@ -167,10 +167,14 @@ class StreamingSpatializer:
         azi, ele, r = cartesian_to_spherical(np.asarray(xyz, dtype=_F32))
         self.azi, self.ele, self.r = _F32(azi), _F32(ele), _F32(r)
 
+    _CACHE_CAP = 4096  # bound the per-position memo for long-lived sessions
+
     def _interp(self, ele, azi):
         key = (float(ele), float(azi))
         hit = self._interp_cache.get(key)
         if hit is None:
+            if len(self._interp_cache) >= self._CACHE_CAP:
+                self._interp_cache.clear()
             c = interpolation_calculations(ele, azi)
             hit = (jnp.asarray(c.indices[0]), jnp.asarray(c.weights[0]))
             self._interp_cache[key] = hit
@@ -179,6 +183,10 @@ class StreamingSpatializer:
     def _distance(self, key: tuple):
         hit = self._dist_cache.get(key)
         if hit is None:
+            if len(self._dist_cache) >= self._CACHE_CAP:
+                # a continuously-varying radius would otherwise grow this
+                # without bound (~6 KB of device arrays per entry)
+                self._dist_cache.clear()
             from ..ops.filters import distance_phase_split
 
             cfg = self.config

@@ -55,8 +55,11 @@ def load_sofa(
             pos_type = pos_type.decode()
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(f"need 2-receiver HRIRs, got Data.IR shape {ir.shape}")
-    if str(pos_type).lower() not in ("spherical", "spherical harmonics"):
-        raise ValueError(f"unsupported SourcePosition type {pos_type!r}")
+    if str(pos_type).lower() != "spherical":
+        # 'cartesian' and 'spherical harmonics' rows are NOT (azi, ele)
+        # angles; interpreting them as such would silently produce a
+        # spatially-nonsense database
+        raise ValueError(f"unsupported SourcePosition type {pos_type!r} (need 'spherical')")
 
     # SOFA azimuth is CCW-positive (left); the engine's is CW-positive (right)
     src_azi = np.mod(-pos[:, 0], 360.0)

@@ -107,6 +107,10 @@ def blend_channel(table: jax.Array, indices: jax.Array, weights: jax.Array) -> j
     with the scale/add.  ~3x faster than the einsum-over-(B,4,...) form and,
     with per-channel (bins)-wide rows, free of the (…, 2, bins) sublane
     padding that quadruples HBM traffic on TPU.
+
+    NOTE: the production engine now blends all four planes at once from the
+    combined-plane table (engine/renderer.blend_cat — another 1.57x,
+    PERF.md); this per-plane form is kept as the simple reference shape.
     """
     w = weights.astype(jnp.float32)
     acc = w[:, 0:1] * jnp.take(table, indices[:, 0], axis=0)

@@ -45,6 +45,22 @@ def make_mesh(n_devices: int | None = None, axis_names: tuple[str, ...] = ("src"
     return Mesh(arr, axis_names)
 
 
+def force_virtual_cpu(n: int) -> None:
+    """Switch THIS process to an n-device virtual CPU platform.
+
+    The child-process side of the re-exec dance (shared by
+    ensure_virtual_devices and __graft_entry__'s dryrun): set the
+    device-count flag before any backend is created, then force the
+    platform via jax.config — this container's sitecustomize preloads jax
+    under JAX_PLATFORMS=axon, so env vars alone are too late."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
 def ensure_virtual_devices(n: int) -> None:
     """Make sure >= n jax devices exist, re-execing the current script onto
     an n-device virtual CPU mesh if necessary.
@@ -60,12 +76,7 @@ def ensure_virtual_devices(n: int) -> None:
         an n-device virtual CPU mesh, then exit with its return code.
     """
     if os.environ.get("JT_VIRTUAL_MESH") == "1":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={n}"
-            ).strip()
-        jax.config.update("jax_platforms", "cpu")
+        force_virtual_cpu(n)
         return
     if len(jax.devices()) >= n:
         return
@@ -84,7 +95,17 @@ def ensure_virtual_devices(n: int) -> None:
         f"re-exec on an {n}-device virtual CPU mesh",
         file=sys.stderr,
     )
-    rc = subprocess.call([sys.executable] + sys.argv, env=env)
+    # preserve `python -m pkg.mod` invocations: under -m, sys.argv[0] is the
+    # module FILE, and re-running it as a plain script loses the package
+    # context (relative imports break)
+    import __main__
+
+    spec = getattr(__main__, "__spec__", None)
+    if spec is not None and spec.name:
+        cmd = [sys.executable, "-m", spec.name] + sys.argv[1:]
+    else:
+        cmd = [sys.executable] + sys.argv
+    rc = subprocess.call(cmd, env=env)
     sys.exit(rc)
 
 

@@ -50,10 +50,14 @@ def fetch(name: str, dest: Path) -> Path:
         dest.mkdir(parents=True, exist_ok=True)
         if kind == "zip":
             with zipfile.ZipFile(io.BytesIO(blob)) as z:
+                for m in z.namelist():  # refuse path traversal from the archive
+                    p = (dest / m).resolve()
+                    if not p.is_relative_to(dest.resolve()):
+                        raise SystemExit(f"refusing unsafe archive member {m!r}")
                 z.extractall(dest)
         else:
             with tarfile.open(fileobj=io.BytesIO(blob)) as t:
-                t.extractall(dest)
+                t.extractall(dest, filter="data")  # no traversal/links/devices
         # archives may nest a single top-level dir; flatten to DEST
         entries = list(dest.iterdir())
         if len(entries) == 1 and entries[0].is_dir():

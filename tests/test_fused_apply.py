@@ -86,6 +86,23 @@ def test_plane_stride():
     assert plane_stride(128) == 128
 
 
+def test_pick_fused_tile_respects_sublane_constraint():
+    """Every returned tile satisfies Mosaic's 8-sublane multiple and the
+    divisibility contract; incompatible geometries return None (XLA path)."""
+    from jefferson_tpu.engine.renderer import pick_fused_tile
+
+    for b, seg in [(8192, 32), (2048, 2048), (24, 24), (16, 8), (512, 512),
+                   (20, 20), (100, 100), (84, 12), (96, 96), (40, 40)]:
+        t = pick_fused_tile(b, seg)
+        if t is not None:
+            assert t % 8 == 0, (b, seg, t)
+            assert b % t == 0 and (seg % t == 0 or t % seg == 0), (b, seg, t)
+    # non-multiples of 8 must fall back, not crash Mosaic on chip
+    assert pick_fused_tile(20, 20) is None
+    assert pick_fused_tile(100, 100) is None
+    assert pick_fused_tile(84, 12) is None
+
+
 def test_fused_renderer_end_to_end(db, config, castanets):
     """Renderer with the fused path forced on (interpret on CPU) matches the
     direct XLA renderer within fp reassociation tolerance."""

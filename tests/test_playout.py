@@ -106,6 +106,17 @@ def test_playout_requires_sources(config):
         AudioPlayout([], config)
 
 
+def test_position_caches_bounded(db, config, castanets):
+    """A continuously varying position must not grow the memos unboundedly."""
+    s = _src(db, config, castanets)
+    s._CACHE_CAP = 16
+    for b in range(64):
+        s.set_position(azi=(b * 7) % 360, ele=0, r=1.0 + 0.001 * b)
+        s.process_next()
+    assert len(s._dist_cache) <= 16
+    assert len(s._interp_cache) <= 16
+
+
 def test_rt_cli_offline(db, config, castanets, tmp_path, monkeypatch):
     """python -m jefferson_tpu.rt end-to-end in fake-device mode."""
     from jefferson_tpu.io.wavio import write_wav
