@@ -21,9 +21,32 @@ from .hrtf.kemar import (
 from .io.wavio import StreamingWavWriter, read_wav, read_wav_mono, write_wav
 from .testing import precision_check, rms_error
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# heavyweight surfaces resolve lazily so `import jefferson_tpu` stays cheap
+# (and jax platform selection can still happen after import, see conftest)
+_LAZY = {
+    "Renderer": "jefferson_tpu.engine.renderer",
+    "BatchRenderer": "jefferson_tpu.engine.batch",
+    "StreamingSpatializer": "jefferson_tpu.engine.stream",
+    "AudioPlayout": "jefferson_tpu.rt.playout",
+    "DifferentiableRenderer": "jefferson_tpu.diff.render",
+    "render_oracle": "jefferson_tpu.oracle.reference",
+    "load_sofa": "jefferson_tpu.hrtf.sofa",
+}
+
+
+def __getattr__(name):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target), name)
+
 
 __all__ = [
+    *_LAZY,
     "DEFAULT_CONFIG",
     "EngineConfig",
     "ProcessType",
