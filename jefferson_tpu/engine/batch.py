@@ -141,7 +141,7 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
     from ..ops import fft as fft_ops
     from ..ops.filters import cmul, distance_factors_split
     from ..pallas.fused_apply import fused_apply_xfade
-    from .renderer import blend_cat, cat_table_padded
+    from .renderer import blend_cat, cat_table
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
@@ -159,10 +159,11 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
             flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
         )
         xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
-        # padded-table blend: faster than packed-blend + pad relayout (PERF.md)
-        catp = cat_table_padded(spectra)
-        g_old = blend_cat(catp, flat(idx_old), flat(w_old))
-        g_last = blend_cat(catp, idx_last, w_last)
+        # packed rows: 20% less blend traffic than a stride-padded table
+        # (Mosaic slices the unaligned plane offsets fine — PERF.md)
+        cat = cat_table(spectra)
+        g_old = blend_cat(cat, flat(idx_old), flat(w_old))
+        g_last = blend_cat(cat, idx_last, w_last)
         icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
         y = fused_apply_xfade(
             xdr, xdi, g_old, g_last, flat(xfade).astype(jnp.float32)[:, None],

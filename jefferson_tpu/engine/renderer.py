@@ -202,36 +202,6 @@ def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
     return None
 
 
-def cat_table_padded(spectra) -> jax.Array:
-    """Combined-plane table with each plane padded to a lane-multiple stride
-    (the fused kernel's layout; see pallas/fused_apply.plane_stride)."""
-    from ..pallas.fused_apply import plane_stride
-
-    hr, hi = spectra
-    bins = hr.shape[-1]
-    pad = plane_stride(bins) - bins
-    z = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
-    return jnp.concatenate(
-        [z(hr[:, 0, :]), z(hi[:, 0, :]), z(hr[:, 1, :]), z(hi[:, 1, :])], axis=1
-    )
-
-
-def pad_packed_rows(x: jax.Array, bins: int) -> jax.Array:
-    """(rows, 4*bins) packed blend -> (rows, 4*stride) lane-aligned.
-
-    Used where the blended row count is small (the dedup path's unique
-    rows): padding U rows costs nothing there.  For full-size blends,
-    gathering from the stride-padded table directly measured FASTER than
-    packed-blend-then-pad (the pad relayout is a full extra HBM pass —
-    2.10 vs 1.99 ms full step, PERF.md), so the direct fused path does
-    NOT use this."""
-    from ..pallas.fused_apply import plane_stride
-
-    pad = plane_stride(bins) - bins
-    planes = split_planes(x, bins)
-    return jnp.concatenate([jnp.pad(a, ((0, 0), (0, pad))) for a in planes], axis=1)
-
-
 def _fd_complex_chunk_fused(
     spectra,
     hist: jax.Array,
@@ -263,11 +233,12 @@ def _fd_complex_chunk_fused(
     xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     xdr, xdi = cmul(xr, xi, dr, di)
-    # blend directly on the stride-padded table: measured FASTER than
-    # packed-blend + pad relayout (1.99 vs 2.10 ms full step on v5e)
-    catp = cat_table_padded(spectra)
-    g_old = blend_cat(catp, idx_old, w_old)
-    g_last = blend_cat(catp, idx_last, w_last)
+    # packed (bins-stride) rows: Mosaic handles the non-lane-aligned plane
+    # slices, and skipping the pad zeros cuts blend traffic 20% (measured
+    # 1.72 vs 2.06 ms full step on v5e, bit-identical)
+    cat = cat_table(spectra)
+    g_old = blend_cat(cat, idx_old, w_old)
+    g_last = blend_cat(cat, idx_last, w_last)
     icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
     y = fused_apply_xfade(
         xdr, xdi, g_old, g_last, xfade.astype(jnp.float32)[:, None],
@@ -306,9 +277,7 @@ def _fd_complex_chunk_dedup_fused(
     xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     xdr, xdi = cmul(xr, xi, dr, di)
-    g_u = pad_packed_rows(
-        blend_cat(cat_table(spectra), uniq_idx, uniq_w), config.num_bins
-    )
+    g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)
     g_old = jnp.take(g_u, inv_old, axis=0)
     g_last = jnp.take(g_u, inv_last, axis=0)
     icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)

@@ -8,8 +8,10 @@ them back (~270 MB of avoidable traffic per 8192 blocks).  This kernel keeps
 the products in VMEM: per tile of TB blocks it
 
   * reads the distance-premultiplied forward planes (TB, bins),
-  * reads one tile of the OLD-filter blend rows g_old (plane stride padded
-    to a lane multiple so in-kernel plane slices stay aligned),
+  * reads one tile of the OLD-filter blend rows g_old (packed
+    [rL|iL|rR|iR] rows; Mosaic handles the non-lane-aligned plane slices,
+    and packed rows carry 20% less HBM traffic than a lane-padded stride
+    — both measured, bit-identical),
   * derives the NEW-filter rows from the same tile: new[k] = old[k+1]
     within a stream segment (reference crossfade state: old == previous
     new, engine/plan invariant), via a sublane roll patched at segment
