@@ -168,38 +168,65 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def render_scene_spec(
+    scene: dict,
+    db,
+    config,
+    num_blocks: int | None = None,
+    duration: float | None = None,
+    chunk_blocks: int = 2048,
+    quiet: bool = True,
+):
+    """Render a scene dict ({"sources": [{"input", "trajectory", "gain"}…]})
+    into one stereo mix — shared by the CLI and the render daemon."""
+    import numpy as np
+
+    from ..engine.batch import BatchRenderer
+    from ..engine.plan import fed_stream
+
+    from ..io.wavio import read_wav_mono
+
+    sources = scene.get("sources", [])
+    if not sources:
+        raise ValueError("scene has no sources")
+    signals, trajs = [], []
+    for s in sources:
+        sig, sr = read_wav_mono(s["input"])
+        if sr != config.sample_rate:
+            if not quiet:
+                print(f"warning: {s['input']} rate {sr} != {config.sample_rate}", file=sys.stderr)
+        signals.append(sig * np.float32(s.get("gain", 1.0)))
+        trajs.append(parse_trajectory(s["trajectory"]))
+    if num_blocks is None:
+        if duration is not None:
+            num_blocks = int(np.ceil(duration / config.block_duration))
+        else:
+            num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
+    feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
+    positions = np.stack([t.sample(num_blocks, config) for t in trajs])
+    br = BatchRenderer(db, config, chunk_blocks=min(chunk_blocks, num_blocks), mix=True)
+    return br.render(feds, positions).reshape(-1, 2), num_blocks
+
+
 def render_scene(args, config) -> int:
     """Multi-source render: each source spatialized along its trajectory,
     summed into one stereo mix (per-source gain applied pre-render)."""
     import numpy as np
 
-    from ..engine.batch import BatchRenderer
-    from ..engine.plan import fed_stream
-    from ..io.wavio import read_wav_mono, write_wav
+    from ..io.wavio import write_wav
 
     scene = json.loads(Path(args.scene).read_text())
-    sources = scene.get("sources", [])
-    if not sources:
-        raise SystemExit("scene has no sources")
-    signals, trajs = [], []
-    for s in sources:
-        sig, sr = read_wav_mono(s["input"])
-        if sr != config.sample_rate:
-            print(f"warning: {s['input']} rate {sr} != {config.sample_rate}", file=sys.stderr)
-        signals.append(sig * np.float32(s.get("gain", 1.0)))
-        trajs.append(parse_trajectory(s["trajectory"]))
-    if args.blocks is not None:
-        num_blocks = args.blocks
-    elif args.duration is not None:
-        num_blocks = int(np.ceil(args.duration / config.block_duration))
-    else:
-        num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
-    feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
-    positions = np.stack([t.sample(num_blocks, config) for t in trajs])
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
     t0 = time.time()
-    br = BatchRenderer(db, config, chunk_blocks=min(args.chunk_blocks, num_blocks), mix=True)
-    out = br.render(feds, positions).reshape(-1, 2)
+    try:
+        out, num_blocks = render_scene_spec(
+            scene, db, config,
+            num_blocks=args.blocks, duration=args.duration,
+            chunk_blocks=args.chunk_blocks, quiet=args.quiet,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    sources = scene["sources"]
     dt = time.time() - t0
     if not np.isfinite(out).all():
         raise SystemExit("ERROR: non-finite samples in render output")

@@ -57,10 +57,11 @@ class RenderService:
             return {"id": rid, "ok": True, **self.stats}
         if cmd == "shutdown":
             return {"id": rid, "ok": True, "shutdown": True}
-        if cmd != "render":
+        if cmd not in ("render", "scene"):
             return {"id": rid, "ok": False, "error": f"unknown cmd {cmd!r}"}
         try:
-            return {"id": rid, **self._render(req)}
+            fn = self._render if cmd == "render" else self._scene
+            return {"id": rid, **fn(req)}
         except Exception as e:  # report, don't kill the daemon
             self.stats["errors"] += 1
             return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
@@ -108,6 +109,36 @@ class RenderService:
             "seconds": round(dt, 4),
             "rtf": round(audio_s / dt, 2) if dt > 0 else None,
         }
+
+
+    def _scene(self, req: dict) -> dict:
+        """Multi-source scene mix: {"cmd": "scene", "scene": {...} | path}."""
+        import numpy as np
+
+        from .cli.main import render_scene_spec
+        from .io.wavio import write_wav
+
+        scene = req["scene"]
+        if isinstance(scene, str):
+            scene = json.loads(Path(scene).read_text())
+        t0 = time.time()
+        out, nb = render_scene_spec(
+            scene, self.db, self.config,
+            num_blocks=req.get("blocks"), duration=req.get("duration"),
+            chunk_blocks=int(req.get("chunk_blocks", 2048)),
+        )
+        dt = time.time() - t0
+        if not np.isfinite(out).all():
+            raise ValueError("non-finite samples in scene output")
+        write_wav(
+            req["output"], out, self.config.sample_rate,
+            bits=int(req.get("bits", 24)), float_format=bool(req.get("float", False)),
+        )
+        self.stats["renders"] += 1
+        self.stats["blocks"] += nb
+        self.stats["seconds"] += dt
+        return {"ok": True, "output": req["output"], "blocks": nb,
+                "sources": len(scene.get("sources", [])), "seconds": round(dt, 4)}
 
 
 def serve(socket_path: str | Path, service: RenderService) -> None:

@@ -56,6 +56,25 @@ def test_daemon_renders_match_direct(daemon, db, config, castanets, tmp_path):
     assert rep.ok, str(rep)
 
 
+def test_daemon_scene(daemon, db, config, castanets, tmp_path):
+    """Multi-source scene request through the daemon == CLI scene path."""
+    sock, service = daemon
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(a, castanets[:6000], config.sample_rate)
+    write_wav(b, np.roll(castanets, 500)[:6000], config.sample_rate)
+    out = tmp_path / "mix.wav"
+    scene = {"sources": [
+        {"input": str(a), "trajectory": "static:azi=60,ele=0,r=1.0", "gain": 0.8},
+        {"input": str(b), "trajectory": "orbit:period=0.5,ele=5,r=1.2"},
+    ]}
+    resp = request(sock, {"cmd": "scene", "scene": scene, "output": str(out),
+                          "blocks": 32, "float": True, "bits": 32})
+    assert resp["ok"] and resp["sources"] == 2 and resp["blocks"] == 32
+    y, sr = read_wav(out)
+    assert sr == config.sample_rate and y.shape == (32 * config.frames_per_buffer, 2)
+    assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
 def test_daemon_stats_and_errors(daemon, tmp_path):
     sock, service = daemon
     stats = request(sock, {"cmd": "stats"})
