@@ -236,6 +236,19 @@ class StreamingConvolver:
         out = y[: self.part] + overlap
         return ring_r, ring_i, out, y[self.part :]
 
+    def prime(self) -> None:
+        """Compile the step without mutating the delay-line state (realtime
+        callers warm this up before the stream opens)."""
+        out = self._step(
+            jnp.asarray(self._ring_r),
+            jnp.asarray(self._ring_i),
+            jnp.asarray(self._hr),
+            jnp.asarray(self._hi),
+            jnp.zeros(self.fft_size, jnp.float32),
+            jnp.asarray(self._overlap),
+        )
+        np.asarray(out[2])  # force completion
+
     def process(self, chunk: np.ndarray) -> np.ndarray:
         """Feed exactly one partition of samples (zero-pad the final one)."""
         seg = np.zeros(self.fft_size, dtype=np.float32)

@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     p.add_argument("--trajectory", default="orbit:period=4,ele=10,r=1.0")
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--hrtf-dir", default=None)
+    p.add_argument("--reverb", default=None,
+                   help="impulse-response WAV: live partitioned convolution "
+                        "of the dry signal before spatialization (one-block "
+                        "latency)")
     p.add_argument("--live", action="store_true",
                    help="play through an audio device (sounddevice backend)")
     p.add_argument("--paced", action="store_true",
@@ -48,18 +52,41 @@ def main(argv=None) -> int:
     num_blocks = int(np.ceil(args.seconds / cfg.block_duration))
     positions = parse_trajectory(args.trajectory).sample(num_blocks, cfg)
 
+    conv = None
+    if args.reverb is not None:
+        from ..reverb.convolution import StreamingConvolver
+
+        ir, ir_sr = read_wav_mono(args.reverb)
+        if ir_sr != cfg.sample_rate:
+            from ..io.resample import resample
+
+            ir = resample(ir, ir_sr, cfg.sample_rate)
+        conv = StreamingConvolver(ir, partition=cfg.frames_per_buffer)
+
     spat = StreamingSpatializer(db, cfg)
-    spat.buf = signal
-    state = {"b": 0}
+    state = {"b": 0, "i": 0}
+    fpb = cfg.frames_per_buffer
+    n_sig = len(signal)
 
     def source():
         b = min(state["b"], num_blocks - 1)
         state["b"] += 1
         azi, ele, r = positions[b]
         spat.set_position(azi=azi, ele=ele, r=r)
-        return spat.process_next()
+        # wrapping playhead (the reference's callback feed)
+        idx = (np.arange(fpb) + state["i"]) % n_sig
+        state["i"] = (state["i"] + fpb) % n_sig
+        blk = signal[idx]
+        if conv is not None:  # live reverb ahead of the spatializer
+            blk = np.asarray(conv.process(blk), dtype=np.float32)[:fpb]
+        return spat.process_block(blk)
 
-    source.prime = spat.prime  # AudioPlayout primes through the wrapper
+    def prime():
+        spat.prime()
+        if conv is not None:
+            conv.prime()
+
+    source.prime = prime  # AudioPlayout primes through the wrapper
 
     writer = StreamingWavWriter(args.output, cfg.sample_rate)
     play = AudioPlayout([source], cfg, writer=writer)

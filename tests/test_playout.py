@@ -135,6 +135,29 @@ def test_rt_cli_offline(db, config, castanets, tmp_path, monkeypatch):
     assert np.isfinite(y).all() and np.abs(y).max() > 0
 
 
+def test_rt_cli_live_reverb(db, config, castanets, tmp_path, monkeypatch):
+    """--reverb runs the streaming convolver ahead of the spatializer."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:8000], config.sample_rate)
+    ir = np.zeros(400, np.float32)
+    ir[0], ir[350] = 1.0, 0.7  # identity + audible echo
+    irp = tmp_path / "ir.wav"
+    write_wav(irp, ir, config.sample_rate, bits=32, float_format=True)
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+
+    dry, wet = tmp_path / "dry.wav", tmp_path / "wet.wav"
+    assert main(["-i", str(src), "-o", str(dry), "--seconds", "0.2"]) == 0
+    assert main(["-i", str(src), "-o", str(wet), "--seconds", "0.2",
+                 "--reverb", str(irp)]) == 0
+    yd, _ = read_wav(dry)
+    yw, _ = read_wav(wet)
+    assert np.isfinite(yw).all()
+    assert np.abs(yw - yd).max() > 1e-4  # the echo is audible in the mix
+
+
 def test_prime_through_wrapper(db, config, castanets):
     """AudioPlayout primes duck-typed sources (wrapper carrying .prime)."""
     s = _src(db, config, castanets)
