@@ -84,8 +84,22 @@ def main() -> int:
     probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
 
     t0 = time.time()
-    out, h2 = step(spectra, hists, feds, *xs)
-    float(probe(out, h2))
+    try:
+        out, h2 = step(spectra, hists, feds, *xs)
+        float(probe(out, h2))
+    except Exception as e:
+        if tb_f is None:
+            raise
+        # the remote Mosaic compile service is flaky (HTTP 500s observed);
+        # the benchmark must not die with it — fall back to the XLA step
+        log(f"fused kernel compile failed ({type(e).__name__}); using XLA step")
+        xs = (
+            stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),
+            stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+        )
+        step = jax.jit(batched_chunk_fn(cfg, num_blocks=nb, with_xfade=True))
+        out, h2 = step(spectra, hists, feds, *xs)
+        float(probe(out, h2))
     log(f"compile+first step: {time.time()-t0:.1f}s")
 
     def run(k):

@@ -328,21 +328,33 @@ class BatchRenderer:
             if tb_f is not None:
                 fn = self._get_fn(nb, fused_tb=tb_f)
                 sharded = {k: self._shard(v) for k, v in args.items()}
-                y, hists = fn(
-                    self._spectra,
-                    hists,
-                    sharded["fed"],
-                    self._shard(np.stack([p.idx_old[sl] for p in plans])),
-                    self._shard(np.stack([p.w_old[sl] for p in plans])),
-                    self._shard(np.stack([p.idx_new[stop - 1] for p in plans])),
-                    self._shard(np.stack([p.w_new[stop - 1] for p in plans])),
-                    sharded["xfade"],
-                    sharded["u_hi"],
-                    sharded["u_lo"],
-                    sharded["inv_frac"],
-                )
-                outs.append(np.asarray(y))
-                continue
+                try:
+                    y, hists = fn(
+                        self._spectra,
+                        hists,
+                        sharded["fed"],
+                        self._shard(np.stack([p.idx_old[sl] for p in plans])),
+                        self._shard(np.stack([p.w_old[sl] for p in plans])),
+                        self._shard(np.stack([p.idx_new[stop - 1] for p in plans])),
+                        self._shard(np.stack([p.w_new[stop - 1] for p in plans])),
+                        sharded["xfade"],
+                        sharded["u_hi"],
+                        sharded["u_lo"],
+                        sharded["inv_frac"],
+                    )
+                    outs.append(np.asarray(y))
+                    continue
+                except Exception as e:  # flaky remote Mosaic compiles
+                    self.fused = False
+                    self._jitted.pop((nb, None, tb_f), None)
+                    import sys
+
+                    print(
+                        f"warning: fused kernel unavailable ({type(e).__name__}); "
+                        f"using the XLA batch path",
+                        file=sys.stderr,
+                    )
+                    # fall through to the direct/dedup dispatch for this chunk
             if dedup_chunks is not None:
                 uniq_idx, uniq_w, inv = dedup_chunks[ci]
                 if uniq_idx.shape[0] < u_pad:

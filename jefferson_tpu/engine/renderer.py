@@ -587,21 +587,33 @@ class Renderer:
                     key = (cb, tb_f)
                     if key not in self._fd_fused:
                         self._fd_fused[key] = self._mk_fd_fused(cb, tb_f)
-                    y, hist = self._fd_fused[key](
-                        self._spectra,
-                        hist,
-                        fed,
-                        pad_next(plan.idx_old[sl], last_i),
-                        pad_next(plan.w_old[sl], last_w),
-                        jnp.asarray(last_i),
-                        jnp.asarray(last_w),
-                        pad(plan.xfade[sl], nb),
-                        pad(plan.u_hi[sl], nb),
-                        pad(plan.u_lo[sl], nb),
-                        pad(plan.inv_frac[sl], nb),
-                    )
-                    out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                    continue
+                    try:
+                        y, hist = self._fd_fused[key](
+                            self._spectra,
+                            hist,
+                            fed,
+                            pad_next(plan.idx_old[sl], last_i),
+                            pad_next(plan.w_old[sl], last_w),
+                            jnp.asarray(last_i),
+                            jnp.asarray(last_w),
+                            pad(plan.xfade[sl], nb),
+                            pad(plan.u_hi[sl], nb),
+                            pad(plan.u_lo[sl], nb),
+                            pad(plan.inv_frac[sl], nb),
+                        )
+                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        continue
+                    except Exception as e:  # flaky remote Mosaic compiles
+                        self.fused = False
+                        self._fd_fused.pop(key, None)
+                        import sys
+
+                        print(
+                            f"warning: fused kernel unavailable "
+                            f"({type(e).__name__}); using the XLA path",
+                            file=sys.stderr,
+                        )
+                        # fall through to the XLA dispatch for this chunk
                 if dedup_chunks is not None:
                     uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
                     if uniq_idx.shape[0] < u_pad:  # pad to the render's bucket
@@ -617,21 +629,32 @@ class Renderer:
                         key = (cb, u_pad, tb_df)
                         if key not in self._fd_dedup_fused:
                             self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df)
-                        y, hist = self._fd_dedup_fused[key](
-                            self._spectra,
-                            hist,
-                            fed,
-                            jnp.asarray(uniq_idx),
-                            jnp.asarray(uniq_w),
-                            jnp.asarray(inv[:cb]),
-                            jnp.asarray(inv[cb : cb + 1]),
-                            pad(plan.xfade[sl], nb),
-                            pad(plan.u_hi[sl], nb),
-                            pad(plan.u_lo[sl], nb),
-                            pad(plan.inv_frac[sl], nb),
-                        )
-                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                        continue
+                        try:
+                            y, hist = self._fd_dedup_fused[key](
+                                self._spectra,
+                                hist,
+                                fed,
+                                jnp.asarray(uniq_idx),
+                                jnp.asarray(uniq_w),
+                                jnp.asarray(inv[:cb]),
+                                jnp.asarray(inv[cb : cb + 1]),
+                                pad(plan.xfade[sl], nb),
+                                pad(plan.u_hi[sl], nb),
+                                pad(plan.u_lo[sl], nb),
+                                pad(plan.inv_frac[sl], nb),
+                            )
+                            out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                            continue
+                        except Exception as e:  # flaky remote Mosaic compiles
+                            self.fused = False
+                            self._fd_dedup_fused.pop(key, None)
+                            import sys
+
+                            print(
+                                f"warning: fused kernel unavailable "
+                                f"({type(e).__name__}); using the XLA dedup path",
+                                file=sys.stderr,
+                            )
                     key = (cb, with_xfade, u_pad)
                     if key not in self._fd_dedup:
                         self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)

@@ -206,6 +206,27 @@ def test_fused_nondefault_geometry(castanets):
     assert np.abs(got - want).max() < 4e-7
 
 
+def test_fused_failure_falls_back_to_xla(db, config, castanets, monkeypatch):
+    """A Mosaic/remote-compile failure degrades to the XLA path mid-render
+    instead of killing it (the compile service throws HTTP 500s sometimes)."""
+    import jefferson_tpu.pallas.fused_apply as fa
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic failure")
+
+    monkeypatch.setattr(fa, "fused_apply_xfade", boom)
+    from jefferson_tpu.engine.renderer import Renderer
+
+    pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(32, config)
+    r = Renderer(db, config, chunk_blocks=32, dedup=False, fused=True)
+    got = r.render(castanets, pos)
+    assert not r.fused  # disabled after the failure
+    want = Renderer(db, config, chunk_blocks=32, dedup=False, fused=False).render(
+        castanets, pos
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_vs_oracle(db, config, castanets):
     """Fused renderer against the ground-truth oracle at the sweep gate."""
     from jefferson_tpu.engine.renderer import Renderer
