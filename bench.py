@@ -41,7 +41,11 @@ def main() -> int:
     cfg = DEFAULT_CONFIG
     db = synthetic_database(cfg)
 
-    n_sources, nb = 256, 32  # 256 concurrent streams, 32 blocks per step
+    # 256 concurrent streams (BASELINE config 5); 64 blocks per step is the
+    # measured sweet spot for step granularity (32: 12.4k x RT, 64: 13.5k,
+    # 128: 11.1k in one session — larger steps amortize dispatch until the
+    # working set outgrows residency)
+    n_sources, nb = 256, 64
     rng = np.random.default_rng(0)
     spectra = (
         jnp.asarray(np.real(db.spectra).astype(np.float32)),
