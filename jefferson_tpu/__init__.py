@@ -33,6 +33,7 @@ _LAZY = {
     "DifferentiableRenderer": "jefferson_tpu.diff.render",
     "render_oracle": "jefferson_tpu.oracle.reference",
     "load_sofa": "jefferson_tpu.hrtf.sofa",
+    "fit_database": "jefferson_tpu.diff.personalize",
 }
 
 
