@@ -59,6 +59,29 @@ def test_load_database_detects_sofa(db, config, tmp_path):
     np.testing.assert_array_equal(loaded.hrirs, db.hrirs)
 
 
+def test_sofa_resamples_foreign_rate(db, config, tmp_path):
+    """A 48 kHz SOFA set is resampled to the engine rate on load."""
+    from jefferson_tpu.io.resample import resample
+
+    taps = db.hrirs[:8, :, : config.hrtf_len]
+    # upsample the reference taps to 48k to build the foreign-rate file
+    up = np.stack([
+        np.stack([resample(taps[i, c], config.sample_rate, 48000) for c in range(2)])
+        for i in range(8)
+    ])
+    eles, azis = zip(*(grid_position(i) for i in range(8)))
+    path = tmp_path / "48k.sofa"
+    _write_sofa(path, up, np.asarray(azis), np.asarray(eles), sr=48000.0)
+    loaded = load_sofa(path, config)
+    assert loaded.hrirs.shape == (710, 2, config.pad_len)
+    # round-tripped filters stay close to the originals at the written points
+    for i in range(8):
+        a = loaded.hrirs[i, 0, : config.hrtf_len]
+        b = taps[i, 0]
+        denom = float(np.linalg.norm(b)) or 1.0
+        assert np.linalg.norm(a - b) / denom < 0.2, i
+
+
 def test_sofa_rejects_bad_files(config, tmp_path):
     path = tmp_path / "bad.sofa"
     with h5py.File(path, "w") as f:
