@@ -151,25 +151,38 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
         b = s * num_blocks
         streams = jnp.concatenate([hists, feds], axis=1)
         new_hists = streams[:, num_blocks * fpb :]
-        xr, xi = fft_ops.rfft_sliding_split_batched(
-            streams, num_blocks, fpb, config.pad_len
-        )
         flat = lambda a: a.reshape((b,) + a.shape[2:])
         dr, di = distance_factors_split(
             flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
         )
-        xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
         # packed rows: 20% less blend traffic than a stride-padded table
         # (Mosaic slices the unaligned plane offsets fine — PERF.md)
         cat = cat_table(spectra)
         g_old = blend_cat(cat, flat(idx_old), flat(w_old))
         g_last = blend_cat(cat, idx_last, w_last)
-        icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
-        y = fused_apply_xfade(
-            xdr, xdi, g_old, g_last, flat(xfade).astype(jnp.float32)[:, None],
-            jnp.asarray(icr), jnp.asarray(ici),
-            seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
-        )
+        xf = flat(xfade).astype(jnp.float32)[:, None]
+        if tb % num_blocks == 0:
+            # fully fused step: forward DFT + distance cmul in-kernel too
+            # (bit-identical to the split form on chip; strictly less HBM
+            # traffic — PERF.md)
+            from ..pallas.fused_step import fused_step_xfade
+
+            y = fused_step_xfade(
+                streams, dr, di, g_old, g_last, xf,
+                nb=num_blocks, pad_len=config.pad_len,
+                bins=config.num_bins, fpb=fpb, tb=tb,
+            )
+        else:
+            xr, xi = fft_ops.rfft_sliding_split_batched(
+                streams, num_blocks, fpb, config.pad_len
+            )
+            xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
+            icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+            y = fused_apply_xfade(
+                xdr, xdi, g_old, g_last, xf,
+                jnp.asarray(icr), jnp.asarray(ici),
+                seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+            )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
 

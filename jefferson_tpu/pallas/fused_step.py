@@ -1,0 +1,233 @@
+"""Fully-fused batched step kernel: forward DFT + apply + IDFT + crossfade.
+
+Extends pallas/fused_apply.py by moving the sliding sub-block forward DFT
+(ops/fft.rfft_sliding_split_batched) and the distance complex-multiply into
+the kernel, so the forward planes xr/xi and the distance-premultiplied xd
+are never materialized to HBM (~270 MB/step of traffic at the bench shape).
+
+Batched form only (seg == nb, tile = G whole sources): each source's
+sub-block DFT rows live contiguously, so tiles never overlap — the halo
+problem of per-block tiling does not arise.  Per tile the kernel
+
+  * computes all sub-block DFTs with one MXU matmul pair
+    (G*(nb+q-1+pad), 128) @ (128, bins),
+  * twiddle-accumulates the sliding windows per source (pltpu.roll over
+    sub-block rows — identical op order to the XLA formulation),
+  * multiplies by the distance factors (XLA-computed operands, so the
+    transcendentals keep XLA numerics),
+  * then proceeds exactly like fused_apply: blend-row roll/patch for the
+    new filters, complex multiplies, tail-IDFT matmuls, crossfade
+    select-weights.
+
+The distance factors stay XLA-side deliberately: Mosaic's transcendental
+approximations are not guaranteed to match XLA's, and the 2e-7 oracle gate
+runs with ~1.8e-7 headroom (PERF.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import fft as fft_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(
+    subs_ref,   # (G*rows_pad, sub) — per-source sub-block sample rows
+    dr_ref,     # (TB, bins) distance factor, real (XLA numerics)
+    di_ref,     # (TB, bins)
+    g_ref,      # (TB, 4*bins) old-filter blend rows (packed planes)
+    patch_ref,  # (P_pad, 4*bins) segment-end new rows
+    xf_ref,     # (TB, 1)
+    cfr_ref,    # (sub, bins) sub-block DFT basis, cos
+    cfi_ref,    # (sub, bins) sub-block DFT basis, -sin
+    twr_ref,    # (q_pad, bins) sliding twiddles, real
+    twi_ref,    # (q_pad, bins)
+    icr_ref,    # (bins, fpb) inverse tail basis
+    ici_ref,    # (bins, fpb)
+    out_ref,    # (TB, 2*fpb)
+    *,
+    tb: int,
+    nb: int,
+    q: int,
+    rows_pad: int,
+    bins: int,
+    fpb: int,
+    p_rows: int,
+):
+    f32 = jnp.float32
+    g_sources = tb // nb
+
+    # one MXU pass for every sub-block DFT in the tile
+    hp = jax.lax.Precision.HIGHEST
+    pr = jax.lax.dot_general(
+        subs_ref[:], cfr_ref[:], (((1,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=f32,
+    )  # (G*rows_pad, bins)
+    pi = jax.lax.dot_general(
+        subs_ref[:], cfi_ref[:], (((1,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=f32,
+    )
+
+    # sliding-window twiddle accumulation, per source (identical op order to
+    # ops/fft.rfft_sliding_split_batched)
+    def source_planes(s):
+        base = s * rows_pad
+        blk_r = pr[base : base + rows_pad]
+        blk_i = pi[base : base + rows_pad]
+        xr = blk_r[:nb]
+        xi = blk_i[:nb]
+        for m in range(1, q):
+            a = twr_ref[m : m + 1, :]
+            b = twi_ref[m : m + 1, :]
+            prm = pltpu.roll(blk_r, shift=rows_pad - m, axis=0)[:nb]
+            pim = pltpu.roll(blk_i, shift=rows_pad - m, axis=0)[:nb]
+            xr = xr + (a * prm - b * pim)
+            xi = xi + (a * pim + b * prm)
+        return xr, xi
+
+    parts = [source_planes(s) for s in range(g_sources)]
+    xr = jnp.concatenate([p[0] for p in parts], axis=0)  # (TB, bins)
+    xi = jnp.concatenate([p[1] for p in parts], axis=0)
+
+    dr = dr_ref[:]
+    di = di_ref[:]
+    xdr = xr * dr - xi * di
+    xdi = xr * di + xi * dr
+
+    # --- identical to fused_apply from here on -----------------------------
+    c4 = 4 * bins
+    go = g_ref[:]
+    rolled = pltpu.roll(go, shift=tb - 1, axis=0)
+    local = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
+    reps = tb // p_rows
+    pred = (local + 1) % nb == 0  # seg == nb in the batched form
+    gn = rolled
+    for j in range(p_rows):
+        gn = jnp.where(
+            pred & (local // reps == j),
+            jnp.broadcast_to(patch_ref[j : j + 1, :], (tb, c4)),
+            gn,
+        )
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
+    fn = iota / f32(fpb - 1)
+    xf = xf_ref[:]
+    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
+    b = jnp.where(xf > 0, fn, f32(1.0))
+
+    def tail(g, off_r, off_i):
+        gr = g[:, off_r : off_r + bins]
+        gi = g[:, off_i : off_i + bins]
+        qr = xdr * gr - xdi * gi
+        qi = xdr * gi + xdi * gr
+        return jax.lax.dot_general(
+            qr, icr_ref[:], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            qi, ici_ref[:], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        )
+
+    for c in range(2):
+        off_r, off_i = 2 * c * bins, (2 * c + 1) * bins
+        y_old = tail(go, off_r, off_i)
+        y_new = tail(gn, off_r, off_i)
+        out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
+)
+def fused_step_xfade(
+    streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
+    dr: jax.Array,       # (S*nb, bins) distance factors (XLA numerics)
+    di: jax.Array,
+    g_old: jax.Array,    # (S*nb, 4*bins) old-filter blend rows
+    g_last: jax.Array,   # (S, 4*bins) per-source final new rows
+    xf: jax.Array,       # (S*nb, 1)
+    nb: int,
+    pad_len: int,
+    bins: int,
+    fpb: int,
+    tb: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
+
+    Requires the aligned geometry (hist == (q-1)*fpb), tb = G*nb with G
+    whole sources per tile, and tb | S*nb.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    s = streams.shape[0]
+    b = s * nb
+    q = pad_len // fpb
+    assert streams.shape[1] == nb * fpb + (q - 1) * fpb, "aligned geometry only"
+    assert tb % nb == 0 and b % tb == 0
+    g_sources = tb // nb
+    rows = nb + q - 1
+    rows_pad = _round_up(rows, 8)
+    c4 = g_old.shape[1]
+
+    # per-source sub-block rows, padded to a sublane multiple
+    subs = streams.reshape(s, rows, fpb)
+    subs = jnp.pad(subs, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    subs = subs.reshape(s * rows_pad, fpb)
+
+    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
+    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    q_pad = _round_up(q, 8)
+    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
+    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
+    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+
+    p_rows = g_sources
+    p_pad = _round_up(p_rows, 8)
+    if p_pad != p_rows:
+        g3 = g_last.reshape(b // (nb * p_rows), p_rows, c4)
+        g3 = jnp.pad(g3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
+        patch = g3.reshape(-1, c4)
+    else:
+        patch = g_last
+
+    kernel = functools.partial(
+        _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
+        p_rows=p_rows,
+    )
+    n_tiles = b // tb
+    tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(fpb, r=g_sources * rows_pad),  # subs rows per tile
+            tile(bins),
+            tile(bins),
+            tile(c4),
+            tile(c4, r=p_pad),
+            tile(1),
+            full(), full(),  # sub-block DFT bases
+            full(), full(),  # twiddles
+            full(), full(),  # inverse bases
+        ],
+        out_specs=tile(2 * fpb),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
+        interpret=interpret,
+    )(
+        subs, dr, di, g_old, patch, xf,
+        jnp.asarray(cfr), jnp.asarray(cfi),
+        jnp.asarray(twr), jnp.asarray(twi),
+        jnp.asarray(icr), jnp.asarray(ici),
+    )
