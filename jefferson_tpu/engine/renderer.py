@@ -225,27 +225,44 @@ def _fd_complex_chunk_fused(
     construction) plus the single last-new row; the kernel derives new rows
     by roll+patch and fuses cmul + tail-IDFT + crossfade (5.2x the XLA
     apply stage on v5e — scripts/bench_fused_apply.py)."""
-    from ..pallas.fused_apply import fused_apply_xfade
-
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
-    xdr, xdi = cmul(xr, xi, dr, di)
     # packed (bins-stride) rows: Mosaic handles the non-lane-aligned plane
     # slices, and skipping the pad zeros cuts blend traffic 20% (measured
     # 1.72 vs 2.06 ms full step on v5e, bit-identical)
     cat = cat_table(spectra)
     g_old = blend_cat(cat, idx_old, w_old)
     g_last = blend_cat(cat, idx_last, w_last)
+    xf = xfade.astype(jnp.float32)[:, None]
+    y = _apply_maybe_full_fuse(
+        full, dr, di, g_old, g_last, xf, config, num_blocks, tb
+    )
+    return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
+def _apply_maybe_full_fuse(full, dr, di, g_old, g_last, xf, config, num_blocks, tb):
+    """Run the fused step: forward DFT in-kernel when the geometry is
+    aligned (history a whole number of blocks), else XLA forward + fused
+    apply."""
+    from ..pallas.fused_apply import fused_apply_xfade
+    from ..pallas.fused_step import fused_step_stream_xfade
+
+    fpb = config.frames_per_buffer
+    if config.history_len % fpb == 0:
+        return fused_step_stream_xfade(
+            full, dr, di, g_old, g_last, xf,
+            pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
+        )
+    xr, xi = _forward_split(full, num_blocks, config)
+    xdr, xdi = cmul(xr, xi, dr, di)
     icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
-    y = fused_apply_xfade(
-        xdr, xdi, g_old, g_last, xfade.astype(jnp.float32)[:, None],
+    return fused_apply_xfade(
+        xdr, xdi, g_old, g_last, xf,
         jnp.asarray(icr), jnp.asarray(ici),
         seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
     )
-    return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
 def _fd_complex_chunk_dedup_fused(
@@ -269,22 +286,16 @@ def _fd_complex_chunk_dedup_fused(
     one padded-row gather, and run the fused apply kernel.  Covers the
     reference benchmark workload (positions persist for many blocks) with
     both optimizations stacked."""
-    from ..pallas.fused_apply import fused_apply_xfade
-
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
-    xdr, xdi = cmul(xr, xi, dr, di)
     g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)
     g_old = jnp.take(g_u, inv_old, axis=0)
     g_last = jnp.take(g_u, inv_last, axis=0)
-    icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
-    y = fused_apply_xfade(
-        xdr, xdi, g_old, g_last, xfade.astype(jnp.float32)[:, None],
-        jnp.asarray(icr), jnp.asarray(ici),
-        seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+    xf = xfade.astype(jnp.float32)[:, None]
+    y = _apply_maybe_full_fuse(
+        full, dr, di, g_old, g_last, xf, config, num_blocks, tb
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 

@@ -147,6 +147,85 @@ def _kernel(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("pad_len", "bins", "fpb", "tb", "interpret")
+)
+def fused_step_stream_xfade(
+    stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
+    dr: jax.Array,      # (B, bins)
+    di: jax.Array,
+    g_old: jax.Array,   # (B, 4*bins)
+    g_last: jax.Array,  # (1, 4*bins) the final new-filter row
+    xf: jax.Array,      # (B, 1)
+    pad_len: int,
+    bins: int,
+    fpb: int,
+    tb: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-stream form: tiles of tb blocks over one stream; each tile's
+    sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
+    the new-filter boundary row comes from the next tile (or g_last)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    q = pad_len // fpb
+    b = dr.shape[0]
+    assert stream.shape[0] == b * fpb + (q - 1) * fpb, "aligned geometry only"
+    assert b % tb == 0
+    n_tiles = b // tb
+    c4 = g_old.shape[1]
+
+    rows = tb + q - 1
+    rows_pad = _round_up(rows, 8)
+    subs_full = stream.reshape(b + q - 1, fpb)
+    idx = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
+    subs_t = subs_full[idx]  # (n_tiles, rows, fpb) — q-1 halo rows duplicated
+    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+
+    # per-tile boundary new row: old[(i+1)*tb], last tile takes g_last
+    patch = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
+    p3 = jnp.pad(patch[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    patch = p3.reshape(n_tiles * 8, c4)
+
+    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
+    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    q_pad = _round_up(q, 8)
+    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
+    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
+    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+
+    kernel = functools.partial(
+        _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
+        p_rows=1,
+    )
+    tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(fpb, r=rows_pad),
+            tile(bins),
+            tile(bins),
+            tile(c4),
+            tile(c4, r=8),
+            tile(1),
+            full(), full(),
+            full(), full(),
+            full(), full(),
+        ],
+        out_specs=tile(2 * fpb),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
+        interpret=interpret,
+    )(
+        subs, dr, di, g_old, patch, xf,
+        jnp.asarray(cfr), jnp.asarray(cfi),
+        jnp.asarray(twr), jnp.asarray(twi),
+        jnp.asarray(icr), jnp.asarray(ici),
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
 )
 def fused_step_xfade(

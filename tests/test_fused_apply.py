@@ -210,11 +210,14 @@ def test_fused_failure_falls_back_to_xla(db, config, castanets, monkeypatch):
     """A Mosaic/remote-compile failure degrades to the XLA path mid-render
     instead of killing it (the compile service throws HTTP 500s sometimes)."""
     import jefferson_tpu.pallas.fused_apply as fa
+    import jefferson_tpu.pallas.fused_step as fs
 
     def boom(*a, **k):
         raise RuntimeError("simulated Mosaic failure")
 
     monkeypatch.setattr(fa, "fused_apply_xfade", boom)
+    monkeypatch.setattr(fs, "fused_step_stream_xfade", boom)
+    monkeypatch.setattr(fs, "fused_step_xfade", boom)
     from jefferson_tpu.engine.renderer import Renderer
 
     pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(32, config)
