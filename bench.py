@@ -65,15 +65,27 @@ def main() -> int:
     tb_f = pick_fused_tile(n_sources * nb, nb) if fused_supported() else None
     if tb_f is not None:
         from jefferson_tpu.engine.batch import batched_chunk_fn_fused
+        from jefferson_tpu.engine.plan import compact_filter_ids
 
-        log(f"using fused Pallas apply kernel (tile {tb_f})")
+        idx_old_np = np.stack([p.idx_old for p in plans])
+        idx_last_np = np.stack([p.idx_new[-1] for p in plans])
+        uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(idx_old_np, idx_last_np)
+        onehot = u_pad <= 512
+        log(f"using fused Pallas step kernel (tile {tb_f}, "
+            f"{'one-hot compact table U=' + str(u_pad) if onehot else 'gather blend'})")
+        if onehot:
+            head = (jnp.asarray(uniq_ids), jnp.asarray(ridx))
+            last = jnp.asarray(ridx_last)
+        else:
+            head = (jnp.asarray(idx_old_np),)
+            last = jnp.asarray(idx_last_np)
         xs = (
-            stack("idx_old"), stack("w_old"),
-            jnp.asarray(np.stack([p.idx_new[-1] for p in plans])),
+            *head, stack("w_old"),
+            last,
             jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
             stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
         )
-        step = jax.jit(batched_chunk_fn_fused(cfg, num_blocks=nb, tb=tb_f))
+        step = jax.jit(batched_chunk_fn_fused(cfg, num_blocks=nb, tb=tb_f, onehot=onehot))
     else:
         xs = (
             stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EngineConfig
 from ..hrtf.kemar import HRTFDatabase
-from .plan import fed_stream, make_plan
+from .plan import compact_filter_ids, fed_stream, make_plan
 from .renderer import _fd_complex_chunk
 
 
@@ -131,12 +131,18 @@ def batched_chunk_fn_dedup(config: EngineConfig, num_blocks: int, with_xfade: bo
     return fn
 
 
-def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
+def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int, onehot: bool = False):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
     Signature: (spectra, hists (S, hist), feds, idx_old (S, nb, 4),
     w_old, idx_last (S, 4), w_last, xfade (S, nb), u_hi, u_lo, inv_frac)
     -> (outs (S, nb, fpb, 2), new_hists).  See renderer._fd_complex_chunk_fused.
+
+    onehot=True switches to the compact-table signature: idx_old/idx_last
+    become ridx/ridx_last (ids remapped into the unique-filter table) and a
+    leading ``uniq_ids (U_pad,)`` argument selects the table rows — the
+    kernel then blends on the MXU with zero filter gathers (1.86x the
+    gather form at the bench shape, PERF.md).
     """
     from ..ops import fft as fft_ops
     from ..ops.filters import cmul, distance_factors_split
@@ -145,6 +151,31 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int):
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
+
+    if onehot:
+        from ..pallas.fused_step import fused_step_onehot_xfade
+
+        def fn_onehot(spectra, hists, feds, uniq_ids, ridx, w_old, ridx_last,
+                      w_last, xfade, u_hi, u_lo, inv_frac):
+            s = hists.shape[0]
+            b = s * num_blocks
+            streams = jnp.concatenate([hists, feds], axis=1)
+            new_hists = streams[:, num_blocks * fpb :]
+            flat = lambda a: a.reshape((b,) + a.shape[2:])
+            dr, di = distance_factors_split(
+                flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
+            )
+            table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
+            y = fused_step_onehot_xfade(
+                streams, dr, di, table, flat(ridx), flat(w_old),
+                ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
+                nb=num_blocks, pad_len=config.pad_len,
+                bins=config.num_bins, fpb=fpb, tb=tb,
+            )
+            out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
+            return out, new_hists
+
+        return fn_onehot
 
     def fn(spectra, hists, feds, idx_old, w_old, idx_last, w_last, xfade, u_hi, u_lo, inv_frac):
         s = hists.shape[0]
@@ -233,27 +264,38 @@ class BatchRenderer:
         )
         self._jitted = {}
 
-    def _get_fn(self, nb: int, dedup_key=None, fused_tb=None):
-        key = (nb, dedup_key, fused_tb)
+    def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False):
+        key = (nb, dedup_key, fused_tb, onehot)
         if key not in self._jitted:
             if fused_tb is not None:
-                fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb)
+                fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb, onehot=onehot)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
                     src = self.mesh.axis_names[0]
                     sh = lambda nd: P(src, *([None] * (nd - 1)))
-                    fn = shard_map(
-                        fn,
-                        mesh=self.mesh,
-                        in_specs=(
+                    if onehot:
+                        in_specs = (
+                            (P(), P()),    # spectra: replicated planes
+                            sh(2), sh(2),  # hists, feds
+                            P(),           # uniq_ids (replicated compact table)
+                            sh(3), sh(3),  # ridx, w_old
+                            sh(2), sh(2),  # ridx_last, w_last
+                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                        )
+                    else:
+                        in_specs = (
                             (P(), P()),  # spectra: replicated planes
                             sh(2),       # hists
                             sh(2),       # feds
                             sh(3), sh(3),  # idx_old, w_old
                             sh(2), sh(2),  # idx_last, w_last
                             sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
-                        ),
+                        )
+                    fn = shard_map(
+                        fn,
+                        mesh=self.mesh,
+                        in_specs=in_specs,
                         out_specs=(sh(4), sh(2)),
                         check_rep=False,
                     )
@@ -339,16 +381,33 @@ class BatchRenderer:
             else:
                 tb_f = None
             if tb_f is not None:
-                fn = self._get_fn(nb, fused_tb=tb_f)
+                idx_old_np = np.stack([p.idx_old[sl] for p in plans])
+                idx_last_np = np.stack([p.idx_new[stop - 1] for p in plans])
+                uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+                    idx_old_np, idx_last_np
+                )
+                onehot = u_pad <= 512  # compact table must stay VMEM-resident
+                fn = self._get_fn(nb, fused_tb=tb_f, onehot=onehot)
                 sharded = {k: self._shard(v) for k, v in args.items()}
+                rep = (
+                    jnp.asarray
+                    if self.mesh is None
+                    else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
+                )
+                if onehot:
+                    head = (rep(uniq_ids), self._shard(ridx))
+                    last = self._shard(ridx_last)
+                else:
+                    head = (self._shard(idx_old_np),)
+                    last = self._shard(idx_last_np)
                 try:
                     y, hists = fn(
                         self._spectra,
                         hists,
                         sharded["fed"],
-                        self._shard(np.stack([p.idx_old[sl] for p in plans])),
+                        *head,
                         self._shard(np.stack([p.w_old[sl] for p in plans])),
-                        self._shard(np.stack([p.idx_new[stop - 1] for p in plans])),
+                        last,
                         self._shard(np.stack([p.w_new[stop - 1] for p in plans])),
                         sharded["xfade"],
                         sharded["u_hi"],
@@ -359,7 +418,7 @@ class BatchRenderer:
                     continue
                 except Exception as e:  # flaky remote Mosaic compiles
                     self.fused = False
-                    self._jitted.pop((nb, None, tb_f), None)
+                    self._jitted.pop((nb, None, tb_f, onehot), None)
                     import sys
 
                     print(

@@ -120,6 +120,27 @@ def dedup_rows(idx: np.ndarray, w: np.ndarray):
     )
 
 
+def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray):
+    """Unique filter ids + remapped bracket indices for the one-hot kernel.
+
+    A chunk of real trajectories touches only a small subset of the 710
+    filters (the bench workload: 68), so the blend can run against a
+    compact VMEM-resident table.  Returns (uniq_ids (U_pad,) padded to a
+    power of two, ridx like idx_old, ridx_last like idx_last, U_pad).
+    """
+    idx_old = np.asarray(idx_old, np.int32)
+    idx_last = np.asarray(idx_last, np.int32)
+    all_ids = np.concatenate([idx_old.reshape(-1), idx_last.reshape(-1)])
+    uniq = np.unique(all_ids)
+    u_pad = max(8, 1 << int(np.ceil(np.log2(len(uniq)))))
+    lut = np.zeros(int(all_ids.max()) + 1, np.int32)
+    lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+    uniq_pad = np.concatenate(
+        [uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]
+    ).astype(np.int32)
+    return uniq_pad, lut[idx_old], lut[idx_last], u_pad
+
+
 def fed_stream(signal: np.ndarray, num_blocks: int, config: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
     """The sample stream the engine consumes: the input repeated (wrapping
     playhead, reference: Jefferson/src/Audio.cu:121-139) and truncated to

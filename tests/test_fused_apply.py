@@ -165,6 +165,40 @@ def test_dedup_fused_composition(db, config, castanets):
     assert np.abs(got - want).max() < 4e-7
 
 
+def test_compact_filter_ids():
+    from jefferson_tpu.engine.plan import compact_filter_ids
+
+    rng = np.random.default_rng(2)
+    idx_old = rng.integers(0, 710, (6, 8, 4)).astype(np.int32)
+    idx_last = rng.integers(0, 710, (6, 4)).astype(np.int32)
+    uniq, ridx, rlast, u_pad = compact_filter_ids(idx_old, idx_last)
+    assert u_pad == len(uniq) and (u_pad & (u_pad - 1)) == 0
+    np.testing.assert_array_equal(uniq[ridx], idx_old)
+    np.testing.assert_array_equal(uniq[rlast], idx_last)
+
+
+def test_fused_batch_wide_filter_set(db, config, castanets):
+    """Random positions touch many filters; the batch path stays correct
+    whichever blend form (one-hot or gather) the U bucket selects."""
+    from jefferson_tpu.engine.batch import BatchRenderer
+    from jefferson_tpu.trajectory.trajectory import PositionEvents
+
+    rng = np.random.default_rng(9)
+    s, nb = 4, 8
+    signals = np.stack([np.roll(castanets, 300 * i)[:2000] for i in range(s)])
+    positions = np.stack([
+        np.stack([rng.uniform(0, 360, nb), rng.uniform(-40, 90, nb),
+                  np.full(nb, 1.0)], axis=1)
+        for _ in range(s)
+    ]).astype(np.float32)
+    on = BatchRenderer(db, chunk_blocks=nb, dedup=False, fused=True)
+    got = on.render(signals, positions)
+    want = BatchRenderer(db, chunk_blocks=nb, dedup=False, fused=False).render(
+        signals, positions
+    )
+    assert np.abs(got - want).max() < 4e-7
+
+
 def test_fused_sharded_batch(db, config, castanets):
     """shard_map-wrapped fused kernel over the 8-device mesh == XLA batch."""
     import jax
