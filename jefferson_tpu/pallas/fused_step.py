@@ -161,6 +161,94 @@ def _onehot_kernel(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("pad_len", "bins", "fpb", "tb", "interpret")
+)
+def fused_step_stream_onehot_xfade(
+    stream: jax.Array,    # (hist + B*fpb,) one sample stream
+    dr: jax.Array,        # (B, bins)
+    di: jax.Array,
+    table: jax.Array,     # (U_pad, 4*bins) compact filter table
+    ridx: jax.Array,      # (B, 4) int32 OLD-aligned rows, remapped
+    w: jax.Array,         # (B, 4)
+    ridx_last: jax.Array,  # (1, 4) final new row, remapped
+    w_last: jax.Array,     # (1, 4)
+    xf: jax.Array,         # (B, 1)
+    pad_len: int,
+    bins: int,
+    fpb: int,
+    tb: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
+    boundary one-hot row (next tile's first old row; last tile = g_last)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    q = pad_len // fpb
+    b = dr.shape[0]
+    assert stream.shape[0] == b * fpb + (q - 1) * fpb
+    assert b % tb == 0
+    n_tiles = b // tb
+    u_pad = table.shape[0]
+    c4 = table.shape[1]
+
+    rows = tb + q - 1
+    rows_pad = _round_up(rows, 8)
+    subs_full = stream.reshape(b + q - 1, fpb)
+    idx2 = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
+    subs_t = subs_full[idx2]
+    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+
+    # per-tile boundary new row (one-hot inputs): next tile's first old row,
+    # last tile takes the final new row
+    rbnd = jnp.concatenate([ridx[tb::tb], ridx_last], axis=0)  # (n_tiles, 4)
+    wbnd = jnp.concatenate([w[tb::tb], w_last], axis=0)
+    r3 = jnp.pad(rbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    rbnd, wbnd = r3.reshape(-1, 4), w3.reshape(-1, 4)
+
+    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
+    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    q_pad = _round_up(q, 8)
+    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
+    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
+    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+
+    kernel = functools.partial(
+        _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
+        fpb=fpb, p_rows=1, u_pad=u_pad,
+    )
+    tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(fpb, r=rows_pad),
+            tile(bins),
+            tile(bins),
+            tile(4),
+            tile(4),
+            tile(4, r=8),
+            tile(4, r=8),
+            tile(1),
+            full(),
+            full(), full(),
+            full(), full(),
+            full(), full(),
+        ],
+        out_specs=tile(2 * fpb),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
+        interpret=interpret,
+    )(
+        subs, dr, di, ridx, w, rbnd, wbnd, xf, table,
+        jnp.asarray(cfr), jnp.asarray(cfi),
+        jnp.asarray(twr), jnp.asarray(twi),
+        jnp.asarray(icr), jnp.asarray(ici),
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
 )
 def fused_step_onehot_xfade(
