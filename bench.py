@@ -70,7 +70,9 @@ def main() -> int:
         idx_old_np = np.stack([p.idx_old for p in plans])
         idx_last_np = np.stack([p.idx_new[-1] for p in plans])
         uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(idx_old_np, idx_last_np)
-        onehot = u_pad <= 512
+        from jefferson_tpu.pallas.fused_step import MAX_ONEHOT_U
+
+        onehot = u_pad <= MAX_ONEHOT_U
         log(f"using fused Pallas step kernel (tile {tb_f}, "
             f"{'one-hot compact table U=' + str(u_pad) if onehot else 'gather blend'})")
         if onehot:

@@ -386,7 +386,9 @@ class BatchRenderer:
                 uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
                     idx_old_np, idx_last_np
                 )
-                onehot = u_pad <= 512  # compact table must stay VMEM-resident
+                from ..pallas.fused_step import MAX_ONEHOT_U
+
+                onehot = u_pad <= MAX_ONEHOT_U  # table + tiles must fit VMEM
                 fn = self._get_fn(nb, fused_tb=tb_f, onehot=onehot)
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 rep = (

@@ -642,7 +642,9 @@ class Renderer:
                         io_np = np.concatenate([io_np, np.repeat(last_i, cb - nb, 0)])
                         wo_np = np.concatenate([wo_np, np.repeat(last_w, cb - nb, 0)])
                     uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(io_np, last_i)
-                    if u_pad > 512:
+                    from ..pallas.fused_step import MAX_ONEHOT_U
+
+                    if u_pad > MAX_ONEHOT_U:
                         tb_o = None  # table would not stay VMEM-resident
                 if tb_o is not None:
                     key = (cb, tb_o)

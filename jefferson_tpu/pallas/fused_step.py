@@ -42,6 +42,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Largest compact-table width the one-hot kernel fits in VMEM with its
+# double-buffered tiles: U_pad=512 OOMs the 16 MB scoped limit by 13 MB
+# (measured); 256 compiles and runs on both variants.
+MAX_ONEHOT_U = 256
+
+
 def _onehot_kernel(
     subs_ref,   # (G*rows_pad, sub)
     dr_ref,     # (TB, bins)
