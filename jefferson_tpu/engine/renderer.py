@@ -548,6 +548,18 @@ class Renderer:
     def render_plan(
         self, signal: np.ndarray, plan: RenderPlan, ptype: ProcessType = ProcessType.TPU_FD_COMPLEX
     ) -> np.ndarray:
+        """Render a prepared plan chunk by chunk.
+
+        FD_COMPLEX dispatch, in measured-preference order (PERF.md):
+          1. dedup (+fused kernel) — positions repeat across blocks; the
+             deduped blend is nearly free (reference benchmark workload)
+          2. one-hot fused kernel — movers whose unique-filter set fits
+             VMEM (zero filter gathers)
+          3. gather-blend fused kernel — movers with wide filter sets
+          4. plain XLA chunk — CPU backends, fft backend, non-TPU, or any
+             fused-compile failure (graceful fallback)
+        All paths are oracle-gated at the reference's 2e-7 tolerance.
+        """
         cfg = self.config
         if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX) and plan.num_blocks > 1:
             # the chunk kernel derives the old filter set from the previous
