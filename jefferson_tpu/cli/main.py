@@ -70,9 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resample", action="store_true",
                    help="feed wrong-rate inputs raw (pitch-shifted) like the reference")
     p.add_argument("--selftest", action="store_true",
-                   help="run a quick engine-vs-oracle sweep gate before rendering "
-                        "(the reference runs benchmarkTesting on every launch, "
-                        "main.cu:88); aborts on mismatch")
+                   help="run a SCALED engine-vs-oracle smoke gate before rendering "
+                        "(all 4 scenarios of the reference's always-on "
+                        "benchmarkTesting, main.cu:88, at 8 blocks x 12 steps "
+                        "instead of 172 x 72 — remote compiles make the full "
+                        "workload cost minutes); aborts on mismatch")
+    p.add_argument("--selftest-full", action="store_true",
+                   help="run the reference's FULL benchmarkTesting workload "
+                        "(4 scenarios x 73 positions x 172 blocks) before "
+                        "rendering; equivalent to python -m jefferson_tpu.bench.sweep")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -299,20 +305,27 @@ def main(argv=None) -> int:
 
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
 
-    if args.selftest and not ptype.is_oracle:
+    if (args.selftest or args.selftest_full) and not ptype.is_oracle:
         from ..bench.sweep import SCENARIOS, run_benchmark_sweep
         from ..engine.renderer import Renderer as _R
 
-        reports = run_benchmark_sweep(
-            signal[: 8 * config.frames_per_buffer * 16] if len(signal) else signal,
-            db, config, blocks_per_step=8, num_steps=12, eps=2e-7,
-            renderer=_R(db, config, chunk_blocks=104, backend=args.backend),
-        )
+        if args.selftest_full:  # the reference's real workload (main.cu:88)
+            reports = run_benchmark_sweep(
+                signal, db, config, blocks_per_step=172, num_steps=72, eps=2e-7,
+                renderer=_R(db, config, backend=args.backend),
+            )
+        else:
+            reports = run_benchmark_sweep(
+                signal[: 8 * config.frames_per_buffer * 16] if len(signal) else signal,
+                db, config, blocks_per_step=8, num_steps=12, eps=2e-7,
+                renderer=_R(db, config, chunk_blocks=104, backend=args.backend),
+            )
         for (sa, se), rep in zip(SCENARIOS, reports):
             if not rep.ok:
                 raise SystemExit(f"selftest FAILED at scenario ({sa},{se}): {rep}")
         if not args.quiet:
-            print("selftest passed (engine-vs-oracle sweep gate)", file=sys.stderr)
+            kind = "full benchmarkTesting" if args.selftest_full else "scaled smoke"
+            print(f"selftest passed (engine-vs-oracle sweep gate, {kind})", file=sys.stderr)
 
     import contextlib
 

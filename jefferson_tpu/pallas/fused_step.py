@@ -71,7 +71,7 @@ def _onehot_kernel(
     u_pad: int,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
-    (unique filters only, U_pad <= ~512) stays VMEM-resident and the blend
+    (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
     becomes (TB, U_pad) @ (U_pad, 4*bins) on the MXU — no HBM filter
     gathers and no blended-row materialization at all.  The one-hot weight
     rows are rolled/patched for the new-filter set (16x cheaper than
