@@ -220,6 +220,66 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int, oneho
     return fn
 
 
+def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int):
+    """Dedup + fused composition for the batched/sharded form: blend only
+    the unique (index, weight) rows (scene sources usually hold positions),
+    broadcast with one row gather, and run the fused step kernel.  Mirrors
+    renderer._fd_complex_chunk_dedup_fused — the single-source renderer's
+    fastest measured mode on the reference workload (PERF.md).
+
+    Signature: (spectra, hists (S, hist), feds, uniq_idx (U, 4), uniq_w,
+    inv_old (S, nb) int32 — unique-row id of each block's OLD filters,
+    inv_last (S,) int32 — id of each source's final new row, xfade, u_hi,
+    u_lo, inv_frac) -> (outs (S, nb, fpb, 2), new_hists).
+    """
+    from ..ops import fft as fft_ops
+    from ..ops.filters import cmul, distance_factors_split
+    from ..pallas.fused_apply import fused_apply_xfade
+    from .renderer import blend_cat, cat_table
+
+    fpb = config.frames_per_buffer
+    assert config.history_len % fpb == 0, "fused path needs aligned geometry"
+
+    def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade, u_hi, u_lo, inv_frac):
+        s = hists.shape[0]
+        b = s * num_blocks
+        streams = jnp.concatenate([hists, feds], axis=1)
+        new_hists = streams[:, num_blocks * fpb :]
+        flat = lambda a: a.reshape((b,) + a.shape[2:])
+        dr, di = distance_factors_split(
+            flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
+        )
+        # the unique-row blend is tiny (U rows) and replicated across the
+        # mesh; the per-block broadcast is one padded-row gather
+        g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)  # (U, 4*bins)
+        g_old = jnp.take(g_u, inv_old.reshape(-1), axis=0)     # (S*nb, 4*bins)
+        g_last = jnp.take(g_u, inv_last, axis=0)               # (S, 4*bins)
+        xf = flat(xfade).astype(jnp.float32)[:, None]
+        if tb % num_blocks == 0:
+            from ..pallas.fused_step import fused_step_xfade
+
+            y = fused_step_xfade(
+                streams, dr, di, g_old, g_last, xf,
+                nb=num_blocks, pad_len=config.pad_len,
+                bins=config.num_bins, fpb=fpb, tb=tb,
+            )
+        else:
+            xr, xi = fft_ops.rfft_sliding_split_batched(
+                streams, num_blocks, fpb, config.pad_len
+            )
+            xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
+            icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
+            y = fused_apply_xfade(
+                xdr, xdi, g_old, g_last, xf,
+                jnp.asarray(icr), jnp.asarray(ici),
+                seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+            )
+        out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
+        return out, new_hists
+
+    return fn
+
+
 def mix_sources(outs: jax.Array) -> jax.Array:
     """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
     the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
@@ -267,7 +327,29 @@ class BatchRenderer:
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False):
         key = (nb, dedup_key, fused_tb, onehot)
         if key not in self._jitted:
-            if fused_tb is not None:
+            if fused_tb is not None and dedup_key is not None:
+                # dedup + fused composition (the fastest measured mode when
+                # positions persist, PERF.md)
+                fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb)
+                if self.mesh is not None:
+                    from jax.experimental.shard_map import shard_map
+
+                    src = self.mesh.axis_names[0]
+                    sh = lambda nd: P(src, *([None] * (nd - 1)))
+                    fn = shard_map(
+                        fn,
+                        mesh=self.mesh,
+                        in_specs=(
+                            (P(), P()),    # spectra: replicated planes
+                            sh(2), sh(2),  # hists, feds
+                            P(), P(),      # uniq_idx, uniq_w (replicated)
+                            sh(2), sh(1),  # inv_old, inv_last
+                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                        ),
+                        out_specs=(sh(4), sh(2)),
+                        check_rep=False,
+                    )
+            elif fused_tb is not None:
                 fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb, onehot=onehot)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
@@ -361,6 +443,10 @@ class BatchRenderer:
                 dedup_chunks = None
 
         outs = []
+        # fused variants disabled for the rest of THIS render on a
+        # compile/runtime-stack failure; retried on the next render
+        # (see renderer._is_fused_fallback_error)
+        fused_off = False
         for ci, start in enumerate(range(0, b_total, self.chunk_blocks)):
             stop = min(start + self.chunk_blocks, b_total)
             nb = stop - start
@@ -372,7 +458,7 @@ class BatchRenderer:
                 u_lo=np.stack([p.u_lo[sl] for p in plans]),
                 inv_frac=np.stack([p.inv_frac[sl] for p in plans]),
             )
-            if dedup_chunks is None and self.fused:
+            if self.fused and not fused_off:
                 from .renderer import pick_fused_tile
 
                 n_dev = self.mesh.size if self.mesh is not None else 1
@@ -380,7 +466,54 @@ class BatchRenderer:
                 tb_f = pick_fused_tile(s_local * nb, nb) if s_local else None
             else:
                 tb_f = None
-            if tb_f is not None:
+            if tb_f is not None and dedup_chunks is not None:
+                # dedup + fused composition: the common scene case (sources
+                # hold positions) gets both the near-free deduped blend and
+                # the fused kernel (renderer measured 0.96 ms vs 1.04 dedup
+                # / 1.93 direct on the reference workload, PERF.md)
+                uniq_idx, uniq_w, inv = dedup_chunks[ci]
+                if uniq_idx.shape[0] < u_pad:
+                    reps = u_pad - uniq_idx.shape[0]
+                    uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
+                    uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
+                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f)
+                rep = (
+                    jnp.asarray
+                    if self.mesh is None
+                    else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
+                )
+                sharded = {k: self._shard(v) for k, v in args.items()}
+                try:
+                    y, hists = fn(
+                        self._spectra,
+                        hists,
+                        sharded["fed"],
+                        rep(uniq_idx),
+                        rep(uniq_w),
+                        # ext rows are [old_start, new_0..new_{nb-1}]:
+                        # [:nb] is OLD-aligned (old[b] == new[b-1]),
+                        # [nb] is the final new row
+                        self._shard(np.ascontiguousarray(inv[:, :nb])),
+                        self._shard(np.ascontiguousarray(inv[:, nb])),
+                        sharded["xfade"],
+                        sharded["u_hi"],
+                        sharded["u_lo"],
+                        sharded["inv_frac"],
+                    )
+                    outs.append(np.asarray(y))
+                    continue
+                except Exception as e:
+                    from .renderer import _is_fused_fallback_error, _warn_fused_fallback
+
+                    if not _is_fused_fallback_error(e):
+                        raise
+                    fused_off = True
+                    self._jitted.pop((nb, u_pad, tb_f, False), None)
+                    _warn_fused_fallback(
+                        e, "dedup+fused batch", "the XLA dedup batch path"
+                    )
+                    # fall through to the XLA dedup dispatch for this chunk
+            elif tb_f is not None:
                 idx_old_np = np.stack([p.idx_old[sl] for p in plans])
                 idx_last_np = np.stack([p.idx_new[stop - 1] for p in plans])
                 uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
@@ -418,15 +551,16 @@ class BatchRenderer:
                     )
                     outs.append(np.asarray(y))
                     continue
-                except Exception as e:  # flaky remote Mosaic compiles
-                    self.fused = False
-                    self._jitted.pop((nb, None, tb_f, onehot), None)
-                    import sys
+                except Exception as e:
+                    from .renderer import _is_fused_fallback_error, _warn_fused_fallback
 
-                    print(
-                        f"warning: fused kernel unavailable ({type(e).__name__}); "
-                        f"using the XLA batch path",
-                        file=sys.stderr,
+                    if not _is_fused_fallback_error(e):
+                        raise
+                    fused_off = True
+                    self._jitted.pop((nb, None, tb_f, onehot), None)
+                    _warn_fused_fallback(
+                        e, "one-hot batch" if onehot else "gather batch",
+                        "the XLA batch path",
                     )
                     # fall through to the direct/dedup dispatch for this chunk
             if dedup_chunks is not None:

@@ -120,19 +120,27 @@ def dedup_rows(idx: np.ndarray, w: np.ndarray):
     )
 
 
-def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray):
+def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray, u_pad: int | None = None):
     """Unique filter ids + remapped bracket indices for the one-hot kernel.
 
     A chunk of real trajectories touches only a small subset of the 710
     filters (the bench workload: 68), so the blend can run against a
     compact VMEM-resident table.  Returns (uniq_ids (U_pad,) padded to a
     power of two, ridx like idx_old, ridx_last like idx_last, U_pad).
+
+    ``u_pad``: optional render-wide bucket — every chunk of a render pads
+    to the same table width so the whole render compiles ONE one-hot
+    program (per-chunk buckets would recompile whenever a chunk straddles
+    a power-of-two unique count; each remote compile is 20 s - 5 min).
     """
     idx_old = np.asarray(idx_old, np.int32)
     idx_last = np.asarray(idx_last, np.int32)
     all_ids = np.concatenate([idx_old.reshape(-1), idx_last.reshape(-1)])
     uniq = np.unique(all_ids)
-    u_pad = max(8, 1 << int(np.ceil(np.log2(len(uniq)))))
+    if u_pad is None:
+        u_pad = max(8, 1 << int(np.ceil(np.log2(len(uniq)))))
+    elif len(uniq) > u_pad:
+        raise ValueError(f"{len(uniq)} unique filters exceed the bucket {u_pad}")
     lut = np.zeros(int(all_ids.max()) + 1, np.int32)
     lut[uniq] = np.arange(len(uniq), dtype=np.int32)
     uniq_pad = np.concatenate(

@@ -181,6 +181,50 @@ def fused_supported() -> bool:
         return False
 
 
+# Exception type names that justify falling back from a fused Pallas kernel
+# to the XLA path: remote-compile-service flakiness (the deployed stack
+# routes every Mosaic compile through a remote service with observed HTTP
+# 500s, PERF.md) and Mosaic capability limits on exotic shapes.  Genuine
+# program bugs (ValueError/TypeError shape errors at trace time, asserts,
+# index errors) must PROPAGATE — silently absorbing them into the XLA path
+# hides defects and silently changes numerics.
+_FUSED_FALLBACK_TYPES = (
+    "XlaRuntimeError",      # jaxlib runtime/compile failures (incl. remote)
+    "JaxRuntimeError",
+    "LoweringException",    # Mosaic lowering capability limits
+    "MosaicError",
+    "InternalError",
+    "ResourceExhaustedError",  # VMEM/scoped-memory overflow at compile
+    "UnavailableError",
+    "DeadlineExceededError",
+)
+
+
+def _is_fused_fallback_error(e: BaseException) -> bool:
+    """True when ``e`` is a compile/runtime-stack failure worth degrading
+    gracefully on (see _FUSED_FALLBACK_TYPES); False for program bugs.
+
+    RuntimeError covers jax.errors.JaxRuntimeError (the type the remote
+    compile service's failures surface as).  Trace-time shape/type bugs
+    raise ValueError/TypeError and are NOT absorbed."""
+    if isinstance(e, (OSError, ConnectionError, RuntimeError)):
+        return True
+    return any(t.__name__ in _FUSED_FALLBACK_TYPES for t in type(e).__mro__)
+
+
+def _warn_fused_fallback(e: BaseException, variant: str, fallback: str) -> None:
+    import sys
+
+    msg = str(e).strip().splitlines()
+    head = msg[0][:300] if msg else ""
+    print(
+        f"warning: fused kernel ({variant}) failed to compile/run — using "
+        f"{fallback} for the rest of this render; it will be retried on the "
+        f"next render\n  {type(e).__name__}: {head}",
+        file=sys.stderr,
+    )
+
+
 def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
     """Largest fused-kernel tile <= max_tb compatible with (B, seg), or None.
 
@@ -404,6 +448,52 @@ def apply_filters_core(
     return jnp.transpose(out, (1, 2, 0))
 
 
+def plan_onehot_chunking(
+    plan: "RenderPlan", b_total: int, cb: int, min_cb: int = 64
+) -> tuple[int, int | None]:
+    """Render-wide one-hot geometry: (chunk_blocks, u_pad bucket | None).
+
+    Two jobs:
+    * ONE U_pad bucket for every chunk of the render, so the whole render
+      compiles a single one-hot program (per-chunk buckets recompile
+      whenever a chunk straddles a power-of-two unique count — each remote
+      compile costs 20 s - 5 min on the deployed stack).
+    * Sub-chunking for wide movers: when a chunk's unique-filter set
+      exceeds MAX_ONEHOT_U (the compact table's VMEM residency gate,
+      pallas/fused_step.py), HALVE the chunk size until every chunk fits
+      (down to ``min_cb``) instead of abandoning the one-hot blend for the
+      render — a fast full-sphere mover touches >256 filters per 2048
+      blocks but far fewer per 256.
+
+    Returns u_pad None when even min_cb-sized chunks exceed the gate; the
+    caller then keeps the original chunk size and the gather-blend kernel.
+    """
+    from ..pallas.fused_step import MAX_ONEHOT_U
+
+    cs = cb
+    while True:
+        if pick_fused_tile(cs, cs) is None:
+            return cb, None
+        max_u = 1
+        for start in range(0, b_total, cs):
+            stop = min(start + cs, b_total)
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        plan.idx_old[start:stop].reshape(-1),
+                        plan.idx_new[stop - 1 : stop].reshape(-1),
+                    ]
+                )
+            )
+            max_u = max(max_u, len(ids))
+        u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+        if u_pad <= MAX_ONEHOT_U:
+            return cs, u_pad
+        if cs // 2 < min_cb:
+            return cb, None
+        cs //= 2
+
+
 def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend):
     """Nearest-HRTF FD path: no interpolation/distance/crossfade
     (reference: Jefferson/src/CPUSoundSource.cpp:113-142)."""
@@ -582,6 +672,11 @@ class Renderer:
         # chunk padded and trimmed) and one global xfade variant — XLA
         # compiles are expensive, especially via remote TPU compile services
         with_xfade = bool(plan.xfade.any())
+        # fused-kernel variants disabled for THE REST OF THIS RENDER after a
+        # compile/runtime-stack failure (each remote compile retry costs
+        # 20 s - 5 min); a fresh render retries them.  Program bugs propagate
+        # (_is_fused_fallback_error).
+        fused_off: set[str] = set()
 
         def pad(a, nb):
             if nb == cb:
@@ -621,6 +716,20 @@ class Renderer:
             if u_pad * 2 > cb:  # not enough duplication to pay off
                 dedup_chunks = None
 
+        # render-wide one-hot geometry: one U_pad bucket (single compiled
+        # program per render) and wide-mover sub-chunking — see
+        # plan_onehot_chunking.  May shrink cb for the whole render.
+        onehot_u_pad = None
+        if (
+            self.fused
+            and with_xfade
+            and dedup_chunks is None
+            and b_total
+            and cfg.history_len % fpb == 0
+            and ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX)
+        ):
+            cb, onehot_u_pad = plan_onehot_chunking(plan, b_total, cb)
+
         for start in range(0, b_total, cb):
             stop = min(start + cb, b_total)
             nb = stop - start
@@ -639,8 +748,7 @@ class Renderer:
                 # blend matmuls per tile), so dedup takes precedence.
                 tb_o = (
                     pick_fused_tile(cb, cb)
-                    if dedup_chunks is None
-                    and self.fused and with_xfade and cfg.history_len % fpb == 0
+                    if onehot_u_pad is not None and "onehot" not in fused_off
                     else None
                 )
                 if tb_o is not None:
@@ -653,11 +761,9 @@ class Renderer:
                     if nb < cb:  # pad with the last NEW row (roll semantics)
                         io_np = np.concatenate([io_np, np.repeat(last_i, cb - nb, 0)])
                         wo_np = np.concatenate([wo_np, np.repeat(last_w, cb - nb, 0)])
-                    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(io_np, last_i)
-                    from ..pallas.fused_step import MAX_ONEHOT_U
-
-                    if u_pad > MAX_ONEHOT_U:
-                        tb_o = None  # table would not stay VMEM-resident
+                    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+                        io_np, last_i, u_pad=onehot_u_pad
+                    )
                 if tb_o is not None:
                     key = (cb, tb_o)
                     if key not in self._fd_onehot:
@@ -679,17 +785,16 @@ class Renderer:
                         )
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
-                    except Exception as e:  # flaky remote Mosaic compiles
-                        self.fused = False
+                    except Exception as e:
+                        if not _is_fused_fallback_error(e):
+                            raise
+                        fused_off.add("onehot")
                         self._fd_onehot.pop(key, None)
-                        import sys
-
-                        print(
-                            f"warning: fused kernel unavailable "
-                            f"({type(e).__name__}); using the XLA path",
-                            file=sys.stderr,
-                        )
-                if dedup_chunks is None and self.fused and with_xfade:
+                        _warn_fused_fallback(e, "one-hot", "the gather/XLA path")
+                if (
+                    dedup_chunks is None and "gather" not in fused_off
+                    and self.fused and with_xfade
+                ):
                     tb_f = pick_fused_tile(cb, cb)
                 else:
                     tb_f = None
@@ -726,16 +831,12 @@ class Renderer:
                         )
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
-                    except Exception as e:  # flaky remote Mosaic compiles
-                        self.fused = False
+                    except Exception as e:
+                        if not _is_fused_fallback_error(e):
+                            raise
+                        fused_off.add("gather")
                         self._fd_fused.pop(key, None)
-                        import sys
-
-                        print(
-                            f"warning: fused kernel unavailable "
-                            f"({type(e).__name__}); using the XLA path",
-                            file=sys.stderr,
-                        )
+                        _warn_fused_fallback(e, "gather-blend", "the XLA path")
                         # fall through to the XLA dispatch for this chunk
                 if dedup_chunks is not None:
                     uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
@@ -745,7 +846,7 @@ class Renderer:
                         uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, axis=0)])
                     tb_df = (
                         pick_fused_tile(cb, cb)
-                        if self.fused and with_xfade
+                        if self.fused and with_xfade and "dedup" not in fused_off
                         else None
                     )
                     if tb_df is not None:  # dedup + fused composition
@@ -768,16 +869,12 @@ class Renderer:
                             )
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                             continue
-                        except Exception as e:  # flaky remote Mosaic compiles
-                            self.fused = False
+                        except Exception as e:
+                            if not _is_fused_fallback_error(e):
+                                raise
+                            fused_off.add("dedup")
                             self._fd_dedup_fused.pop(key, None)
-                            import sys
-
-                            print(
-                                f"warning: fused kernel unavailable "
-                                f"({type(e).__name__}); using the XLA dedup path",
-                                file=sys.stderr,
-                            )
+                            _warn_fused_fallback(e, "dedup+fused", "the XLA dedup path")
                     key = (cb, with_xfade, u_pad)
                     if key not in self._fd_dedup:
                         self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)

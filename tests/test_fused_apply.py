@@ -261,7 +261,9 @@ def test_fused_failure_falls_back_to_xla(db, config, castanets, monkeypatch):
     pos = CircularOrbit(period_s=0.25, ele=5, r=1.0).sample(32, config)
     r = Renderer(db, config, chunk_blocks=32, dedup=False, fused=True)
     got = r.render(castanets, pos)
-    assert not r.fused  # disabled after the failure
+    # one flaky failure disables the variant for the rest of THAT render
+    # only; the instance retries fused kernels on the next render
+    assert r.fused
     want = Renderer(db, config, chunk_blocks=32, dedup=False, fused=False).render(
         castanets, pos
     )
