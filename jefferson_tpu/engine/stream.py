@@ -146,6 +146,7 @@ class StreamingSpatializer:
         self.buf: np.ndarray | None = None
         self.count = 0
         self.clipping = False
+        self.crossfades = 0  # blocks whose position changed (xfade fired)
         # host-side per-position caches: live callers hold a position for
         # many consecutive blocks, so the interpolation/distance setup math
         # (pure functions of azi/ele/r) is memoized to keep per-block host
@@ -242,6 +243,7 @@ class StreamingSpatializer:
         idx_n, w_n = self._interp(self.ele, self.azi)
         idx_o, w_o = self._interp(self.old_ele, self.old_azi)
         xfade = bool(self.old_azi != self.azi or self.old_ele != self.ele)
+        self.crossfades += int(xfade)
         # key on the full position: the float32 xyz roundtrip makes the
         # effective radius minutely angle-dependent (reference semantics)
         u_hi, u_lo, inv_frac = self._distance(

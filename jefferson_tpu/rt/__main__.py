@@ -5,10 +5,13 @@ loop along a trajectory, like the reference's PortAudio + GLUT run
 (reference: Jefferson/src/main.cu:93-99), writing the output WAV per block
 and reporting per-block deadline statistics.  --live plays through an audio
 device (needs the optional sounddevice package); the default fake-device
-mode runs anywhere.
+mode runs anywhere.  --keys replaces the trajectory with live keyboard
+control — WASD/arrows move the source while the audio follows, the
+reference's GLUT interaction loop (reference: Jefferson/src/graphics.cu:487-601)
+without the GL window.
 
     python -m jefferson_tpu.rt -i in.wav --trajectory orbit:period=4 \
-        --seconds 5 -o live.wav [--live] [--paced]
+        --seconds 5 -o live.wav [--live] [--paced] [--keys]
 """
 
 from __future__ import annotations
@@ -34,7 +37,28 @@ def main(argv=None) -> int:
                    help="play through an audio device (sounddevice backend)")
     p.add_argument("--paced", action="store_true",
                    help="fake-device mode: sleep to the realtime block cadence")
+    p.add_argument("--keys", action="store_true",
+                   help="interactive source control: w/s up-down, a/d and "
+                        "left/right arrows sideways, up/down arrows "
+                        "away/toward, r reset, q/ESC quit (the reference's "
+                        "GLUT key loop, graphics.cu:487-601; elevation "
+                        "guarded above -40 deg)")
+    p.add_argument("--device", choices=("auto", "cpu", "native"), default="auto",
+                   help="jax backend for the per-block step. auto (default) "
+                        "forces the host CPU: the realtime loop needs one "
+                        "device roundtrip per 2.9 ms block, and a "
+                        "relay-attached TPU costs ~70 ms/roundtrip (PERF.md) "
+                        "— every block would miss its deadline. 'native' "
+                        "keeps whatever platform jax booted (use on "
+                        "direct-attached accelerators).")
     args = p.parse_args(argv)
+
+    if args.device in ("auto", "cpu"):
+        # must happen before the first backend use; the env var alone is too
+        # late when sitecustomize already imported jax (CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..cli.main import load_hrtf, parse_trajectory
     from ..config import DEFAULT_CONFIG
@@ -68,11 +92,32 @@ def main(argv=None) -> int:
     fpb = cfg.frames_per_buffer
     n_sig = len(signal)
 
+    control = None
+    if args.keys:
+        from ..trajectory.spatial import cartesian_to_spherical
+        from .control import SourceControl, start_key_thread
+
+        control = SourceControl()
+
+        def readout(key, xyz):
+            a, e, r = (float(v) for v in cartesian_to_spherical(np.asarray(xyz)))
+            print(f"\r[{key:>5}] azi {a:5.0f}  ele {e:4.0f}  r {r:5.2f}  ",
+                  end="", file=sys.stderr, flush=True)
+
+        if start_key_thread(control, on_key=readout) is None:
+            print("jefferson-rt --keys: stdin is not a TTY; position is "
+                  "controllable programmatically only", file=sys.stderr)
+
     def source():
         b = min(state["b"], num_blocks - 1)
         state["b"] += 1
-        azi, ele, r = positions[b]
-        spat.set_position(azi=azi, ele=ele, r=r)
+        if control is not None:
+            # live control: the audio loop reads whatever position the key
+            # thread last wrote (reference graphics.cu:376-386 split)
+            spat.set_position_cartesian(control.coordinates())
+        else:
+            azi, ele, r = positions[b]
+            spat.set_position(azi=azi, ele=ele, r=r)
         # wrapping playhead (the reference's callback feed)
         idx = (np.arange(fpb) + state["i"]) % n_sig
         state["i"] = (state["i"] + fpb) % n_sig
@@ -90,10 +135,13 @@ def main(argv=None) -> int:
 
     writer = StreamingWavWriter(args.output, cfg.sample_rate)
     play = AudioPlayout([source], cfg, writer=writer)
+    stop = (lambda: control.quit) if control is not None else None
     if args.live:
-        stats = play.play(num_blocks=num_blocks)
+        stats = play.play(num_blocks=num_blocks, stop=stop)
     else:
-        stats = play.run_offline(num_blocks, paced=args.paced)
+        # interactive fake-device mode paces to the block cadence so key
+        # presses land between blocks like a real device clock
+        stats = play.run_offline(num_blocks, paced=args.paced or args.keys, stop=stop)
     writer.close()
     if play.clipping:
         print("ALERT! CLIPPING AUDIO!", file=sys.stderr)

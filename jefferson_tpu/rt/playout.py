@@ -165,16 +165,20 @@ class AudioPlayout:
 
     # -- fake-device backend ------------------------------------------------
 
-    def run_offline(self, num_blocks: int, paced: bool = False) -> BlockStats:
+    def run_offline(self, num_blocks: int, paced: bool = False, stop=None) -> BlockStats:
         """Drive the callback from a host loop (no audio device).
 
         paced=True sleeps to the realtime block cadence, emulating a device
         clock; False runs flat out (deadline stats are identical either way
-        since only compute time is measured).
+        since only compute time is measured).  ``stop`` (optional zero-arg
+        callable) ends the loop early when it returns True — the live
+        interactive quit (the reference's ESC handler, graphics.cu:526-535).
         """
         self.prime()
         deadline = time.perf_counter()
         for _ in range(num_blocks):
+            if stop is not None and stop():
+                break
             self.callback()
             if paced:
                 deadline += self.config.block_duration
@@ -187,11 +191,12 @@ class AudioPlayout:
 
     # -- live sounddevice backend --------------------------------------------
 
-    def play(self, num_blocks: int | None = None, device=None) -> BlockStats:
+    def play(self, num_blocks: int | None = None, device=None, stop=None) -> BlockStats:
         """Live playout through ``sounddevice`` (blocking until done).
 
         Raises RuntimeError with a clear message when the optional package
         or an output device is missing — use ``run_offline`` there.
+        ``stop``: optional zero-arg callable checked per block (live quit).
         """
         sd = _sounddevice()
         if sd is None:
@@ -210,6 +215,8 @@ class AudioPlayout:
                     raise RuntimeError(
                         f"device blocksize {frames} != {cfg.frames_per_buffer}"
                     )
+                if stop is not None and stop():
+                    raise sd.CallbackStop
                 outdata[:] = self.callback()
                 done["blocks"] += 1
                 if num_blocks is not None and done["blocks"] >= num_blocks:

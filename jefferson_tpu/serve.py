@@ -14,6 +14,16 @@ protocol over a Unix domain socket:
 
 Other commands: {"cmd": "ping"} / {"cmd": "stats"} / {"cmd": "shutdown"}.
 
+Live streaming with interactive source control (the reference's GLUT loop
+as a wire protocol — a client moves the source while the audio thread
+follows, reference: Jefferson/src/graphics.cu:376-601):
+
+    {"cmd": "stream_start", "input": "in.wav", "output": "live.wav",
+     "seconds": 10, "paced": true}
+    {"cmd": "move", "azi": 90, "ele": 10, "r": 1.0}    # or {"key": "w"}
+    {"cmd": "move", "x": 0.5, "y": 0.0, "z": -0.5}     # Cartesian form
+    {"cmd": "stream_stop"}                              # -> deadline stats
+
     python -m jefferson_tpu.serve --socket /tmp/jefferson.sock &
     python -m jefferson_tpu.serve --socket /tmp/jefferson.sock \
         --request '{"cmd": "render", "input": ...}'
@@ -39,6 +49,8 @@ class RenderService:
     """Resident engine: one Renderer (warm jit caches) + one HRTF database."""
 
     def __init__(self, hrtf_dir=None, chunk_blocks: int = 2048, quiet: bool = True):
+        import threading
+
         from .cli.main import load_hrtf
         from .config import DEFAULT_CONFIG
         from .engine.renderer import Renderer
@@ -47,6 +59,11 @@ class RenderService:
         self.db = load_hrtf(hrtf_dir, self.config, quiet=quiet)
         self.renderer = Renderer(self.db, self.config, chunk_blocks=chunk_blocks)
         self.stats = {"renders": 0, "blocks": 0, "seconds": 0.0, "errors": 0}
+        # the threading server handles clients concurrently, but renders
+        # share one Renderer (jit caches, fused state) and one device —
+        # serialize engine commands; move/ping/stats stay lock-free
+        self._lock = threading.Lock()
+        self._stream = None  # active live stream session, if any
 
     def handle(self, req: dict) -> dict:
         cmd = req.get("cmd", "render")
@@ -57,11 +74,22 @@ class RenderService:
             return {"id": rid, "ok": True, **self.stats}
         if cmd == "shutdown":
             return {"id": rid, "ok": True, "shutdown": True}
-        if cmd not in ("render", "scene"):
+        if cmd == "move":  # lock-free: only touches the stream's control
+            try:
+                return {"id": rid, **self._move(req)}
+            except Exception as e:
+                return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+        fns = {
+            "render": self._render,
+            "scene": self._scene,
+            "stream_start": self._stream_start,
+            "stream_stop": self._stream_stop,
+        }
+        if cmd not in fns:
             return {"id": rid, "ok": False, "error": f"unknown cmd {cmd!r}"}
         try:
-            fn = self._render if cmd == "render" else self._scene
-            return {"id": rid, **fn(req)}
+            with self._lock:
+                return {"id": rid, **fns[cmd](req)}
         except Exception as e:  # report, don't kill the daemon
             self.stats["errors"] += 1
             return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
@@ -110,6 +138,112 @@ class RenderService:
             "rtf": round(audio_s / dt, 2) if dt > 0 else None,
         }
 
+
+    # --- live stream session (interactive source control) -----------------
+
+    def _stream_start(self, req: dict) -> dict:
+        """Start a background paced block loop whose source position is
+        commandable mid-stream — the reference's graphics/audio thread split
+        (graphics writes coordinates, audio reads: graphics.cu:376-386) as a
+        daemon protocol."""
+        import threading
+
+        import numpy as np
+
+        from .engine.stream import StreamingSpatializer
+        from .io.wavio import StreamingWavWriter, read_wav_mono
+        from .rt.control import SourceControl
+        from .rt.playout import AudioPlayout
+
+        if self._stream is not None and self._stream["thread"].is_alive():
+            return {"ok": False, "error": "a stream session is already active"}
+        cfg = self.config
+        signal, sr = read_wav_mono(req["input"])
+        if sr != cfg.sample_rate:
+            from .io.resample import resample
+
+            signal = resample(signal, sr, cfg.sample_rate)
+        seconds = float(req.get("seconds", 10.0))
+        num_blocks = int(np.ceil(seconds / cfg.block_duration))
+        control = SourceControl()
+        spat = StreamingSpatializer(self.db, cfg)
+        fpb = cfg.frames_per_buffer
+        n_sig = len(signal)
+        state = {"i": 0}
+
+        def source():
+            spat.set_position_cartesian(control.coordinates())
+            idx = (np.arange(fpb) + state["i"]) % n_sig
+            state["i"] = (state["i"] + fpb) % n_sig
+            return spat.process_block(signal[idx])
+
+        source.prime = spat.prime
+        writer = StreamingWavWriter(req["output"], cfg.sample_rate)
+        play = AudioPlayout([source], cfg, writer=writer)
+        paced = bool(req.get("paced", True))
+
+        def run():
+            try:
+                play.run_offline(num_blocks, paced=paced, stop=lambda: control.quit)
+            finally:
+                writer.close()
+
+        t = threading.Thread(target=run, daemon=True)
+        self._stream = {
+            "thread": t, "control": control, "play": play, "spat": spat,
+            "output": req["output"], "blocks": num_blocks,
+        }
+        t.start()
+        return {"ok": True, "output": req["output"], "blocks": num_blocks,
+                "paced": paced}
+
+    def _move(self, req: dict) -> dict:
+        """Move the live source (spherical, Cartesian, or a reference key)."""
+        import numpy as np
+
+        from .rt.control import spherical_to_control_xyz
+        from .trajectory.spatial import cartesian_to_spherical
+
+        s = self._stream
+        if s is None:
+            return {"ok": False, "error": "no active stream session"}
+        control = s["control"]
+        if "key" in req:
+            control.apply_key(str(req["key"]))
+        elif "x" in req or "y" in req or "z" in req:
+            x0, y0, z0 = control.coordinates()
+            control.move_to(req.get("x", x0), req.get("y", y0), req.get("z", z0))
+        else:
+            a, e, r = cartesian_to_spherical(np.asarray(control.coordinates()))
+            xyz = spherical_to_control_xyz(
+                float(req.get("azi", a)), float(req.get("ele", e)), float(req.get("r", r))
+            )
+            control.move_to(*xyz)
+        a, e, r = cartesian_to_spherical(np.asarray(control.coordinates()))
+        return {"ok": True, "azi": float(a), "ele": float(e), "r": float(r),
+                "quit": control.quit}
+
+    def _stream_stop(self, req: dict) -> dict:
+        s = self._stream
+        if s is None:
+            return {"ok": False, "error": "no active stream session"}
+        s["control"].quit = True
+        s["thread"].join(timeout=30.0)
+        if s["thread"].is_alive():
+            return {"ok": False, "error": "stream did not stop in 30 s"}
+        self._stream = None
+        stats = s["play"].stats
+        return {
+            "ok": True,
+            "output": s["output"],
+            "blocks": stats.blocks,
+            "avg_ms": round(stats.avg_ms, 3),
+            "max_ms": round(stats.max_ms, 3),
+            "budget_ms": round(stats.budget_ms, 3),
+            "misses": stats.misses,
+            "clipping": s["play"].clipping,
+            "crossfades": s["spat"].crossfades,
+        }
 
     def _scene(self, req: dict) -> dict:
         """Multi-source scene mix: {"cmd": "scene", "scene": {...} | path}."""

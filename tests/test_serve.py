@@ -86,3 +86,60 @@ def test_daemon_stats_and_errors(daemon, tmp_path):
     # daemon survives the error
     assert request(sock, {"cmd": "ping"})["pong"]
     assert request(sock, {"cmd": "nope"})["ok"] is False
+
+
+def test_daemon_live_stream_with_moves(daemon, db, config, castanets, tmp_path):
+    """Live stream session: start, move the source mid-stream (spherical,
+    key, and Cartesian forms), stop -> deadline stats + crossfade count."""
+    import time
+
+    sock, service = daemon
+    src = tmp_path / "live_in.wav"
+    write_wav(src, castanets[:8000, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "live_out.wav"
+
+    resp = request(sock, {
+        "cmd": "stream_start", "input": str(src), "output": str(out),
+        "seconds": 10.0, "paced": True,
+    })
+    assert resp["ok"], resp
+    # a second session while one is running must be refused
+    resp2 = request(sock, {"cmd": "stream_start", "input": str(src),
+                           "output": str(out), "seconds": 0.1})
+    assert not resp2["ok"]
+
+    def wait_blocks(n, timeout_s=30.0):
+        """Block until the paced loop has emitted >= n blocks (prime absorbs
+        the first jit compile, so the first block can take seconds)."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if service._stream["play"].stats.blocks >= n:
+                return
+            time.sleep(0.02)
+        raise AssertionError(f"stream never reached {n} blocks")
+
+    # paced stream: moves land between blocks like the reference's key thread
+    wait_blocks(4)
+    mv = request(sock, {"cmd": "move", "azi": 90, "ele": 10, "r": 1.0})
+    assert mv["ok"] and mv["azi"] == 90 and mv["ele"] == 10, mv
+    wait_blocks(service._stream["play"].stats.blocks + 4)
+    mv = request(sock, {"cmd": "move", "key": "w"})
+    assert mv["ok"]
+    wait_blocks(service._stream["play"].stats.blocks + 4)
+    mv = request(sock, {"cmd": "move", "x": 0.5, "y": 0.0, "z": -0.5})
+    # atan2(-x, -z) convention (SoundSource.cu:29): (0.5, -0.5) -> 315 deg
+    assert mv["ok"] and mv["azi"] == 315, mv
+    wait_blocks(service._stream["play"].stats.blocks + 4)
+
+    stats = request(sock, {"cmd": "stream_stop"})
+    assert stats["ok"], stats
+    assert stats["blocks"] > 0
+    assert stats["crossfades"] >= 2, stats  # the moves fired crossfades
+    got, sr = read_wav(out)
+    assert sr == config.sample_rate and got.shape[0] == stats["blocks"] * 128
+    assert np.isfinite(got).all()
+
+    # stopping again -> clean error
+    assert not request(sock, {"cmd": "stream_stop"})["ok"]
+    # move with no session -> clean error
+    assert not request(sock, {"cmd": "move", "azi": 0})["ok"]
