@@ -21,6 +21,46 @@ from ..trajectory.trajectory import AzimuthSweep
 
 SCENARIOS = [(0.0, 0.0), (3.0, 0.0), (0.0, 5.0), (3.0, 5.0)]
 
+# headroom warning threshold: the reference gate is eps=2e-7; once the worst
+# scenario uses more than this fraction of it, a contraction-order change is
+# one step from failing the gate (round-1 margin 0.60, round-2 0.90 — see
+# PERF.md's margin ladder)
+MARGIN_WARN = 0.95
+
+
+def mover_positions(num_blocks: int, ele_period: int = 997) -> np.ndarray:
+    """Per-block mover for the gate's 5th scenario: azimuth orbits ~1.3 deg
+    per block (a crossfade EVERY block) while elevation sweeps the full
+    -40..90 grid, touching all four interpolation cases and far more than
+    MAX_ONEHOT_U unique filters per chunk.
+
+    The reference's four benchmarkTesting scenarios hold each position for
+    172 blocks, so they exercise only the dedup(+fused) dispatch; this
+    scenario pins the one-hot / gather-blend mover kernels under the same
+    full-scale oracle gate (round-2 advisor finding)."""
+    i = np.arange(num_blocks)
+    azi = (i * 1.3) % 360.0
+    ele = 25.0 + 65.0 * np.sin(i * (2.0 * np.pi / ele_period))
+    return np.stack([azi, ele, np.full(num_blocks, 0.5)], axis=1)
+
+
+def run_mover_gate(
+    signal: np.ndarray,
+    db: HRTFDatabase,
+    config: EngineConfig = DEFAULT_CONFIG,
+    num_blocks: int = 12556,
+    eps: float = 2e-7,
+    renderer: Renderer | None = None,
+) -> PrecisionReport:
+    """Engine-vs-oracle gate on the per-block mover trajectory."""
+    renderer = renderer or Renderer(db, config)
+    pos = mover_positions(num_blocks)
+    got = renderer.render(signal, pos, ProcessType.TPU_FD_COMPLEX, initial_old=(0.0, 0.0))
+    want = render_oracle(
+        signal, db, [tuple(p) for p in pos], config, initial_old=(0.0, 0.0)
+    )
+    return precision_check(got, want, eps=eps)
+
 
 def run_benchmark_sweep(
     signal: np.ndarray,
@@ -51,8 +91,14 @@ def run_benchmark_sweep(
 
 
 def main(argv=None) -> int:
-    """CLI: full-scale sweep gate (the reference's always-on startup check)."""
+    """CLI: full-scale sweep gate (the reference's always-on startup check).
+
+    Emits one JSON line with the per-scenario max|diff| and its margin
+    (max|diff| / eps) so headroom is tracked as a first-class regression
+    metric — PERF.md records the ladder; the gate WARNS above MARGIN_WARN.
+    """
     import argparse
+    import json
     import sys
     import time
 
@@ -61,6 +107,10 @@ def main(argv=None) -> int:
     p.add_argument("--blocks", type=int, default=172)
     p.add_argument("--steps", type=int, default=72)
     p.add_argument("--eps", type=float, default=2e-7)
+    p.add_argument("--no-mover", action="store_true",
+                   help="skip the per-block mover scenario (one-hot/gather "
+                        "kernel gate; the 4 reference scenarios only "
+                        "exercise the dedup dispatch)")
     p.add_argument("--write-dir", default=None,
                    help="also write each scenario's engine render as a WAV "
                         "(the reference's waveFileTesting, "
@@ -81,10 +131,36 @@ def main(argv=None) -> int:
     reports = run_benchmark_sweep(
         signal, db, config, blocks_per_step=args.blocks, num_steps=args.steps, eps=args.eps
     )
+    names = [f"azi{int(a)}_ele{int(e)}" for a, e in SCENARIOS]
+    if not args.no_mover:
+        reports.append(
+            run_mover_gate(
+                signal, db, config,
+                num_blocks=args.blocks * (args.steps + 1), eps=args.eps,
+            )
+        )
+        names.append("mover")
     ok = True
-    for (azi, ele), rep in zip(SCENARIOS, reports):
-        print(f"scenario azi={azi} ele={ele}: {rep}")
+    for name, rep in zip(names, reports):
+        print(f"scenario {name}: {rep}")
         ok &= rep.ok
+    margins = {
+        n: {"max_abs": rep.max_abs_diff, "margin": round(rep.max_abs_diff / args.eps, 4)}
+        for n, rep in zip(names, reports)
+    }
+    worst = max(margins.values(), key=lambda m: m["margin"])["margin"]
+    print(json.dumps({
+        "gate": "benchmark_sweep", "eps": args.eps, "ok": ok,
+        "worst_margin": worst, "scenarios": margins,
+    }))
+    if worst > MARGIN_WARN and ok:
+        print(
+            f"WARNING: worst margin {worst:.2f} of the eps={args.eps:g} budget "
+            f"exceeds the {MARGIN_WARN} safety factor — the next "
+            f"contraction-order change may fail the gate (see PERF.md margin "
+            f"ladder)",
+            file=sys.stderr,
+        )
     if args.write_dir:
         import pathlib
 

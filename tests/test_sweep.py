@@ -47,3 +47,47 @@ def test_sweep_wraps_azimuth(config):
     pos = t.sample(t.total_blocks, config)
     azis = pos[::2, 0]
     np.testing.assert_array_equal(azis, [350, 355, 0, 5, 10])
+
+
+def test_mover_gate_scaled(db, config, castanets):
+    """The per-block mover scenario (round-3 gate addition: exercises the
+    one-hot/gather mover kernels, which the 4 hold-position scenarios never
+    reach) holds the 2e-7 gate at CI scale."""
+    from jefferson_tpu.bench.sweep import mover_positions, run_mover_gate
+
+    pos = mover_positions(997)
+    # the fixture must actually be a per-block mover across the full grid
+    assert (np.diff(pos[:, 0]) != 0).mean() > 0.9
+    assert pos[:, 1].min() < -35 and pos[:, 1].max() > 85
+
+    rep = run_mover_gate(
+        castanets, db, config, num_blocks=512, eps=2e-7,
+        renderer=Renderer(db, config, chunk_blocks=128),
+    )
+    assert rep.ok, str(rep)
+
+
+def test_sweep_cli_emits_margin_json(db, config, castanets, tmp_path, capsys, monkeypatch):
+    """The sweep CLI emits the per-scenario margin JSON line (gate-headroom
+    telemetry, VERDICT r2 item 5)."""
+    import json
+
+    from jefferson_tpu.bench import sweep as sweep_mod
+    from jefferson_tpu.io.wavio import write_wav
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:24000, None].repeat(2, 1), config.sample_rate)
+    monkeypatch.setattr(sweep_mod, "load_hrtf", lambda *a, **k: db, raising=False)
+    # tiny workload: 8 blocks/step x 3 steps, mover = 32 blocks
+    import jefferson_tpu.cli.main as cli_main
+
+    monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
+    rc = sweep_mod.main(["-i", str(src), "--blocks", "8", "--steps", "3"])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert rc == 0 and data["ok"]
+    assert set(data["scenarios"]) == {
+        "azi0_ele0", "azi3_ele0", "azi0_ele5", "azi3_ele5", "mover"
+    }
+    assert 0 <= data["worst_margin"] <= 1
