@@ -149,6 +149,55 @@ def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray, u_pad: int | N
     return uniq_pad, lut[idx_old], lut[idx_last], u_pad
 
 
+def compact_filter_ids_grouped(
+    idx_old: np.ndarray, idx_last: np.ndarray, group: int, tb: int, u_pad: int
+):
+    """Per-GROUP compact tables for the grouped one-hot kernel.
+
+    Wide movers touch more unique filters per chunk than the VMEM gate
+    allows; splitting the chunk into groups of ``group`` blocks, each with
+    its own compact table, keeps every tile's table resident while the
+    whole chunk stays ONE kernel dispatch (the kernel block-slices the
+    stacked table by tile group).
+
+    idx_old: (B, 4) OLD-aligned rows; idx_last: (1, 4) the chunk's final
+    new row; ``tb``: kernel tile (boundary rows are per tile);
+    ``u_pad``: the render-wide bucket (from renderer.plan_onehot_chunking).
+
+    Returns (uniq_ids (G*u_pad,), ridx (B, 4), rbnd (n_tiles, 4)) — all
+    remapped into the OWNING group's table (each group's table includes
+    its boundary row's filters, so the roll patch resolves locally).
+    """
+    idx_old = np.asarray(idx_old, np.int32)
+    idx_last = np.asarray(idx_last, np.int32)
+    b = idx_old.shape[0]
+    assert b % group == 0 and group % tb == 0
+    n_tiles = b // tb
+    tables, ridx = [], np.empty_like(idx_old)
+    rbnd = np.empty((n_tiles, 4), np.int32)
+    for g, start in enumerate(range(0, b, group)):
+        stop = start + group
+        # per-tile boundary rows owned by this group: next tile's first old
+        # row; the chunk-final tile takes idx_last
+        bnds = np.concatenate(
+            [idx_old[start + tb : stop : tb], idx_old[stop : stop + 1]]
+            if stop < b
+            else [idx_old[start + tb : stop : tb], idx_last]
+        )
+        ids = np.concatenate([idx_old[start:stop].reshape(-1), bnds.reshape(-1)])
+        uniq = np.unique(ids)
+        if len(uniq) > u_pad:
+            raise ValueError(f"group {g}: {len(uniq)} unique filters > bucket {u_pad}")
+        lut = np.zeros(int(ids.max()) + 1, np.int32)
+        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+        tables.append(
+            np.concatenate([uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]).astype(np.int32)
+        )
+        ridx[start:stop] = lut[idx_old[start:stop]]
+        rbnd[start // tb : stop // tb] = lut[bnds]
+    return np.concatenate(tables), ridx, rbnd
+
+
 def fed_stream(signal: np.ndarray, num_blocks: int, config: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
     """The sample stream the engine consumes: the input repeated (wrapping
     playhead, reference: Jefferson/src/Audio.cu:121-139) and truncated to

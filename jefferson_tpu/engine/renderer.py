@@ -323,6 +323,46 @@ def _fd_complex_chunk_onehot(
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
+def _fd_complex_chunk_onehot_grouped(
+    spectra,
+    hist: jax.Array,
+    fed: jax.Array,
+    uniq_ids: jax.Array,   # (G*U_pad,) stacked per-group unique filter ids
+    ridx: jax.Array,       # (B, 4) OLD-aligned rows remapped per group
+    w_old: jax.Array,      # (B, 4)
+    rbnd: jax.Array,       # (n_tiles, 4) per-tile boundary rows, per group
+    wbnd: jax.Array,       # (n_tiles, 4)
+    xfade: jax.Array,
+    u_hi: jax.Array,
+    u_lo: jax.Array,
+    inv_frac: jax.Array,
+    *,
+    config: EngineConfig,
+    num_blocks: int,
+    tb: int,
+    group_tiles: int,
+    u_pad: int,
+):
+    """Grouped one-hot chunk for wide movers: chunks touching more unique
+    filters than one compact table's VMEM gate split into per-group tables
+    block-sliced by the kernel — one dispatch per chunk either way (see
+    plan.compact_filter_ids_grouped / PERF.md round-3 cliff measurements)."""
+    from ..pallas.fused_step import fused_step_stream_onehot_grouped_xfade
+
+    fpb = config.frames_per_buffer
+    full = jnp.concatenate([hist, fed])
+    new_hist = full[num_blocks * fpb :]
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
+    tables = jnp.take(cat_table(spectra), uniq_ids, axis=0)  # (G*U_pad, 4*bins)
+    y = fused_step_stream_onehot_grouped_xfade(
+        full, dr, di, tables, ridx, w_old, rbnd, wbnd,
+        xfade.astype(jnp.float32)[:, None],
+        pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
+        group_tiles=group_tiles, u_pad=u_pad,
+    )
+    return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
 def _apply_maybe_full_fuse(full, dr, di, g_old, g_last, xf, config, num_blocks, tb):
     """Run the fused step: forward DFT in-kernel when the geometry is
     aligned (history a whole number of blocks), else XLA forward + fused
@@ -449,49 +489,53 @@ def apply_filters_core(
 
 
 def plan_onehot_chunking(
-    plan: "RenderPlan", b_total: int, cb: int, min_cb: int = 64
+    plan: "RenderPlan", b_total: int, cb: int, tb: int
 ) -> tuple[int, int | None]:
-    """Render-wide one-hot geometry: (chunk_blocks, u_pad bucket | None).
+    """Render-wide one-hot geometry: (group_blocks, u_pad bucket | None).
 
     Two jobs:
     * ONE U_pad bucket for every chunk of the render, so the whole render
       compiles a single one-hot program (per-chunk buckets recompile
       whenever a chunk straddles a power-of-two unique count — each remote
       compile costs 20 s - 5 min on the deployed stack).
-    * Sub-chunking for wide movers: when a chunk's unique-filter set
+    * GROUPED tables for wide movers: when a chunk's unique-filter set
       exceeds MAX_ONEHOT_U (the compact table's VMEM residency gate,
-      pallas/fused_step.py), HALVE the chunk size until every chunk fits
-      (down to ``min_cb``) instead of abandoning the one-hot blend for the
-      render — a fast full-sphere mover touches >256 filters per 2048
-      blocks but far fewer per 256.
+      pallas/fused_step.py), the chunk's blocks are split into groups of
+      ``group_blocks`` each with its OWN compact table, stacked into one
+      (G*U_pad, 4*bins) array that the kernel block-slices per tile —
+      still ONE dispatch per chunk.  (Host-side sub-chunking was measured
+      and rejected: 16 relay dispatches per 8192 blocks cost 5.3x the one
+      big chunk, scripts/bench_onehot_cliff.py / PERF.md dead ends.)
 
-    Returns u_pad None when even min_cb-sized chunks exceed the gate; the
-    caller then keeps the original chunk size and the gather-blend kernel.
+    ``group_blocks`` is a multiple of the kernel tile ``tb`` dividing
+    ``cb`` (group == chunk means the ungrouped fast path).  Returns u_pad
+    None when even tb-sized groups exceed the gate; callers fall back to
+    the gather-blend kernel.
     """
     from ..pallas.fused_step import MAX_ONEHOT_U
 
-    cs = cb
-    while True:
-        if pick_fused_tile(cs, cs) is None:
-            return cb, None
+    def bucket(group: int) -> int:
         max_u = 1
-        for start in range(0, b_total, cs):
-            stop = min(start + cs, b_total)
+        for start in range(0, b_total, group):
+            stop = min(start + group, b_total)
+            # each group's table must also hold its boundary row (the next
+            # group's first old row — the kernel's roll patch), which
+            # compact_filter_ids includes via idx_last
+            bnd = plan.idx_old[stop : stop + 1] if stop < b_total else plan.idx_new[-1:]
             ids = np.unique(
-                np.concatenate(
-                    [
-                        plan.idx_old[start:stop].reshape(-1),
-                        plan.idx_new[stop - 1 : stop].reshape(-1),
-                    ]
-                )
+                np.concatenate([plan.idx_old[start:stop].reshape(-1), bnd.reshape(-1)])
             )
             max_u = max(max_u, len(ids))
-        u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+        return max(8, 1 << int(np.ceil(np.log2(max_u))))
+
+    group = cb
+    while True:
+        u_pad = bucket(group)
         if u_pad <= MAX_ONEHOT_U:
-            return cs, u_pad
-        if cs // 2 < min_cb:
+            return group, u_pad
+        if group // 2 < tb or group % 2:
             return cb, None
-        cs //= 2
+        group //= 2
 
 
 def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend):
@@ -618,6 +662,11 @@ class Renderer:
         self._mk_fd_onehot = lambda nb, tb: jit_chunk(
             _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb
         )
+        self._fd_onehot_grp = {}
+        self._mk_fd_onehot_grp = lambda nb, tb, gt, up: jit_chunk(
+            _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
+            tb=tb, group_tiles=gt, u_pad=up,
+        )
         self._mk_fd_basic = lambda nb: jit_chunk(
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
         )
@@ -717,9 +766,9 @@ class Renderer:
                 dedup_chunks = None
 
         # render-wide one-hot geometry: one U_pad bucket (single compiled
-        # program per render) and wide-mover sub-chunking — see
-        # plan_onehot_chunking.  May shrink cb for the whole render.
-        onehot_u_pad = None
+        # program per render) and per-group tables for wide movers — see
+        # plan_onehot_chunking
+        onehot_u_pad, onehot_group = None, None
         if (
             self.fused
             and with_xfade
@@ -728,7 +777,11 @@ class Renderer:
             and cfg.history_len % fpb == 0
             and ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX)
         ):
-            cb, onehot_u_pad = plan_onehot_chunking(plan, b_total, cb)
+            tb_cb = pick_fused_tile(cb, cb)
+            if tb_cb is not None:
+                onehot_group, onehot_u_pad = plan_onehot_chunking(
+                    plan, b_total, cb, tb_cb
+                )
 
         for start in range(0, b_total, cb):
             stop = min(start + cb, b_total)
@@ -752,8 +805,6 @@ class Renderer:
                     else None
                 )
                 if tb_o is not None:
-                    from .plan import compact_filter_ids
-
                     last_i = plan.idx_new[stop - 1 : stop]
                     last_w = plan.w_new[stop - 1 : stop]
                     io_np = plan.idx_old[sl]
@@ -761,10 +812,53 @@ class Renderer:
                     if nb < cb:  # pad with the last NEW row (roll semantics)
                         io_np = np.concatenate([io_np, np.repeat(last_i, cb - nb, 0)])
                         wo_np = np.concatenate([wo_np, np.repeat(last_w, cb - nb, 0)])
+                    tail_args = (
+                        pad(plan.xfade[sl], nb),
+                        pad(plan.u_hi[sl], nb),
+                        pad(plan.u_lo[sl], nb),
+                        pad(plan.inv_frac[sl], nb),
+                    )
+                if tb_o is not None and onehot_group < cb:
+                    # wide mover: per-group compact tables, one dispatch
+                    from .plan import compact_filter_ids_grouped
+
+                    uniq_ids, ridx, rbnd = compact_filter_ids_grouped(
+                        io_np, last_i, onehot_group, tb_o, onehot_u_pad
+                    )
+                    wbnd = np.concatenate([wo_np[tb_o::tb_o], last_w])
+                    key = (cb, tb_o, onehot_group, onehot_u_pad)
+                    if key not in self._fd_onehot_grp:
+                        self._fd_onehot_grp[key] = self._mk_fd_onehot_grp(
+                            cb, tb_o, onehot_group // tb_o, onehot_u_pad
+                        )
+                    try:
+                        y, hist = self._fd_onehot_grp[key](
+                            self._spectra,
+                            hist,
+                            fed,
+                            jnp.asarray(uniq_ids),
+                            jnp.asarray(ridx),
+                            jnp.asarray(wo_np),
+                            jnp.asarray(rbnd),
+                            jnp.asarray(wbnd),
+                            *tail_args,
+                        )
+                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        continue
+                    except Exception as e:
+                        if not _is_fused_fallback_error(e):
+                            raise
+                        fused_off.add("onehot")
+                        self._fd_onehot_grp.pop(key, None)
+                        _warn_fused_fallback(
+                            e, "grouped one-hot", "the gather/XLA path"
+                        )
+                elif tb_o is not None:
+                    from .plan import compact_filter_ids
+
                     uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
                         io_np, last_i, u_pad=onehot_u_pad
                     )
-                if tb_o is not None:
                     key = (cb, tb_o)
                     if key not in self._fd_onehot:
                         self._fd_onehot[key] = self._mk_fd_onehot(cb, tb_o)
@@ -778,10 +872,7 @@ class Renderer:
                             jnp.asarray(wo_np),
                             jnp.asarray(ridx_last),
                             jnp.asarray(last_w),
-                            pad(plan.xfade[sl], nb),
-                            pad(plan.u_hi[sl], nb),
-                            pad(plan.u_lo[sl], nb),
-                            pad(plan.inv_frac[sl], nb),
+                            *tail_args,
                         )
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue

@@ -255,6 +255,102 @@ def fused_step_stream_onehot_xfade(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad"),
+)
+def fused_step_stream_onehot_grouped_xfade(
+    stream: jax.Array,    # (hist + B*fpb,) one sample stream
+    dr: jax.Array,        # (B, bins)
+    di: jax.Array,
+    tables: jax.Array,    # (G*U_pad, 4*bins) stacked per-group compact tables
+    ridx: jax.Array,      # (B, 4) int32 OLD-aligned rows, remapped PER GROUP
+    w: jax.Array,         # (B, 4)
+    rbnd: jax.Array,      # (n_tiles, 4) per-tile boundary rows, remapped PER GROUP
+    wbnd: jax.Array,      # (n_tiles, 4)
+    xf: jax.Array,        # (B, 1)
+    pad_len: int,
+    bins: int,
+    fpb: int,
+    tb: int,
+    group_tiles: int,     # tiles per table group (group_blocks // tb)
+    u_pad: int,
+) -> jax.Array:
+    """GROUPED one-hot form for wide movers: each group of ``group_tiles``
+    tiles blends against its OWN compact table (a block-sliced row range of
+    ``tables``), so chunks touching more unique filters than one table's
+    VMEM gate still run as ONE kernel dispatch.  Host-side sub-chunking was
+    measured and rejected — 16 relay dispatches per 8192 blocks cost 5.3x
+    one big chunk (scripts/bench_onehot_cliff.py).  Kernel body is
+    identical to the ungrouped form; only the table BlockSpec differs."""
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    q = pad_len // fpb
+    b = dr.shape[0]
+    assert stream.shape[0] == b * fpb + (q - 1) * fpb
+    assert b % tb == 0
+    n_tiles = b // tb
+    assert n_tiles % group_tiles == 0
+    assert tables.shape[0] == (n_tiles // group_tiles) * u_pad
+    c4 = tables.shape[1]
+
+    rows = tb + q - 1
+    rows_pad = _round_up(rows, 8)
+    subs_full = stream.reshape(b + q - 1, fpb)
+    idx2 = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
+    subs_t = subs_full[idx2]
+    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+
+    r3 = jnp.pad(rbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    rbnd_p, wbnd_p = r3.reshape(-1, 4), w3.reshape(-1, 4)
+
+    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
+    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    q_pad = _round_up(q, 8)
+    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
+    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
+    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+
+    kernel = functools.partial(
+        _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
+        fpb=fpb, p_rows=1, u_pad=u_pad,
+    )
+    tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    # per-group table slice: tile i reads rows [g*U_pad, (g+1)*U_pad) with
+    # g = i // group_tiles — the kernel sees a (U_pad, 4*bins) ref as usual
+    table_spec = pl.BlockSpec(
+        (u_pad, c4), lambda i: (i // group_tiles, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            tile(fpb, r=rows_pad),
+            tile(bins),
+            tile(bins),
+            tile(4),
+            tile(4),
+            tile(4, r=8),
+            tile(4, r=8),
+            tile(1),
+            table_spec,
+            full(), full(),
+            full(), full(),
+            full(), full(),
+        ],
+        out_specs=tile(2 * fpb),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
+        interpret=interpret,
+    )(
+        subs, dr, di, ridx, w, rbnd_p, wbnd_p, xf, tables,
+        jnp.asarray(cfr), jnp.asarray(cfi),
+        jnp.asarray(twr), jnp.asarray(twi),
+        jnp.asarray(icr), jnp.asarray(ici),
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
 )
 def fused_step_onehot_xfade(

@@ -22,6 +22,11 @@ def main() -> int:
     sys.path.insert(0, ".")
     import jax
 
+    if "--cpu" in sys.argv:
+        # the env var is too late (sitecustomize preloads jax under axon);
+        # jax.config works after import — CLAUDE.md environment rules
+        jax.config.update("jax_platforms", "cpu")
+
     from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
     from jefferson_tpu.engine.stream import StreamingSpatializer
 

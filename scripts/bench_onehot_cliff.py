@@ -11,6 +11,9 @@ sub-chunks, slope timing):
   gather@8192   _fd_complex_chunk_fused, one 8192-block chunk (old behavior)
   gather@cs     same kernel at the sub-chunk size (isolates chunking cost)
   onehot@cs     _fd_complex_chunk_onehot at the planned sub-chunk size
+  grouped@8192  _fd_complex_chunk_onehot_grouped: per-group tables inside
+                ONE dispatch (the round-3 design; host sub-chunking was
+                measured 5.3x slower through the relay)
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def main() -> int:
     pos = mover_positions(b)
     plan = make_plan(pos, cfg, initial_old=(0.0, 0.0))
     total_u = len(np.unique(plan.idx_new))
-    cs, u_pad = plan_onehot_chunking(plan, b, b)
+    cs, u_pad = plan_onehot_chunking(plan, b, b, tb=pick_fused_tile(b, b))
     print(f"{b} blocks, {total_u} unique filters total; "
           f"one-hot plan: sub-chunk {cs}, bucket {u_pad}", file=sys.stderr)
 
@@ -152,16 +155,55 @@ def main() -> int:
               file=sys.stderr)
         return per, np.asarray(o)
 
+    def bench_grouped(label):
+        from jefferson_tpu.engine.plan import compact_filter_ids_grouped
+        from jefferson_tpu.engine.renderer import _fd_complex_chunk_onehot_grouped
+
+        tb = pick_fused_tile(b, b)
+        fn = jax.jit(functools.partial(
+            _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=b,
+            tb=tb, group_tiles=cs // tb, u_pad=u_pad))
+        c = chunk_args(0, b, b)
+        uniq_ids, ridx, rbnd = compact_filter_ids_grouped(
+            plan.idx_old, plan.idx_new[-1:], cs, tb, u_pad)
+        wbnd = np.concatenate([plan.w_old[tb::tb], plan.w_new[-1:]])
+        args = (jnp.asarray(uniq_ids), jnp.asarray(ridx), c["w_old"],
+                jnp.asarray(rbnd), jnp.asarray(wbnd))
+        hist0 = jnp.zeros(cfg.history_len, jnp.float32)
+
+        t0 = time.time()
+        o, h = fn(spectra, hist0, c["fed"], *args, *c["tail"])
+        float(probe(o, h))
+        print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+        def run(k):
+            t0 = time.time()
+            for _ in range(k):
+                o, h = fn(spectra, hist0, c["fed"], *args, *c["tail"])
+            float(probe(o, h))
+            return time.time() - t0
+
+        run(2)
+        t_s, t_l = run(2), run(12)
+        per = (t_l - t_s) / 10
+        print(f"{label}: {per*1e3:.2f} ms / {b} blocks ({b/per:,.0f} blocks/s)",
+              file=sys.stderr)
+        return per, np.asarray(o)
+
     t_g_big, out_g_big = bench_gather(b, f"gather@{b}   ")
     t_g_cs, out_g_cs = bench_gather(cs, f"gather@{cs}   ")
     t_oh, out_oh = bench_onehot(cs, u_pad, f"onehot@{cs}   ")
+    t_gr, out_gr = bench_grouped(f"grouped@{b} (tables of {u_pad} per {cs} blocks)")
 
     print(f"gather sub-chunk cost: {t_g_cs/t_g_big:.2f}x of one big chunk",
           file=sys.stderr)
     print(f"onehot@{cs} vs gather@{b}: {t_g_big/t_oh:.2f}x "
           f"(vs gather@{cs}: {t_g_cs/t_oh:.2f}x)", file=sys.stderr)
+    print(f"grouped@{b} vs gather@{b}: {t_g_big/t_gr:.2f}x", file=sys.stderr)
     print(f"onehot vs gather last-chunk max|diff|: "
           f"{np.abs(out_oh - out_g_cs).max():.3e}", file=sys.stderr)
+    print(f"grouped vs gather@{b} full-render max|diff|: "
+          f"{np.abs(out_gr - out_g_big).max():.3e}", file=sys.stderr)
     return 0
 
 

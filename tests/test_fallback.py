@@ -86,37 +86,58 @@ def test_dedup_fused_fallback(db, config, castanets, capsys):
     assert rep.ok, str(rep)
 
 
-def _wide_mover(config, blocks=256, seed=3):
-    """Random per-block positions spanning the full sphere: touches far more
-    than MAX_ONEHOT_U unique filters per 256-block chunk."""
-    rng = np.random.default_rng(seed)
-    azi = rng.uniform(0, 360, blocks)
-    ele = rng.uniform(-40, 90, blocks)
-    return np.stack([azi, ele, np.full(blocks, 1.0)], axis=1)
-
-
-def test_onehot_subchunking_breaks_the_cliff(db, config, castanets):
+def test_onehot_grouped_breaks_the_cliff(db, config, castanets):
     """A chunk touching > MAX_ONEHOT_U unique filters no longer abandons the
-    one-hot blend: plan_onehot_chunking halves the chunk size until each
-    chunk's unique set fits the VMEM gate, and the render stays correct."""
+    one-hot blend: the chunk's tiles blend against per-GROUP compact tables
+    (one kernel dispatch either way — host-side sub-chunking was measured
+    5.3x slower through the relay, PERF.md), and the render stays correct."""
+    from jefferson_tpu.bench.sweep import mover_positions
     from jefferson_tpu.engine.plan import make_plan
     from jefferson_tpu.engine.renderer import plan_onehot_chunking
     from jefferson_tpu.pallas.fused_step import MAX_ONEHOT_U
 
-    pos = _wide_mover(config)
+    cb = 1024
+    pos = mover_positions(cb)  # full-sphere gradual mover
     plan = make_plan(pos, config)
     total_unique = len(np.unique(plan.idx_new))
     assert total_unique > MAX_ONEHOT_U, "fixture must exceed the VMEM gate"
 
-    cs, u_pad = plan_onehot_chunking(plan, plan.num_blocks, 256)
+    group, u_pad = plan_onehot_chunking(plan, plan.num_blocks, cb, tb=256)
     assert u_pad is not None and u_pad <= MAX_ONEHOT_U
-    assert cs < 256, "expected sub-chunking for the wide mover"
+    assert group < cb, "expected per-group tables for the wide mover"
 
     sig = castanets[:40000]
-    got = Renderer(db, chunk_blocks=256, fused=True).render(sig, pos)
-    want = Renderer(db, chunk_blocks=256, fused=False).render(sig, pos)
+    r = Renderer(db, chunk_blocks=cb, fused=True)
+    got = r.render(sig, pos)
+    assert r._fd_onehot_grp, "grouped one-hot path was not taken"
+    want = Renderer(db, chunk_blocks=cb, fused=False).render(sig, pos)
     rep = precision_check(got, want, eps=5e-7)
     assert rep.ok, str(rep)
+
+
+def test_compact_filter_ids_grouped_roundtrip(db, config):
+    """Grouped remapping resolves every row and boundary id back to the
+    original filter ids."""
+    from jefferson_tpu.bench.sweep import mover_positions
+    from jefferson_tpu.engine.plan import compact_filter_ids_grouped, make_plan
+
+    b, group, tb = 512, 256, 128
+    plan = make_plan(mover_positions(b), config)
+    io = plan.idx_old
+    last = plan.idx_new[-1:]
+    uniq_ids, ridx, rbnd = compact_filter_ids_grouped(io, last, group, tb, 256)
+    assert uniq_ids.shape == (b // group * 256,)
+    # every remapped row resolves to the original id via its group's table
+    for blk in range(0, b, 37):
+        g = blk // group
+        table = uniq_ids[g * 256 : (g + 1) * 256]
+        np.testing.assert_array_equal(table[ridx[blk]], io[blk])
+    # boundary rows: tile i's patch = old row at (i+1)*tb, final = last
+    for i in range(b // tb):
+        g = (i * tb) // group
+        table = uniq_ids[g * 256 : (g + 1) * 256]
+        want = io[(i + 1) * tb] if (i + 1) * tb < b else last[0]
+        np.testing.assert_array_equal(table[rbnd[i]], want)
 
 
 def test_onehot_render_wide_bucket(db, config):
@@ -132,10 +153,10 @@ def test_onehot_render_wide_bucket(db, config):
     pos[:16, 0] = np.arange(16)            # azi 0..15 (few filters)
     pos[16:, 0] = np.arange(16) * 20       # azi 0..300 (more filters)
     plan = make_plan(pos, config)
-    cs, u_pad = plan_onehot_chunking(plan, blocks, 16, min_cb=8)
-    assert cs == 16
+    group, u_pad = plan_onehot_chunking(plan, blocks, 16, tb=8)
+    assert group == 16  # narrow chunks: no grouping needed
     u1 = len(np.unique(np.concatenate([plan.idx_old[:16].reshape(-1),
-                                       plan.idx_new[15:16].reshape(-1)])))
+                                       plan.idx_old[16:17].reshape(-1)])))
     u2 = len(np.unique(np.concatenate([plan.idx_old[16:].reshape(-1),
                                        plan.idx_new[31:32].reshape(-1)])))
     assert u_pad >= max(u1, u2), "bucket must cover the widest chunk"
