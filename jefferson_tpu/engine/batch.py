@@ -131,7 +131,13 @@ def batched_chunk_fn_dedup(config: EngineConfig, num_blocks: int, with_xfade: bo
     return fn
 
 
-def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int, onehot: bool = False):
+def batched_chunk_fn_fused(
+    config: EngineConfig,
+    num_blocks: int,
+    tb: int,
+    onehot: bool = False,
+    group_tiles: int | None = None,
+):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
     Signature: (spectra, hists (S, hist), feds, idx_old (S, nb, 4),
@@ -170,7 +176,7 @@ def batched_chunk_fn_fused(config: EngineConfig, num_blocks: int, tb: int, oneho
                 streams, dr, di, table, flat(ridx), flat(w_old),
                 ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
                 nb=num_blocks, pad_len=config.pad_len,
-                bins=config.num_bins, fpb=fpb, tb=tb,
+                bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
             )
             out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
             return out, new_hists
@@ -280,6 +286,39 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
     return fn
 
 
+def _plan_source_groups(idx_old, idx_last, s_local: int, tb_sources: int):
+    """(group_sources, u_pad) for the batched grouped one-hot, or (None, None).
+
+    Groups must be whole multiples of the tile's sources (tiles own whole
+    sources) and divide the per-shard source count (grouped tables shard by
+    source under shard_map).  Halve from s_local until every group's unique
+    set fits the VMEM gate."""
+    from ..pallas.fused_step import MAX_ONEHOT_U
+
+    s = idx_old.shape[0]
+    group = s_local
+    while True:
+        if group < tb_sources or group % tb_sources or s % group:
+            return None, None
+        max_u = 1
+        for st in range(0, s, group):
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        idx_old[st : st + group].reshape(-1),
+                        idx_last[st : st + group].reshape(-1),
+                    ]
+                )
+            )
+            max_u = max(max_u, len(ids))
+        u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+        if u_pad <= MAX_ONEHOT_U:
+            return group, u_pad
+        if group // 2 < tb_sources or group % 2:
+            return None, None
+        group //= 2
+
+
 def mix_sources(outs: jax.Array) -> jax.Array:
     """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
     the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
@@ -324,8 +363,9 @@ class BatchRenderer:
         )
         self._jitted = {}
 
-    def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False):
-        key = (nb, dedup_key, fused_tb, onehot)
+    def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
+                group_tiles=None):
+        key = (nb, dedup_key, fused_tb, onehot, group_tiles)
         if key not in self._jitted:
             if fused_tb is not None and dedup_key is not None:
                 # dedup + fused composition (the fastest measured mode when
@@ -350,7 +390,10 @@ class BatchRenderer:
                         check_rep=False,
                     )
             elif fused_tb is not None:
-                fn = batched_chunk_fn_fused(self.config, nb, tb=fused_tb, onehot=onehot)
+                fn = batched_chunk_fn_fused(
+                    self.config, nb, tb=fused_tb, onehot=onehot,
+                    group_tiles=group_tiles,
+                )
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
@@ -360,7 +403,10 @@ class BatchRenderer:
                         in_specs = (
                             (P(), P()),    # spectra: replicated planes
                             sh(2), sh(2),  # hists, feds
-                            P(),           # uniq_ids (replicated compact table)
+                            # grouped tables shard by source group (groups
+                            # align with source shards); one shared table
+                            # replicates
+                            sh(1) if group_tiles is not None else P(),
                             sh(3), sh(3),  # ridx, w_old
                             sh(2), sh(2),  # ridx_last, w_last
                             sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
@@ -508,7 +554,7 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, u_pad, tb_f, False), None)
+                    self._jitted.pop((nb, u_pad, tb_f, False, None), None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path"
                     )
@@ -522,7 +568,34 @@ class BatchRenderer:
                 from ..pallas.fused_step import MAX_ONEHOT_U
 
                 onehot = u_pad <= MAX_ONEHOT_U  # table + tiles must fit VMEM
-                fn = self._get_fn(nb, fused_tb=tb_f, onehot=onehot)
+                group_tiles = None
+                if not onehot:
+                    # wide scene: per-source-group compact tables inside the
+                    # same dispatch (round 3; mirrors the single-stream
+                    # grouped one-hot — see plan.compact_filter_ids_grouped_sources).
+                    # Groups need not align with the default tile: re-pick a
+                    # tile bounded by the group so tiles never straddle one.
+                    g_srcs, g_upad = _plan_source_groups(
+                        idx_old_np, idx_last_np, s_local, 1
+                    )
+                    if g_srcs is not None:
+                        tb_g = pick_fused_tile(s_local * nb, nb, max_tb=g_srcs * nb)
+                        if tb_g is not None and (g_srcs * nb) % tb_g:
+                            # one source per tile always aligns (Mosaic
+                            # still needs the sublane multiple)
+                            tb_g = nb if nb % 8 == 0 else None
+                        if tb_g is not None:
+                            from .plan import compact_filter_ids_grouped_sources
+
+                            uniq_ids, ridx, ridx_last = compact_filter_ids_grouped_sources(
+                                idx_old_np, idx_last_np, g_srcs, g_upad
+                            )
+                            onehot = True
+                            tb_f = tb_g
+                            group_tiles = (g_srcs * nb) // tb_f
+                fn = self._get_fn(
+                    nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles
+                )
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 rep = (
                     jnp.asarray
@@ -530,7 +603,13 @@ class BatchRenderer:
                     else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
                 )
                 if onehot:
-                    head = (rep(uniq_ids), self._shard(ridx))
+                    # grouped tables shard by source group; one shared table
+                    # replicates across the mesh
+                    ids_put = (
+                        self._shard(uniq_ids) if group_tiles is not None
+                        else rep(uniq_ids)
+                    )
+                    head = (ids_put, self._shard(ridx))
                     last = self._shard(ridx_last)
                 else:
                     head = (self._shard(idx_old_np),)
@@ -557,7 +636,7 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, None, tb_f, onehot), None)
+                    self._jitted.pop((nb, None, tb_f, onehot, group_tiles), None)
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",

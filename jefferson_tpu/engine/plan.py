@@ -198,6 +198,45 @@ def compact_filter_ids_grouped(
     return np.concatenate(tables), ridx, rbnd
 
 
+def compact_filter_ids_grouped_sources(
+    idx_old: np.ndarray, idx_last: np.ndarray, group_sources: int, u_pad: int
+):
+    """Per-SOURCE-GROUP compact tables for the batched one-hot kernel.
+
+    Wide scenes (many sources moving across the sphere) exceed one compact
+    table's VMEM gate; groups of consecutive sources share a table slice
+    instead (the batched kernel's tiles own whole sources, so grouping by
+    source needs no boundary handling — each source's roll patch is its own
+    last-new row).
+
+    idx_old: (S, nb, 4); idx_last: (S, 4).  Returns (uniq_ids
+    (G*u_pad,), ridx (S, nb, 4), rlast (S, 4)), ids remapped per group.
+    """
+    idx_old = np.asarray(idx_old, np.int32)
+    idx_last = np.asarray(idx_last, np.int32)
+    s = idx_old.shape[0]
+    assert s % group_sources == 0
+    tables = []
+    ridx = np.empty_like(idx_old)
+    rlast = np.empty_like(idx_last)
+    for g, start in enumerate(range(0, s, group_sources)):
+        stop = start + group_sources
+        ids = np.concatenate(
+            [idx_old[start:stop].reshape(-1), idx_last[start:stop].reshape(-1)]
+        )
+        uniq = np.unique(ids)
+        if len(uniq) > u_pad:
+            raise ValueError(f"group {g}: {len(uniq)} unique filters > bucket {u_pad}")
+        lut = np.zeros(int(ids.max()) + 1, np.int32)
+        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+        tables.append(
+            np.concatenate([uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]).astype(np.int32)
+        )
+        ridx[start:stop] = lut[idx_old[start:stop]]
+        rlast[start:stop] = lut[idx_last[start:stop]]
+    return np.concatenate(tables), ridx, rlast
+
+
 def fed_stream(signal: np.ndarray, num_blocks: int, config: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
     """The sample stream the engine consumes: the input repeated (wrapping
     playhead, reference: Jefferson/src/Audio.cu:121-139) and truncated to

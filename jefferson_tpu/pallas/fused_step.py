@@ -351,13 +351,14 @@ def fused_step_stream_onehot_grouped_xfade(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
+    jax.jit,
+    static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles", "interpret"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
     dr: jax.Array,        # (S*nb, bins)
     di: jax.Array,
-    table: jax.Array,     # (U_pad, 4*bins) compact filter table
+    table: jax.Array,     # (U_pad, 4*bins) compact table; (G*U_pad, 4*bins) grouped
     ridx: jax.Array,      # (S*nb, 4) int32, remapped into the compact table
     w: jax.Array,         # (S*nb, 4)
     ridx_last: jax.Array,  # (S, 4) int32 per-source final new rows
@@ -368,9 +369,17 @@ def fused_step_onehot_xfade(
     bins: int,
     fpb: int,
     tb: int = 256,
+    group_tiles: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Batched fully-fused step with the in-kernel one-hot blend."""
+    """Batched fully-fused step with the in-kernel one-hot blend.
+
+    ``group_tiles``: per-group tables for wide scenes — every
+    ``group_tiles`` consecutive tiles (= group_tiles * tb/nb sources)
+    blend against their own table slice of the stacked (G*U_pad, 4*bins)
+    ``table`` (ids pre-remapped per group, plan.compact_filter_ids_grouped
+    semantics); None = one shared table (the fast path when the whole
+    scene's unique set fits the VMEM gate)."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     s = streams.shape[0]
@@ -381,7 +390,12 @@ def fused_step_onehot_xfade(
     g_sources = tb // nb
     rows = nb + q - 1
     rows_pad = _round_up(rows, 8)
-    u_pad = table.shape[0]
+    if group_tiles is None:
+        u_pad = table.shape[0]
+    else:
+        n_groups = (b // tb) // group_tiles
+        assert table.shape[0] % n_groups == 0
+        u_pad = table.shape[0] // n_groups
     c4 = table.shape[1]
 
     subs = streams.reshape(s, rows, fpb)
@@ -411,6 +425,13 @@ def fused_step_onehot_xfade(
     n_tiles = b // tb
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    if group_tiles is None:
+        table_spec = full()  # one compact table resident across the grid
+    else:  # per-group slice: tile i reads rows [g*U_pad, (g+1)*U_pad)
+        gt = group_tiles
+        table_spec = pl.BlockSpec(
+            (u_pad, c4), lambda i: (i // gt, 0), memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -423,7 +444,7 @@ def fused_step_onehot_xfade(
             tile(4, r=p_pad),
             tile(4, r=p_pad),
             tile(1),
-            full(),          # compact table resident across the grid
+            table_spec,
             full(), full(),
             full(), full(),
             full(), full(),

@@ -237,3 +237,63 @@ def test_batch_fused_fallback_and_propagation(db, config, castanets, monkeypatch
     monkeypatch.setattr(batch_mod, "batched_chunk_fn_dedup_fused", boom_bug)
     with pytest.raises(ValueError, match="genuine shape bug"):
         br2.render(signals, positions)
+
+
+def _wide_scene(config, castanets, s=8, blocks=16, seed=11):
+    """Many sources spread over the full sphere, all moving: the
+    cross-source unique-filter set exceeds one compact table's VMEM gate."""
+    rng = np.random.default_rng(seed)
+    signals = np.stack([np.roll(castanets, 300 * i)[:4000] for i in range(s)])
+    trajs = []
+    for i in range(s):
+        azi0 = rng.uniform(0, 360)
+        ele = rng.uniform(-40, 85)
+        trajs.append(
+            CircularOrbit(period_s=1.0 + 0.1 * i, ele=ele, r=1.0, start_azi=azi0
+                          ).sample(blocks, config)
+        )
+    return signals, np.stack(trajs)
+
+
+def test_batch_grouped_onehot_wide_scene(db, config, castanets, monkeypatch):
+    """A scene whose cross-source unique set exceeds MAX_ONEHOT_U uses
+    per-source-group tables (one dispatch) and stays correct."""
+    import jefferson_tpu.pallas.fused_step as fs
+    from jefferson_tpu.engine.batch import _plan_source_groups
+    from jefferson_tpu.engine.plan import make_plan
+
+    # shrink the gate so the small CI scene counts as "wide"
+    monkeypatch.setattr(fs, "MAX_ONEHOT_U", 32)
+    signals, positions = _wide_scene(config, castanets)
+    s, nb = positions.shape[0], positions.shape[1]
+    plans = [make_plan(positions[i], config) for i in range(s)]
+    idx_old = np.stack([p.idx_old for p in plans])
+    idx_last = np.stack([p.idx_new[-1] for p in plans])
+    all_u = len(np.unique(np.concatenate([idx_old.reshape(-1), idx_last.reshape(-1)])))
+    assert all_u > 32, "fixture must exceed the shrunken gate"
+    g, up = _plan_source_groups(idx_old, idx_last, s, tb_sources=1)
+    assert g is not None and g < s and up <= 32
+
+    fused = BatchRenderer(db, chunk_blocks=16, fused=True, dedup=False)
+    got = fused.render(signals, positions)
+    assert any(
+        k[3] and k[4] is not None for k in fused._jitted
+    ), "grouped one-hot batch fn was never compiled"
+    want = BatchRenderer(db, chunk_blocks=16, fused=False).render(signals, positions)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
+
+
+def test_batch_grouped_onehot_sharded(db, config, castanets, monkeypatch):
+    """Grouped tables shard by source group across the mesh."""
+    import jefferson_tpu.pallas.fused_step as fs
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(fs, "MAX_ONEHOT_U", 32)
+    signals, positions = _wide_scene(config, castanets, s=16)
+    mesh = make_mesh(8)
+    fused = BatchRenderer(db, chunk_blocks=16, mesh=mesh, fused=True, dedup=False)
+    got = fused.render(signals, positions)
+    want = BatchRenderer(db, chunk_blocks=16, fused=False).render(signals, positions)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
