@@ -319,6 +319,57 @@ def _plan_source_groups(idx_old, idx_last, s_local: int, tb_sources: int):
         group //= 2
 
 
+def _plan_batch_onehot(plans, b_total: int, cb: int, s_local: int):
+    """Render-wide one-hot plan for the batched form.
+
+    Returns ('shared', u_pad) — one table bucket for every chunk —
+    or ('grouped', g_srcs, u_pad) — per-source-group tables, one group
+    size and bucket for every chunk — or None (gather blend).  One plan
+    per render keeps table shapes (and thus compiled programs) fixed
+    across chunks; per-chunk buckets would recompile whenever a chunk
+    straddles a power-of-two unique count (each remote compile is
+    20 s - 5 min), mirroring renderer.plan_onehot_chunking.
+    """
+    from ..pallas.fused_step import MAX_ONEHOT_U
+
+    chunks = []
+    for start in range(0, b_total, cb):
+        stop = min(start + cb, b_total)
+        chunks.append(
+            (
+                np.stack([p.idx_old[start:stop] for p in plans]),
+                np.stack([p.idx_new[stop - 1] for p in plans]),
+            )
+        )
+
+    def bucket(g: int | None) -> int:
+        m = 1
+        for io, il in chunks:
+            groups = [(0, io.shape[0])] if g is None else [
+                (st, st + g) for st in range(0, io.shape[0], g)
+            ]
+            for st, sp in groups:
+                ids = np.concatenate(
+                    [io[st:sp].reshape(-1), il[st:sp].reshape(-1)]
+                )
+                m = max(m, len(np.unique(ids)))
+        return max(8, 1 << int(np.ceil(np.log2(m))))
+
+    u = bucket(None)
+    if u <= MAX_ONEHOT_U:
+        return ("shared", u)
+    g = s_local
+    while g >= 1:
+        if s_local % g == 0:
+            u = bucket(g)
+            if u <= MAX_ONEHOT_U:
+                return ("grouped", g, u)
+        if g % 2:
+            return None
+        g //= 2
+    return None
+
+
 def mix_sources(outs: jax.Array) -> jax.Array:
     """(S, nb, fpb, 2) per-source stereo -> (nb, fpb, 2) mixed (summed, like
     the reference's output accumulation, reference: Jefferson/src/Audio.cu:109)."""
@@ -362,6 +413,23 @@ class BatchRenderer:
             jnp.asarray(np.imag(db.spectra).astype(np.float32)),
         )
         self._jitted = {}
+        # cross-render failure counts per fused variant (see
+        # renderer._MAX_FUSED_STRIKES): flaky compiles retry next render,
+        # deterministic failures stop being attempted
+        self._fused_strikes: dict[str, int] = {}
+
+    def _variant_ok(self, variant: str) -> bool:
+        from .renderer import _MAX_FUSED_STRIKES
+
+        return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
+
+    def _variant_result(self, variant: str, ok: bool) -> int:
+        if ok:
+            self._fused_strikes.pop(variant, None)
+            return 0
+        n = self._fused_strikes.get(variant, 0) + 1
+        self._fused_strikes[variant] = n
+        return n
 
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
                 group_tiles=None):
@@ -493,6 +561,16 @@ class BatchRenderer:
         # compile/runtime-stack failure; retried on the next render
         # (see renderer._is_fused_fallback_error)
         fused_off = False
+        # render-wide one-hot plan (one bucket -> one compiled program per
+        # render; see _plan_batch_onehot) — only relevant when dedup does
+        # not apply (movers)
+        onehot_plan = None
+        if self.fused and dedup_chunks is None and b_total:
+            n_dev = self.mesh.size if self.mesh is not None else 1
+            if s % n_dev == 0:
+                onehot_plan = _plan_batch_onehot(
+                    plans, b_total, self.chunk_blocks, s // n_dev
+                )
         for ci, start in enumerate(range(0, b_total, self.chunk_blocks)):
             stop = min(start + self.chunk_blocks, b_total)
             nb = stop - start
@@ -511,6 +589,10 @@ class BatchRenderer:
                 s_local = s // n_dev if s % n_dev == 0 else 0
                 tb_f = pick_fused_tile(s_local * nb, nb) if s_local else None
             else:
+                tb_f = None
+            if tb_f is not None and dedup_chunks is not None and not self._variant_ok("dedup_fused"):
+                tb_f = None
+            elif tb_f is not None and dedup_chunks is None and not self._variant_ok("mover"):
                 tb_f = None
             if tb_f is not None and dedup_chunks is not None:
                 # dedup + fused composition: the common scene case (sources
@@ -546,6 +628,7 @@ class BatchRenderer:
                         sharded["u_lo"],
                         sharded["inv_frac"],
                     )
+                    self._variant_result("dedup_fused", True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -556,43 +639,41 @@ class BatchRenderer:
                     fused_off = True
                     self._jitted.pop((nb, u_pad, tb_f, False, None), None)
                     _warn_fused_fallback(
-                        e, "dedup+fused batch", "the XLA dedup batch path"
+                        e, "dedup+fused batch", "the XLA dedup batch path",
+                        strikes=self._variant_result("dedup_fused", False),
                     )
                     # fall through to the XLA dedup dispatch for this chunk
             elif tb_f is not None:
                 idx_old_np = np.stack([p.idx_old[sl] for p in plans])
                 idx_last_np = np.stack([p.idx_new[stop - 1] for p in plans])
-                uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
-                    idx_old_np, idx_last_np
-                )
-                from ..pallas.fused_step import MAX_ONEHOT_U
-
-                onehot = u_pad <= MAX_ONEHOT_U  # table + tiles must fit VMEM
+                onehot = False
                 group_tiles = None
-                if not onehot:
-                    # wide scene: per-source-group compact tables inside the
-                    # same dispatch (round 3; mirrors the single-stream
-                    # grouped one-hot — see plan.compact_filter_ids_grouped_sources).
-                    # Groups need not align with the default tile: re-pick a
-                    # tile bounded by the group so tiles never straddle one.
-                    g_srcs, g_upad = _plan_source_groups(
-                        idx_old_np, idx_last_np, s_local, 1
+                if onehot_plan is not None and onehot_plan[0] == "shared":
+                    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+                        idx_old_np, idx_last_np, u_pad=onehot_plan[1]
                     )
-                    if g_srcs is not None:
-                        tb_g = pick_fused_tile(s_local * nb, nb, max_tb=g_srcs * nb)
-                        if tb_g is not None and (g_srcs * nb) % tb_g:
-                            # one source per tile always aligns (Mosaic
-                            # still needs the sublane multiple)
-                            tb_g = nb if nb % 8 == 0 else None
-                        if tb_g is not None:
-                            from .plan import compact_filter_ids_grouped_sources
+                    onehot = True
+                elif onehot_plan is not None:
+                    # wide scene: per-source-group compact tables inside the
+                    # same dispatch (round 3; see plan.compact_filter_ids_
+                    # grouped_sources).  Groups need not align with the
+                    # default tile: re-pick one bounded by the group so
+                    # tiles never straddle it.
+                    _, g_srcs, g_upad = onehot_plan
+                    tb_g = pick_fused_tile(s_local * nb, nb, max_tb=g_srcs * nb)
+                    if tb_g is not None and (g_srcs * nb) % tb_g:
+                        # one source per tile always aligns (Mosaic still
+                        # needs the sublane multiple)
+                        tb_g = nb if nb % 8 == 0 else None
+                    if tb_g is not None:
+                        from .plan import compact_filter_ids_grouped_sources
 
-                            uniq_ids, ridx, ridx_last = compact_filter_ids_grouped_sources(
-                                idx_old_np, idx_last_np, g_srcs, g_upad
-                            )
-                            onehot = True
-                            tb_f = tb_g
-                            group_tiles = (g_srcs * nb) // tb_f
+                        uniq_ids, ridx, ridx_last = compact_filter_ids_grouped_sources(
+                            idx_old_np, idx_last_np, g_srcs, g_upad
+                        )
+                        onehot = True
+                        tb_f = tb_g
+                        group_tiles = (g_srcs * nb) // tb_f
                 fn = self._get_fn(
                     nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles
                 )
@@ -628,6 +709,7 @@ class BatchRenderer:
                         sharded["u_lo"],
                         sharded["inv_frac"],
                     )
+                    self._variant_result("mover", True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -640,6 +722,7 @@ class BatchRenderer:
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",
+                        strikes=self._variant_result("mover", False),
                     )
                     # fall through to the direct/dedup dispatch for this chunk
             if dedup_chunks is not None:

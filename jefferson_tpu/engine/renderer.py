@@ -212,15 +212,30 @@ def _is_fused_fallback_error(e: BaseException) -> bool:
     return any(t.__name__ in _FUSED_FALLBACK_TYPES for t in type(e).__mro__)
 
 
-def _warn_fused_fallback(e: BaseException, variant: str, fallback: str) -> None:
+# consecutive cross-render failures after which a fused variant stops being
+# retried by that instance: one flaky remote-compile HTTP 500 is retried on
+# the next render, but a DETERMINISTIC failure (Mosaic lowering limit, VMEM
+# OOM on a fixed geometry) must not re-pay a 20 s - 5 min compile attempt on
+# every render of a long-lived instance (e.g. the serve.py daemon)
+_MAX_FUSED_STRIKES = 2
+
+
+def _warn_fused_fallback(
+    e: BaseException, variant: str, fallback: str, strikes: int | None = None
+) -> None:
     import sys
 
     msg = str(e).strip().splitlines()
     head = msg[0][:300] if msg else ""
+    if strikes is not None and strikes >= _MAX_FUSED_STRIKES:
+        retry = (f"disabled for this instance after {strikes} consecutive "
+                 f"failures")
+    else:
+        retry = "it will be retried on the next render"
     print(
         f"warning: fused kernel ({variant}) failed to compile/run — using "
-        f"{fallback} for the rest of this render; it will be retried on the "
-        f"next render\n  {type(e).__name__}: {head}",
+        f"{fallback} for the rest of this render; {retry}\n"
+        f"  {type(e).__name__}: {head}",
         file=sys.stderr,
     )
 
@@ -533,9 +548,13 @@ def plan_onehot_chunking(
         u_pad = bucket(group)
         if u_pad <= MAX_ONEHOT_U:
             return group, u_pad
-        if group // 2 < tb or group % 2:
+        nxt = group // 2
+        # the kernel block-slices the table by tile group: groups must stay
+        # whole multiples of the tile AND divide the chunk (a 1536-block
+        # chunk with tb=256 may halve 1536->768 but not 768->384)
+        if nxt < tb or nxt % tb or cb % nxt:
             return cb, None
-        group //= 2
+        group = nxt
 
 
 def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend):
@@ -667,10 +686,26 @@ class Renderer:
             _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
             tb=tb, group_tiles=gt, u_pad=up,
         )
+        # consecutive cross-render failure counts per fused variant; a
+        # variant at _MAX_FUSED_STRIKES stops being attempted (see
+        # _warn_fused_fallback); any success resets its count
+        self._fused_strikes: dict[str, int] = {}
         self._mk_fd_basic = lambda nb: jit_chunk(
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
         )
         self._mk_td = lambda nb: jit_chunk(_td_chunk, config=cfg, num_blocks=nb)
+
+    def _variant_ok(self, variant: str) -> bool:
+        return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
+
+    def _variant_result(self, variant: str, ok: bool) -> int:
+        """Record a fused-variant outcome; returns the new strike count."""
+        if ok:
+            self._fused_strikes.pop(variant, None)
+            return 0
+        n = self._fused_strikes.get(variant, 0) + 1
+        self._fused_strikes[variant] = n
+        return n
 
     # --- public API -------------------------------------------------------
     def render(
@@ -802,6 +837,7 @@ class Renderer:
                 tb_o = (
                     pick_fused_tile(cb, cb)
                     if onehot_u_pad is not None and "onehot" not in fused_off
+                    and self._variant_ok("onehot")
                     else None
                 )
                 if tb_o is not None:
@@ -843,6 +879,7 @@ class Renderer:
                             jnp.asarray(wbnd),
                             *tail_args,
                         )
+                        self._variant_result("onehot", True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -851,7 +888,8 @@ class Renderer:
                         fused_off.add("onehot")
                         self._fd_onehot_grp.pop(key, None)
                         _warn_fused_fallback(
-                            e, "grouped one-hot", "the gather/XLA path"
+                            e, "grouped one-hot", "the gather/XLA path",
+                            strikes=self._variant_result("onehot", False),
                         )
                 elif tb_o is not None:
                     from .plan import compact_filter_ids
@@ -874,6 +912,7 @@ class Renderer:
                             jnp.asarray(last_w),
                             *tail_args,
                         )
+                        self._variant_result("onehot", True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -881,10 +920,13 @@ class Renderer:
                             raise
                         fused_off.add("onehot")
                         self._fd_onehot.pop(key, None)
-                        _warn_fused_fallback(e, "one-hot", "the gather/XLA path")
+                        _warn_fused_fallback(
+                            e, "one-hot", "the gather/XLA path",
+                            strikes=self._variant_result("onehot", False),
+                        )
                 if (
                     dedup_chunks is None and "gather" not in fused_off
-                    and self.fused and with_xfade
+                    and self.fused and with_xfade and self._variant_ok("gather")
                 ):
                     tb_f = pick_fused_tile(cb, cb)
                 else:
@@ -920,6 +962,7 @@ class Renderer:
                             pad(plan.u_lo[sl], nb),
                             pad(plan.inv_frac[sl], nb),
                         )
+                        self._variant_result("gather", True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -927,7 +970,10 @@ class Renderer:
                             raise
                         fused_off.add("gather")
                         self._fd_fused.pop(key, None)
-                        _warn_fused_fallback(e, "gather-blend", "the XLA path")
+                        _warn_fused_fallback(
+                            e, "gather-blend", "the XLA path",
+                            strikes=self._variant_result("gather", False),
+                        )
                         # fall through to the XLA dispatch for this chunk
                 if dedup_chunks is not None:
                     uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
@@ -938,6 +984,7 @@ class Renderer:
                     tb_df = (
                         pick_fused_tile(cb, cb)
                         if self.fused and with_xfade and "dedup" not in fused_off
+                        and self._variant_ok("dedup")
                         else None
                     )
                     if tb_df is not None:  # dedup + fused composition
@@ -958,6 +1005,7 @@ class Renderer:
                                 pad(plan.u_lo[sl], nb),
                                 pad(plan.inv_frac[sl], nb),
                             )
+                            self._variant_result("dedup", True)
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                             continue
                         except Exception as e:
@@ -965,7 +1013,10 @@ class Renderer:
                                 raise
                             fused_off.add("dedup")
                             self._fd_dedup_fused.pop(key, None)
-                            _warn_fused_fallback(e, "dedup+fused", "the XLA dedup path")
+                            _warn_fused_fallback(
+                                e, "dedup+fused", "the XLA dedup path",
+                                strikes=self._variant_result("dedup", False),
+                            )
                     key = (cb, with_xfade, u_pad)
                     if key not in self._fd_dedup:
                         self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)

@@ -93,6 +93,7 @@ def main(argv=None) -> int:
     n_sig = len(signal)
 
     control = None
+    key_thread = None
     if args.keys:
         from ..trajectory.spatial import cartesian_to_spherical
         from .control import SourceControl, start_key_thread
@@ -104,7 +105,8 @@ def main(argv=None) -> int:
             print(f"\r[{key:>5}] azi {a:5.0f}  ele {e:4.0f}  r {r:5.2f}  ",
                   end="", file=sys.stderr, flush=True)
 
-        if start_key_thread(control, on_key=readout) is None:
+        key_thread = start_key_thread(control, on_key=readout)
+        if key_thread is None:
             print("jefferson-rt --keys: stdin is not a TTY; position is "
                   "controllable programmatically only", file=sys.stderr)
 
@@ -136,12 +138,16 @@ def main(argv=None) -> int:
     writer = StreamingWavWriter(args.output, cfg.sample_rate)
     play = AudioPlayout([source], cfg, writer=writer)
     stop = (lambda: control.quit) if control is not None else None
-    if args.live:
-        stats = play.play(num_blocks=num_blocks, stop=stop)
-    else:
-        # interactive fake-device mode paces to the block cadence so key
-        # presses land between blocks like a real device clock
-        stats = play.run_offline(num_blocks, paced=args.paced or args.keys, stop=stop)
+    try:
+        if args.live:
+            stats = play.play(num_blocks=num_blocks, stop=stop)
+        else:
+            # interactive fake-device mode paces to the block cadence so key
+            # presses land between blocks like a real device clock
+            stats = play.run_offline(num_blocks, paced=args.paced or args.keys, stop=stop)
+    finally:
+        if key_thread is not None:
+            key_thread.close()  # restore the terminal even on early exit
     writer.close()
     if play.clipping:
         print("ALERT! CLIPPING AUDIO!", file=sys.stderr)

@@ -43,9 +43,9 @@ _DEG = 180.0 / math.pi
 
 
 def _ele_deg(y: float, horiz: float) -> float:
-    """atan(y / horiz) in degrees with the C semantics at horiz == 0
-    (atan(+-inf) = +-90)."""
-    return math.atan2(y, horiz) * _DEG if horiz >= 0 else math.atan(y / horiz) * _DEG
+    """atan(y / horiz) in degrees; horiz is a sqrt (>= 0), and atan2 gives
+    the C atan(+-inf) = +-90 semantics at horiz == 0."""
+    return math.atan2(y, horiz) * _DEG
 
 
 class SourceControl:
@@ -141,67 +141,140 @@ def spherical_to_control_xyz(azi_deg: float, ele_deg: float, r: float):
     )
 
 
-def decode_keys(data: bytes) -> list[str]:
-    """Raw TTY bytes -> key names (handles ANSI arrow escape sequences)."""
+def decode_keys_partial(data: bytes) -> tuple[list[str], bytes]:
+    """Raw TTY bytes -> (key names, undecoded tail).
+
+    Handles ANSI escape sequences robustly: plain CSI/SS3 arrows map to
+    'up/down/left/right'; any OTHER complete escape sequence (shift-arrows,
+    Home, F-keys…) is consumed and IGNORED — it must never decode as 'esc'
+    plus stray letter keys (a held arrow key can split across reads, and
+    'A' is a real move key).  An incomplete sequence at the end of the
+    buffer (including a lone trailing ESC, which may be the first byte of
+    the next read's arrow) is returned as the tail for the caller to carry
+    into the next read; ``tty_key_loop`` promotes a lone carried ESC to a
+    real 'esc' press after a read timeout.
+    """
     keys: list[str] = []
     i = 0
+    n = len(data)
     arrows = {0x41: "up", 0x42: "down", 0x43: "right", 0x44: "left"}
-    while i < len(data):
+    while i < n:
         b = data[i]
-        if b == 0x1B:
-            if i + 2 < len(data) and data[i + 1] in (0x5B, 0x4F) and data[i + 2] in arrows:
-                keys.append(arrows[data[i + 2]])
-                i += 3
-                continue
+        if b != 0x1B:
+            ch = chr(b)
+            if ch.isprintable():
+                keys.append(ch)
+            i += 1
+            continue
+        if i + 1 >= n:
+            return keys, data[i:]  # lone trailing ESC: maybe truncated
+        nxt = data[i + 1]
+        if nxt not in (0x5B, 0x4F):  # not CSI/SS3: a real ESC press
             keys.append("esc")
             i += 1
             continue
-        ch = chr(b)
-        if ch.isprintable():
-            keys.append(ch)
-        i += 1
+        # CSI/SS3: scan to the final byte (0x40-0x7E after any parameters)
+        j = i + 2
+        while j < n and not (0x40 <= data[j] <= 0x7E):
+            j += 1
+        if j >= n:
+            return keys, data[i:]  # incomplete sequence: carry it
+        if j == i + 2 and data[j] in arrows:  # plain arrow, no parameters
+            keys.append(arrows[data[j]])
+        # else: some other control sequence — consume and ignore
+        i = j + 1
+    return keys, b""
+
+
+def decode_keys(data: bytes) -> list[str]:
+    """decode_keys_partial treating ``data`` as complete (a lone trailing
+    ESC is a real ESC press)."""
+    keys, rest = decode_keys_partial(data)
+    if rest == b"\x1b":
+        keys.append("esc")
+    # any other incomplete sequence tail is dropped
     return keys
 
 
-def tty_key_loop(control: SourceControl, stdin=None, on_key=None) -> None:
-    """Blocking raw-mode key loop on a TTY; returns when the user quits.
+def tty_key_loop(control: SourceControl, fd: int, on_key=None) -> None:
+    """Raw-mode key loop on an ALREADY-cbreak fd; returns when the user
+    quits.  Run in a daemon thread next to the audio loop (``jefferson-rt
+    --keys``) — terminal mode save/restore is owned by the caller (see
+    KeyThread), because a daemon thread's finally never runs when the
+    playout loop ends on its own.
 
-    Run in a daemon thread next to the audio loop (``jefferson-rt --keys``).
+    Incomplete escape sequences carry across reads (a held arrow key splits
+    at read boundaries); a carried lone ESC is promoted to a real 'esc'
+    press after one read timeout with no follow-up bytes.
     ``on_key`` (optional) is called with (key, (x, y, z)) after each applied
     key — the CLI uses it to print the live position readout.
     """
-    import sys
+    import os
+    import select
 
-    stdin = stdin if stdin is not None else sys.stdin
-    fd = stdin.fileno()
-    import termios
-    import tty
-
-    old = termios.tcgetattr(fd)
-    try:
-        tty.setcbreak(fd)
-        import os
-        import select
-
-        while not control.quit:
-            ready, _, _ = select.select([fd], [], [], 0.1)
-            if not ready:
-                continue
-            data = os.read(fd, 16)
-            if not data:
-                break
-            for key in decode_keys(data):
-                alive = control.apply_key(key)
-                if on_key is not None:
-                    on_key(key, control.coordinates())
-                if not alive:
+    carry = b""
+    while not control.quit:
+        ready, _, _ = select.select([fd], [], [], 0.05)
+        if not ready:
+            if carry == b"\x1b":  # a real ESC press, not a truncated arrow
+                if not control.apply_key("esc"):
                     return
-    finally:
-        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            carry = b""
+            continue
+        data = os.read(fd, 64)
+        if not data:
+            break
+        keys, carry = decode_keys_partial(carry + data)
+        for key in keys:
+            alive = control.apply_key(key)
+            if on_key is not None:
+                on_key(key, control.coordinates())
+            if not alive:
+                return
 
 
-def start_key_thread(control: SourceControl, on_key=None) -> threading.Thread | None:
-    """Start the TTY listener if stdin is a terminal; None otherwise."""
+class KeyThread:
+    """TTY listener with main-thread-owned terminal state (context manager).
+
+    ``close()``/``__exit__`` restores the terminal settings even when the
+    audio loop finishes on its own or raises — a daemon thread cannot be
+    relied on to unwind (its finally is skipped at interpreter shutdown,
+    leaving the shell in cbreak/no-echo until ``reset``).
+    """
+
+    def __init__(self, control: SourceControl, on_key=None):
+        import sys
+        import termios
+        import tty
+
+        self._fd = sys.stdin.fileno()
+        self._old = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+        self.thread = threading.Thread(
+            target=tty_key_loop, args=(control, self._fd),
+            kwargs={"on_key": on_key}, daemon=True,
+        )
+        self.thread.start()
+
+    def close(self) -> None:
+        import termios
+
+        if self._old is not None:
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+            self._old = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def start_key_thread(control: SourceControl, on_key=None) -> KeyThread | None:
+    """Start the TTY listener if stdin is a terminal; None otherwise.
+
+    Callers MUST close() the returned KeyThread (or use it as a context
+    manager) so the terminal mode is restored."""
     import sys
 
     try:
@@ -209,8 +282,4 @@ def start_key_thread(control: SourceControl, on_key=None) -> threading.Thread | 
             return None
     except Exception:
         return None
-    t = threading.Thread(
-        target=tty_key_loop, args=(control,), kwargs={"on_key": on_key}, daemon=True
-    )
-    t.start()
-    return t
+    return KeyThread(control, on_key=on_key)

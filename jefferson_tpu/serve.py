@@ -207,6 +207,13 @@ class RenderService:
         s = self._stream
         if s is None:
             return {"ok": False, "error": "no active stream session"}
+        known = {"azi", "ele", "r", "x", "y", "z", "key"}
+        given = {k for k in req if k not in ("cmd", "id")}
+        if not given & known:
+            # a typo'd field must not silently snap the position through the
+            # degree-rounded spherical round-trip while reporting ok
+            return {"ok": False,
+                    "error": f"move needs one of {sorted(known)}; got {sorted(given)}"}
         control = s["control"]
         if "key" in req:
             control.apply_key(str(req["key"]))

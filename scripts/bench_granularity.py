@@ -17,7 +17,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-SHAPES = [(256, 64), (128, 128), (256, 128), (512, 64), (128, 256), (512, 128)]
+# nb=128 geometries OOM the scoped VMEM at u_pad=256 (measured: 17.65M vs
+# the 16M limit — the orbit ring's full unique set is needed per table once
+# a step spans the whole orbit), so the sweep varies SOURCES at the proven
+# nb; more sources amortize dispatch the same way.
+SHAPES = [(256, 64), (512, 64), (1024, 64), (512, 32), (2048, 64)]
 
 
 def main() -> int:
@@ -44,6 +48,7 @@ def main() -> int:
     probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
 
     for s, nb in SHAPES:
+      try:
         plans = [
             make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
             for i in range(s)
@@ -98,6 +103,10 @@ def main() -> int:
             f"{bps:12,.0f} blocks/s  {bps*128/44100:8,.0f}x RT  (compile {comp:.0f}s)",
             file=sys.stderr,
         )
+      except Exception as e:  # e.g. VMEM OOM at this geometry — keep sweeping
+        lines = str(e).splitlines()
+        print(f"{s:4d} x {nb:3d}: FAILED {type(e).__name__}: "
+              f"{lines[0][:140] if lines else ''}", file=sys.stderr)
     return 0
 
 

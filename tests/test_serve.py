@@ -143,3 +143,21 @@ def test_daemon_live_stream_with_moves(daemon, db, config, castanets, tmp_path):
     assert not request(sock, {"cmd": "stream_stop"})["ok"]
     # move with no session -> clean error
     assert not request(sock, {"cmd": "move", "azi": 0})["ok"]
+
+
+def test_daemon_move_rejects_unknown_fields(daemon, db, config, castanets, tmp_path):
+    """A typo'd move must error, not silently snap the position through the
+    degree-rounded spherical round-trip while reporting ok."""
+    sock, service = daemon
+    src = tmp_path / "mv_in.wav"
+    write_wav(src, castanets[:4000, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "mv_out.wav"
+    assert request(sock, {"cmd": "stream_start", "input": str(src),
+                          "output": str(out), "seconds": 5, "paced": True})["ok"]
+    try:
+        bad = request(sock, {"cmd": "move", "azimuth": 90})  # typo'd field
+        assert not bad["ok"] and "move needs one of" in bad["error"]
+        bare = request(sock, {"cmd": "move"})
+        assert not bare["ok"]
+    finally:
+        request(sock, {"cmd": "stream_stop"})
