@@ -19,10 +19,16 @@ as a wire protocol — a client moves the source while the audio thread
 follows, reference: Jefferson/src/graphics.cu:376-601):
 
     {"cmd": "stream_start", "input": "in.wav", "output": "live.wav",
-     "seconds": 10, "paced": true}
+     "seconds": 10, "paced": true}                     # -> {"session": "s0"}
     {"cmd": "move", "azi": 90, "ele": 10, "r": 1.0}    # or {"key": "w"}
     {"cmd": "move", "x": 0.5, "y": 0.0, "z": -0.5}     # Cartesian form
     {"cmd": "stream_stop"}                              # -> deadline stats
+
+Multiple concurrent sessions are supported (each with its own spatializer,
+control state, and output WAV — independent streams, no mixdown; in-stream
+mixes are the scene command's job).  ``move``/``stream_stop`` take an
+optional "session" id; it may be omitted while exactly one session is
+active.  {"cmd": "stream_list"} enumerates active sessions.
 
     python -m jefferson_tpu.serve --socket /tmp/jefferson.sock &
     python -m jefferson_tpu.serve --socket /tmp/jefferson.sock \
@@ -63,7 +69,9 @@ class RenderService:
         # share one Renderer (jit caches, fused state) and one device —
         # serialize engine commands; move/ping/stats stay lock-free
         self._lock = threading.Lock()
-        self._stream = None  # active live stream session, if any
+        self._streams: dict[str, dict] = {}  # active live stream sessions
+        self._stream_seq = 0
+        self.max_streams = 8
 
     def handle(self, req: dict) -> dict:
         cmd = req.get("cmd", "render")
@@ -79,6 +87,12 @@ class RenderService:
                 return {"id": rid, **self._move(req)}
             except Exception as e:
                 return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+        if cmd == "stream_list":
+            return {"id": rid, "ok": True, "sessions": {
+                k: {"output": v["output"], "blocks": v["play"].stats.blocks,
+                    "alive": v["thread"].is_alive()}
+                for k, v in self._streams.items()
+            }}
         fns = {
             "render": self._render,
             "scene": self._scene,
@@ -155,8 +169,12 @@ class RenderService:
         from .rt.control import SourceControl
         from .rt.playout import AudioPlayout
 
-        if self._stream is not None and self._stream["thread"].is_alive():
-            return {"ok": False, "error": "a stream session is already active"}
+        self._streams = {
+            k: v for k, v in self._streams.items() if v["thread"].is_alive()
+        }
+        if len(self._streams) >= self.max_streams:
+            return {"ok": False,
+                    "error": f"too many active stream sessions ({self.max_streams})"}
         cfg = self.config
         signal, sr = read_wav_mono(req["input"])
         if sr != cfg.sample_rate:
@@ -189,13 +207,31 @@ class RenderService:
                 writer.close()
 
         t = threading.Thread(target=run, daemon=True)
-        self._stream = {
+        sid = f"s{self._stream_seq}"
+        self._stream_seq += 1
+        self._streams[sid] = {
             "thread": t, "control": control, "play": play, "spat": spat,
             "output": req["output"], "blocks": num_blocks,
         }
         t.start()
-        return {"ok": True, "output": req["output"], "blocks": num_blocks,
-                "paced": paced}
+        return {"ok": True, "session": sid, "output": req["output"],
+                "blocks": num_blocks, "paced": paced}
+
+    def _session(self, req: dict):
+        """Resolve a stream session from the optional 'session' field;
+        returns (session dict | None, error dict | None)."""
+        sid = req.get("session")
+        if sid is not None:
+            s = self._streams.get(sid)
+            return (s, None) if s is not None else (
+                None, {"ok": False, "error": f"no stream session {sid!r}"})
+        if not self._streams:
+            return None, {"ok": False, "error": "no active stream session"}
+        if len(self._streams) > 1:
+            return None, {"ok": False,
+                          "error": "multiple sessions active; pass 'session' "
+                                   f"(one of {sorted(self._streams)})"}
+        return next(iter(self._streams.values())), None
 
     def _move(self, req: dict) -> dict:
         """Move the live source (spherical, Cartesian, or a reference key)."""
@@ -204,11 +240,11 @@ class RenderService:
         from .rt.control import spherical_to_control_xyz
         from .trajectory.spatial import cartesian_to_spherical
 
-        s = self._stream
-        if s is None:
-            return {"ok": False, "error": "no active stream session"}
+        s, err = self._session(req)
+        if err is not None:
+            return err
         known = {"azi", "ele", "r", "x", "y", "z", "key"}
-        given = {k for k in req if k not in ("cmd", "id")}
+        given = {k for k in req if k not in ("cmd", "id", "session")}
         if not given & known:
             # a typo'd field must not silently snap the position through the
             # degree-rounded spherical round-trip while reporting ok
@@ -231,14 +267,14 @@ class RenderService:
                 "quit": control.quit}
 
     def _stream_stop(self, req: dict) -> dict:
-        s = self._stream
-        if s is None:
-            return {"ok": False, "error": "no active stream session"}
+        s, err = self._session(req)
+        if err is not None:
+            return err
         s["control"].quit = True
         s["thread"].join(timeout=30.0)
         if s["thread"].is_alive():
             return {"ok": False, "error": "stream did not stop in 30 s"}
-        self._stream = None
+        self._streams = {k: v for k, v in self._streams.items() if v is not s}
         stats = s["play"].stats
         return {
             "ok": True,

@@ -103,17 +103,14 @@ def test_daemon_live_stream_with_moves(daemon, db, config, castanets, tmp_path):
         "seconds": 10.0, "paced": True,
     })
     assert resp["ok"], resp
-    # a second session while one is running must be refused
-    resp2 = request(sock, {"cmd": "stream_start", "input": str(src),
-                           "output": str(out), "seconds": 0.1})
-    assert not resp2["ok"]
+    sid = resp["session"]
 
     def wait_blocks(n, timeout_s=30.0):
         """Block until the paced loop has emitted >= n blocks (prime absorbs
         the first jit compile, so the first block can take seconds)."""
         deadline = time.time() + timeout_s
         while time.time() < deadline:
-            if service._stream["play"].stats.blocks >= n:
+            if service._streams[sid]["play"].stats.blocks >= n:
                 return
             time.sleep(0.02)
         raise AssertionError(f"stream never reached {n} blocks")
@@ -122,14 +119,14 @@ def test_daemon_live_stream_with_moves(daemon, db, config, castanets, tmp_path):
     wait_blocks(4)
     mv = request(sock, {"cmd": "move", "azi": 90, "ele": 10, "r": 1.0})
     assert mv["ok"] and mv["azi"] == 90 and mv["ele"] == 10, mv
-    wait_blocks(service._stream["play"].stats.blocks + 4)
+    wait_blocks(service._streams[sid]["play"].stats.blocks + 4)
     mv = request(sock, {"cmd": "move", "key": "w"})
     assert mv["ok"]
-    wait_blocks(service._stream["play"].stats.blocks + 4)
+    wait_blocks(service._streams[sid]["play"].stats.blocks + 4)
     mv = request(sock, {"cmd": "move", "x": 0.5, "y": 0.0, "z": -0.5})
     # atan2(-x, -z) convention (SoundSource.cu:29): (0.5, -0.5) -> 315 deg
     assert mv["ok"] and mv["azi"] == 315, mv
-    wait_blocks(service._stream["play"].stats.blocks + 4)
+    wait_blocks(service._streams[sid]["play"].stats.blocks + 4)
 
     stats = request(sock, {"cmd": "stream_stop"})
     assert stats["ok"], stats
@@ -161,3 +158,42 @@ def test_daemon_move_rejects_unknown_fields(daemon, db, config, castanets, tmp_p
         assert not bare["ok"]
     finally:
         request(sock, {"cmd": "stream_stop"})
+
+
+def test_daemon_concurrent_sessions(daemon, db, config, castanets, tmp_path):
+    """Two live sessions at once: independent spatializers/outputs; moves
+    need an explicit session id while more than one is active."""
+    sock, service = daemon
+    src = tmp_path / "cc_in.wav"
+    write_wav(src, castanets[:6000, None].repeat(2, 1), config.sample_rate)
+    o1, o2 = tmp_path / "cc1.wav", tmp_path / "cc2.wav"
+    r1 = request(sock, {"cmd": "stream_start", "input": str(src),
+                        "output": str(o1), "seconds": 8, "paced": True})
+    r2 = request(sock, {"cmd": "stream_start", "input": str(src),
+                        "output": str(o2), "seconds": 8, "paced": True})
+    assert r1["ok"] and r2["ok"] and r1["session"] != r2["session"]
+
+    ls = request(sock, {"cmd": "stream_list"})
+    assert ls["ok"] and set(ls["sessions"]) >= {r1["session"], r2["session"]}
+
+    # ambiguous move must error and name the sessions
+    amb = request(sock, {"cmd": "move", "azi": 45})
+    assert not amb["ok"] and r1["session"] in amb["error"]
+    # explicit session moves land on the right stream
+    mv1 = request(sock, {"cmd": "move", "session": r1["session"], "azi": 90})
+    mv2 = request(sock, {"cmd": "move", "session": r2["session"], "azi": 270})
+    assert mv1["ok"] and mv1["azi"] == 90
+    assert mv2["ok"] and mv2["azi"] == 270
+    # unknown session id -> clean error
+    assert not request(sock, {"cmd": "move", "session": "nope", "azi": 0})["ok"]
+
+    st2 = request(sock, {"cmd": "stream_stop", "session": r2["session"]})
+    assert st2["ok"], st2
+    # one session left: default resolution works again
+    mv = request(sock, {"cmd": "move", "key": "w"})
+    assert mv["ok"]
+    st1 = request(sock, {"cmd": "stream_stop"})
+    assert st1["ok"], st1
+    for o in (o1, o2):
+        y, sr = read_wav(o)
+        assert np.isfinite(y).all()
