@@ -60,3 +60,27 @@ def test_out_of_range_elevation_is_consistent(db, config, castanets):
     want = render_oracle(castanets, db, pos, config)
     rep = precision_check(got, want, eps=1e-6)
     assert rep.ok, str(rep)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_fuzz_fused_dispatch_boundaries(db, config, castanets, seed):
+    """Randomized geometry x trajectory wideness through the FUSED dispatch
+    ladder (dedup+fused / one-hot / grouped one-hot / gather): fused=True
+    must match fused=False for every random (b_total, chunk_blocks,
+    mover-speed) combination — the planner boundaries (partial chunks,
+    group divisibility, bucket sizing) are where regressions hide."""
+    rng = np.random.default_rng(seed)
+    b = int(rng.integers(24, 200))
+    cb = int(rng.choice([16, 24, 32, 48, 64, 96]))
+    speed = float(rng.choice([0.0, 0.3, 2.0, 11.0]))  # deg/block
+    i = np.arange(b)
+    pos = np.stack([
+        (i * speed + rng.uniform(0, 360)) % 360,
+        np.clip(20 + 60 * np.sin(i / max(7, b / 5)), -40, 90),
+        np.full(b, float(rng.uniform(0.2, 2.0))),
+    ], axis=-1)
+    sig = castanets[: max(b * 128, 4000)]
+    got = Renderer(db, config, chunk_blocks=cb, fused=True).render(sig, pos)
+    want = Renderer(db, config, chunk_blocks=cb, fused=False).render(sig, pos)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, f"b={b} cb={cb} speed={speed}: {rep}"
