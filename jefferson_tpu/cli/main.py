@@ -310,19 +310,26 @@ def main(argv=None) -> int:
         from ..engine.renderer import Renderer as _R
 
         if args.selftest_full:  # the reference's real workload (main.cu:88)
+            from ..bench.sweep import run_mover_gate
+
+            renderer = _R(db, config, backend=args.backend)
             reports = run_benchmark_sweep(
                 signal, db, config, blocks_per_step=172, num_steps=72, eps=2e-7,
-                renderer=_R(db, config, backend=args.backend),
+                renderer=renderer,
             )
+            # plus the per-block mover (one-hot/grouped kernel gate)
+            reports.append(run_mover_gate(signal, db, config, eps=2e-7,
+                                          renderer=renderer))
         else:
             reports = run_benchmark_sweep(
                 signal[: 8 * config.frames_per_buffer * 16] if len(signal) else signal,
                 db, config, blocks_per_step=8, num_steps=12, eps=2e-7,
                 renderer=_R(db, config, chunk_blocks=104, backend=args.backend),
             )
-        for (sa, se), rep in zip(SCENARIOS, reports):
+        names = [f"({sa},{se})" for sa, se in SCENARIOS] + ["mover"]
+        for name, rep in zip(names, reports):
             if not rep.ok:
-                raise SystemExit(f"selftest FAILED at scenario ({sa},{se}): {rep}")
+                raise SystemExit(f"selftest FAILED at scenario {name}: {rep}")
         if not args.quiet:
             kind = "full benchmarkTesting" if args.selftest_full else "scaled smoke"
             print(f"selftest passed (engine-vs-oracle sweep gate, {kind})", file=sys.stderr)
