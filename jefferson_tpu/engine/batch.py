@@ -168,12 +168,11 @@ def batched_chunk_fn_fused(
             streams = jnp.concatenate([hists, feds], axis=1)
             new_hists = streams[:, num_blocks * fpb :]
             flat = lambda a: a.reshape((b,) + a.shape[2:])
-            dr, di = distance_factors_split(
-                flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
-            )
+            col = lambda a: flat(a)[:, None]
             table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
             y = fused_step_onehot_xfade(
-                streams, dr, di, table, flat(ridx), flat(w_old),
+                streams, col(u_hi), col(u_lo), col(inv_frac),
+                table, flat(ridx), flat(w_old),
                 ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
@@ -189,9 +188,7 @@ def batched_chunk_fn_fused(
         streams = jnp.concatenate([hists, feds], axis=1)
         new_hists = streams[:, num_blocks * fpb :]
         flat = lambda a: a.reshape((b,) + a.shape[2:])
-        dr, di = distance_factors_split(
-            flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
-        )
+        col = lambda a: flat(a)[:, None]
         # packed rows: 20% less blend traffic than a stride-padded table
         # (Mosaic slices the unaligned plane offsets fine — PERF.md)
         cat = cat_table(spectra)
@@ -205,13 +202,16 @@ def batched_chunk_fn_fused(
             from ..pallas.fused_step import fused_step_xfade
 
             y = fused_step_xfade(
-                streams, dr, di, g_old, g_last, xf,
+                streams, col(u_hi), col(u_lo), col(inv_frac), g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
                 streams, num_blocks, fpb, config.pad_len
+            )
+            dr, di = distance_factors_split(
+                flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
             )
             xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
             icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
@@ -252,9 +252,7 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
         streams = jnp.concatenate([hists, feds], axis=1)
         new_hists = streams[:, num_blocks * fpb :]
         flat = lambda a: a.reshape((b,) + a.shape[2:])
-        dr, di = distance_factors_split(
-            flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
-        )
+        col = lambda a: flat(a)[:, None]
         # the unique-row blend is tiny (U rows) and replicated across the
         # mesh; the per-block broadcast is one padded-row gather
         g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)  # (U, 4*bins)
@@ -265,13 +263,16 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
             from ..pallas.fused_step import fused_step_xfade
 
             y = fused_step_xfade(
-                streams, dr, di, g_old, g_last, xf,
+                streams, col(u_hi), col(u_lo), col(inv_frac), g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
                 streams, num_blocks, fpb, config.pad_len
+            )
+            dr, di = distance_factors_split(
+                flat(u_hi), flat(u_lo), flat(inv_frac), config.num_bins
             )
             xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
             icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)

@@ -287,7 +287,6 @@ def _fd_complex_chunk_fused(
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     # packed (bins-stride) rows: Mosaic handles the non-lane-aligned plane
     # slices, and skipping the pad zeros cuts blend traffic 20% (measured
     # 1.72 vs 2.06 ms full step on v5e, bit-identical)
@@ -296,7 +295,7 @@ def _fd_complex_chunk_fused(
     g_last = blend_cat(cat, idx_last, w_last)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
-        full, dr, di, g_old, g_last, xf, config, num_blocks, tb
+        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -328,10 +327,10 @@ def _fd_complex_chunk_onehot(
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
     y = fused_step_stream_onehot_xfade(
-        full, dr, di, table, ridx, w_old, ridx_last, w_last,
+        full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
+        table, ridx, w_old, ridx_last, w_last,
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
     )
@@ -367,10 +366,10 @@ def _fd_complex_chunk_onehot_grouped(
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     tables = jnp.take(cat_table(spectra), uniq_ids, axis=0)  # (G*U_pad, 4*bins)
     y = fused_step_stream_onehot_grouped_xfade(
-        full, dr, di, tables, ridx, w_old, rbnd, wbnd,
+        full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
+        tables, ridx, w_old, rbnd, wbnd,
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         group_tiles=group_tiles, u_pad=u_pad,
@@ -378,20 +377,24 @@ def _fd_complex_chunk_onehot_grouped(
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
-def _apply_maybe_full_fuse(full, dr, di, g_old, g_last, xf, config, num_blocks, tb):
-    """Run the fused step: forward DFT in-kernel when the geometry is
-    aligned (history a whole number of blocks), else XLA forward + fused
-    apply."""
+def _apply_maybe_full_fuse(
+    full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
+):
+    """Run the fused step: forward DFT + distance in-kernel when the
+    geometry is aligned (history a whole number of blocks), else XLA
+    forward/distance + fused apply."""
     from ..pallas.fused_apply import fused_apply_xfade
     from ..pallas.fused_step import fused_step_stream_xfade
 
     fpb = config.frames_per_buffer
     if config.history_len % fpb == 0:
         return fused_step_stream_xfade(
-            full, dr, di, g_old, g_last, xf,
+            full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
+            g_old, g_last, xf,
             pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         )
     xr, xi = _forward_split(full, num_blocks, config)
+    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     xdr, xdi = cmul(xr, xi, dr, di)
     icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
     return fused_apply_xfade(
@@ -425,13 +428,12 @@ def _fd_complex_chunk_dedup_fused(
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)
     g_old = jnp.take(g_u, inv_old, axis=0)
     g_last = jnp.take(g_u, inv_last, axis=0)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
-        full, dr, di, g_old, g_last, xf, config, num_blocks, tb
+        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 

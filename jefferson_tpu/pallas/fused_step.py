@@ -13,15 +13,18 @@ problem of per-block tiling does not arise.  Per tile the kernel
     (G*(nb+q-1+pad), 128) @ (128, bins),
   * twiddle-accumulates the sliding windows per source (pltpu.roll over
     sub-block rows — identical op order to the XLA formulation),
-  * multiplies by the distance factors (XLA-computed operands, so the
-    transcendentals keep XLA numerics),
+  * computes the distance factors in-kernel from the per-block phase-split
+    scalars and multiplies (bit-identical to the former XLA stage, below),
   * then proceeds exactly like fused_apply: blend-row roll/patch for the
     new filters, complex multiplies, tail-IDFT matmuls, crossfade
     select-weights.
 
-The distance factors stay XLA-side deliberately: Mosaic's transcendental
-approximations are not guaranteed to match XLA's, and the 2e-7 oracle gate
-runs with ~1.8e-7 headroom (PERF.md).
+The distance factors moved IN-KERNEL in round 3: measured on chip, Mosaic's
+cos/sin lower to the SAME hardware transcendental as XLA's (max diff 0.0
+over the full radius range, /root/repo round-3 session) — so computing the
+phase ramp from the three per-block scalars (u_hi, u_lo, inv_frac) inside
+the kernel is bit-identical to the former XLA stage while eliminating its
+serialization and the 2x(B, bins) HBM round trip.
 """
 
 from __future__ import annotations
@@ -48,10 +51,25 @@ def _round_up(x: int, m: int) -> int:
 MAX_ONEHOT_U = 256
 
 
+def _distance_planes(uh_ref, ul_ref, f_ref, rows: int, bins: int):
+    """In-kernel distance factor: (rows,1) phase-split scalars -> (rows,bins)
+    re/im planes.  Identical op order to ops/filters.distance_factors_split;
+    measured BIT-IDENTICAL on chip (same hardware transcendental)."""
+    f32 = jnp.float32
+    k = jax.lax.broadcasted_iota(jnp.int32, (rows, bins), 1).astype(f32)
+    head = uh_ref[:] * k
+    head = head - jnp.floor(head)
+    cyc = head + ul_ref[:] * k
+    cyc = cyc - jnp.floor(cyc)
+    arg = (2.0 * np.pi) * cyc
+    return jnp.cos(arg) * f_ref[:], -jnp.sin(arg) * f_ref[:]
+
+
 def _onehot_kernel(
     subs_ref,   # (G*rows_pad, sub)
-    dr_ref,     # (TB, bins)
-    di_ref,     # (TB, bins)
+    uh_ref,     # (TB, 1) distance phase split, head
+    ul_ref,     # (TB, 1) tail
+    f_ref,      # (TB, 1) 1/(1+fsvs r^2)
     ridx_ref,   # (TB, 4) int32 — filter ids remapped into the compact table
     w_ref,      # (TB, 4) float32
     rlast_ref,  # (P_pad, 4) int32 — per-segment last-new filter ids
@@ -106,8 +124,9 @@ def _onehot_kernel(
     parts = [source_planes(s) for s in range(g_sources)]
     xr = jnp.concatenate([p[0] for p in parts], axis=0)
     xi = jnp.concatenate([p[1] for p in parts], axis=0)
-    xdr = xr * dr_ref[:] - xi * di_ref[:]
-    xdi = xr * di_ref[:] + xi * dr_ref[:]
+    dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    xdr = xr * dr - xi * di
+    xdi = xr * di + xi * dr
 
     # one-hot weight rows: W[b, u] = sum_k w[b,k] * (ridx[b,k] == u)
     ucol = jax.lax.broadcasted_iota(jnp.int32, (tb, u_pad), 1)
@@ -171,8 +190,9 @@ def _onehot_kernel(
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
-    dr: jax.Array,        # (B, bins)
-    di: jax.Array,
+    uh: jax.Array,        # (B, 1) distance phase split (head, tail, rolloff)
+    ul: jax.Array,
+    fr: jax.Array,
     table: jax.Array,     # (U_pad, 4*bins) compact filter table
     ridx: jax.Array,      # (B, 4) int32 OLD-aligned rows, remapped
     w: jax.Array,         # (B, 4)
@@ -190,7 +210,7 @@ def fused_step_stream_onehot_xfade(
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = dr.shape[0]
+    b = uh.shape[0]
     assert stream.shape[0] == b * fpb + (q - 1) * fpb
     assert b % tb == 0
     n_tiles = b // tb
@@ -231,8 +251,7 @@ def fused_step_stream_onehot_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(bins),
-            tile(bins),
+            tile(1), tile(1), tile(1),
             tile(4),
             tile(4),
             tile(4, r=8),
@@ -247,7 +266,7 @@ def fused_step_stream_onehot_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, dr, di, ridx, w, rbnd, wbnd, xf, table,
+        subs, uh, ul, fr, ridx, w, rbnd, wbnd, xf, table,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -260,8 +279,9 @@ def fused_step_stream_onehot_xfade(
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
-    dr: jax.Array,        # (B, bins)
-    di: jax.Array,
+    uh: jax.Array,        # (B, 1) distance phase split (head, tail, rolloff)
+    ul: jax.Array,
+    fr: jax.Array,
     tables: jax.Array,    # (G*U_pad, 4*bins) stacked per-group compact tables
     ridx: jax.Array,      # (B, 4) int32 OLD-aligned rows, remapped PER GROUP
     w: jax.Array,         # (B, 4)
@@ -284,7 +304,7 @@ def fused_step_stream_onehot_grouped_xfade(
     identical to the ungrouped form; only the table BlockSpec differs."""
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = dr.shape[0]
+    b = uh.shape[0]
     assert stream.shape[0] == b * fpb + (q - 1) * fpb
     assert b % tb == 0
     n_tiles = b // tb
@@ -327,8 +347,7 @@ def fused_step_stream_onehot_grouped_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(bins),
-            tile(bins),
+            tile(1), tile(1), tile(1),
             tile(4),
             tile(4),
             tile(4, r=8),
@@ -343,7 +362,7 @@ def fused_step_stream_onehot_grouped_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, dr, di, ridx, w, rbnd_p, wbnd_p, xf, tables,
+        subs, uh, ul, fr, ridx, w, rbnd_p, wbnd_p, xf, tables,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -356,8 +375,9 @@ def fused_step_stream_onehot_grouped_xfade(
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
-    dr: jax.Array,        # (S*nb, bins)
-    di: jax.Array,
+    uh: jax.Array,        # (S*nb, 1) distance phase split (head, tail, rolloff)
+    ul: jax.Array,
+    fr: jax.Array,
     table: jax.Array,     # (U_pad, 4*bins) compact table; (G*U_pad, 4*bins) grouped
     ridx: jax.Array,      # (S*nb, 4) int32, remapped into the compact table
     w: jax.Array,         # (S*nb, 4)
@@ -437,8 +457,7 @@ def fused_step_onehot_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=g_sources * rows_pad),
-            tile(bins),
-            tile(bins),
+            tile(1), tile(1), tile(1),
             tile(4),
             tile(4),
             tile(4, r=p_pad),
@@ -453,7 +472,7 @@ def fused_step_onehot_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, dr, di, ridx, w, ridx_last, w_last, xf, table,
+        subs, uh, ul, fr, ridx, w, ridx_last, w_last, xf, table,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -462,8 +481,9 @@ def fused_step_onehot_xfade(
 
 def _kernel(
     subs_ref,   # (G*rows_pad, sub) — per-source sub-block sample rows
-    dr_ref,     # (TB, bins) distance factor, real (XLA numerics)
-    di_ref,     # (TB, bins)
+    uh_ref,     # (TB, 1) distance phase split, head
+    ul_ref,     # (TB, 1) tail
+    f_ref,      # (TB, 1) rolloff
     g_ref,      # (TB, 4*bins) old-filter blend rows (packed planes)
     patch_ref,  # (P_pad, 4*bins) segment-end new rows
     xf_ref,     # (TB, 1)
@@ -518,8 +538,7 @@ def _kernel(
     xr = jnp.concatenate([p[0] for p in parts], axis=0)  # (TB, bins)
     xi = jnp.concatenate([p[1] for p in parts], axis=0)
 
-    dr = dr_ref[:]
-    di = di_ref[:]
+    dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -569,8 +588,9 @@ def _kernel(
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
-    dr: jax.Array,      # (B, bins)
-    di: jax.Array,
+    uh: jax.Array,      # (B, 1) distance phase split (head, tail, rolloff)
+    ul: jax.Array,
+    fr: jax.Array,
     g_old: jax.Array,   # (B, 4*bins)
     g_last: jax.Array,  # (1, 4*bins) the final new-filter row
     xf: jax.Array,      # (B, 1)
@@ -586,7 +606,7 @@ def fused_step_stream_xfade(
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = dr.shape[0]
+    b = uh.shape[0]
     assert stream.shape[0] == b * fpb + (q - 1) * fpb, "aligned geometry only"
     assert b % tb == 0
     n_tiles = b // tb
@@ -623,8 +643,7 @@ def fused_step_stream_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(bins),
-            tile(bins),
+            tile(1), tile(1), tile(1),
             tile(c4),
             tile(c4, r=8),
             tile(1),
@@ -636,7 +655,7 @@ def fused_step_stream_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, dr, di, g_old, patch, xf,
+        subs, uh, ul, fr, g_old, patch, xf,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -648,8 +667,9 @@ def fused_step_stream_xfade(
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
-    dr: jax.Array,       # (S*nb, bins) distance factors (XLA numerics)
-    di: jax.Array,
+    uh: jax.Array,       # (S*nb, 1) distance phase split (head, tail, rolloff)
+    ul: jax.Array,
+    fr: jax.Array,
     g_old: jax.Array,    # (S*nb, 4*bins) old-filter blend rows
     g_last: jax.Array,   # (S, 4*bins) per-source final new rows
     xf: jax.Array,       # (S*nb, 1)
@@ -710,8 +730,7 @@ def fused_step_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=g_sources * rows_pad),  # subs rows per tile
-            tile(bins),
-            tile(bins),
+            tile(1), tile(1), tile(1),
             tile(c4),
             tile(c4, r=p_pad),
             tile(1),
@@ -723,7 +742,7 @@ def fused_step_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, dr, di, g_old, patch, xf,
+        subs, uh, ul, fr, g_old, patch, xf,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
