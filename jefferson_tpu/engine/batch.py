@@ -287,6 +287,20 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
     return fn
 
 
+def _group_bucket(idx_old, idx_last, group: int | None) -> int:
+    """Power-of-two bucket covering every source-group's unique-filter set
+    (group=None: one group of all sources).  idx_old (S, nb, 4);
+    idx_last (S, 4).  THE single bucket rule — renderer.plan_onehot_chunking
+    has the block-axis analogue; keep them in step."""
+    s = idx_old.shape[0]
+    spans = [(0, s)] if group is None else [(st, st + group) for st in range(0, s, group)]
+    m = 1
+    for st, sp in spans:
+        ids = np.concatenate([idx_old[st:sp].reshape(-1), idx_last[st:sp].reshape(-1)])
+        m = max(m, len(np.unique(ids)))
+    return max(8, 1 << int(np.ceil(np.log2(m))))
+
+
 def _plan_source_groups(idx_old, idx_last, s_local: int, tb_sources: int):
     """(group_sources, u_pad) for the batched grouped one-hot, or (None, None).
 
@@ -301,18 +315,7 @@ def _plan_source_groups(idx_old, idx_last, s_local: int, tb_sources: int):
     while True:
         if group < tb_sources or group % tb_sources or s % group:
             return None, None
-        max_u = 1
-        for st in range(0, s, group):
-            ids = np.unique(
-                np.concatenate(
-                    [
-                        idx_old[st : st + group].reshape(-1),
-                        idx_last[st : st + group].reshape(-1),
-                    ]
-                )
-            )
-            max_u = max(max_u, len(ids))
-        u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
+        u_pad = _group_bucket(idx_old, idx_last, group)
         if u_pad <= MAX_ONEHOT_U:
             return group, u_pad
         if group // 2 < tb_sources or group % 2:
@@ -330,45 +333,40 @@ def _plan_batch_onehot(plans, b_total: int, cb: int, s_local: int):
     across chunks; per-chunk buckets would recompile whenever a chunk
     straddles a power-of-two unique count (each remote compile is
     20 s - 5 min), mirroring renderer.plan_onehot_chunking.
+
+    Group viability is monotone (a sub-group's unique set is a subset), so
+    the render-wide group is the MINIMUM of the per-chunk group sizes and
+    the bucket is the maximum per-chunk bucket at that group.  Chunk index
+    stacks are built one at a time and discarded (not held for the render).
     """
     from ..pallas.fused_step import MAX_ONEHOT_U
 
-    chunks = []
-    for start in range(0, b_total, cb):
-        stop = min(start + cb, b_total)
-        chunks.append(
-            (
-                np.stack([p.idx_old[start:stop] for p in plans]),
-                np.stack([p.idx_new[stop - 1] for p in plans]),
-            )
+    spans = [(st, min(st + cb, b_total)) for st in range(0, b_total, cb)]
+
+    def chunk_arrays(start, stop):
+        return (
+            np.stack([p.idx_old[start:stop] for p in plans]),
+            np.stack([p.idx_new[stop - 1] for p in plans]),
         )
 
-    def bucket(g: int | None) -> int:
-        m = 1
-        for io, il in chunks:
-            groups = [(0, io.shape[0])] if g is None else [
-                (st, st + g) for st in range(0, io.shape[0], g)
-            ]
-            for st, sp in groups:
-                ids = np.concatenate(
-                    [io[st:sp].reshape(-1), il[st:sp].reshape(-1)]
-                )
-                m = max(m, len(np.unique(ids)))
-        return max(8, 1 << int(np.ceil(np.log2(m))))
-
-    u = bucket(None)
-    if u <= MAX_ONEHOT_U:
-        return ("shared", u)
-    g = s_local
-    while g >= 1:
-        if s_local % g == 0:
-            u = bucket(g)
-            if u <= MAX_ONEHOT_U:
-                return ("grouped", g, u)
-        if g % 2:
-            return None
-        g //= 2
-    return None
+    shared, g_min = 1, None
+    for start, stop in spans:
+        io, il = chunk_arrays(start, stop)
+        shared = max(shared, _group_bucket(io, il, None))
+        if shared > MAX_ONEHOT_U and g_min != 0:
+            g, _ = _plan_source_groups(io, il, s_local, 1)
+            g_min = 0 if g is None else min(g, g_min or g)
+    if shared <= MAX_ONEHOT_U:
+        return ("shared", shared)
+    if not g_min:
+        return None
+    u = 1
+    for start, stop in spans:
+        io, il = chunk_arrays(start, stop)
+        u = max(u, _group_bucket(io, il, g_min))
+    if u > MAX_ONEHOT_U:  # cannot happen by monotonicity, but stay safe
+        return None
+    return ("grouped", g_min, u)
 
 
 def mix_sources(outs: jax.Array) -> jax.Array:
@@ -591,9 +589,15 @@ class BatchRenderer:
                 tb_f = pick_fused_tile(s_local * nb, nb) if s_local else None
             else:
                 tb_f = None
-            if tb_f is not None and dedup_chunks is not None and not self._variant_ok("dedup_fused"):
-                tb_f = None
-            elif tb_f is not None and dedup_chunks is None and not self._variant_ok("mover"):
+            # strike keys include the program geometry: a partial final
+            # chunk compiles its own program, and its deterministic failure
+            # must accumulate strikes independently of the full-size chunks
+            # (otherwise success on one size resets the other's count and
+            # the cap never engages)
+            if (
+                tb_f is not None and dedup_chunks is not None
+                and not self._variant_ok(("dedup_fused", nb, u_pad, tb_f))
+            ):
                 tb_f = None
             if tb_f is not None and dedup_chunks is not None:
                 # dedup + fused composition: the common scene case (sources
@@ -629,7 +633,7 @@ class BatchRenderer:
                         sharded["u_lo"],
                         sharded["inv_frac"],
                     )
-                    self._variant_result("dedup_fused", True)
+                    self._variant_result(("dedup_fused", nb, u_pad, tb_f), True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -641,7 +645,9 @@ class BatchRenderer:
                     self._jitted.pop((nb, u_pad, tb_f, False, None), None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path",
-                        strikes=self._variant_result("dedup_fused", False),
+                        strikes=self._variant_result(
+                            ("dedup_fused", nb, u_pad, tb_f), False
+                        ),
                     )
                     # fall through to the XLA dedup dispatch for this chunk
             elif tb_f is not None:
@@ -649,32 +655,46 @@ class BatchRenderer:
                 idx_last_np = np.stack([p.idx_new[stop - 1] for p in plans])
                 onehot = False
                 group_tiles = None
+                g_srcs = g_upad = None
                 if onehot_plan is not None and onehot_plan[0] == "shared":
-                    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
-                        idx_old_np, idx_last_np, u_pad=onehot_plan[1]
-                    )
                     onehot = True
                 elif onehot_plan is not None:
                     # wide scene: per-source-group compact tables inside the
                     # same dispatch (round 3; see plan.compact_filter_ids_
                     # grouped_sources).  Groups need not align with the
-                    # default tile: re-pick one bounded by the group so
-                    # tiles never straddle it.
+                    # default tile: re-pick one bounded by the group — the
+                    # tile must still own WHOLE sources (tb % nb == 0, the
+                    # kernel's contract) and never straddle a group.
                     _, g_srcs, g_upad = onehot_plan
                     tb_g = pick_fused_tile(s_local * nb, nb, max_tb=g_srcs * nb)
-                    if tb_g is not None and (g_srcs * nb) % tb_g:
-                        # one source per tile always aligns (Mosaic still
-                        # needs the sublane multiple)
+                    if tb_g is not None and (tb_g % nb or (g_srcs * nb) % tb_g):
+                        # one source per tile always satisfies both (Mosaic
+                        # still needs the sublane multiple)
                         tb_g = nb if nb % 8 == 0 else None
                     if tb_g is not None:
-                        from .plan import compact_filter_ids_grouped_sources
-
-                        uniq_ids, ridx, ridx_last = compact_filter_ids_grouped_sources(
-                            idx_old_np, idx_last_np, g_srcs, g_upad
-                        )
                         onehot = True
                         tb_f = tb_g
                         group_tiles = (g_srcs * nb) // tb_f
+                skey = ("mover", nb, tb_f, onehot, group_tiles)
+                if onehot and not self._variant_ok(skey):
+                    # this one-hot geometry is struck: downgrade to the
+                    # gather blend (a different program that may still work)
+                    onehot, group_tiles = False, None
+                    tb_f = pick_fused_tile(s_local * nb, nb)
+                    skey = ("mover", nb, tb_f, False, None)
+                if tb_f is None or not self._variant_ok(skey):
+                    tb_f = None  # fall to the XLA dispatch below
+            if tb_f is not None and dedup_chunks is None:
+                if onehot and group_tiles is not None:
+                    from .plan import compact_filter_ids_grouped_sources
+
+                    uniq_ids, ridx, ridx_last = compact_filter_ids_grouped_sources(
+                        idx_old_np, idx_last_np, g_srcs, g_upad
+                    )
+                elif onehot:
+                    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+                        idx_old_np, idx_last_np, u_pad=onehot_plan[1]
+                    )
                 fn = self._get_fn(
                     nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles
                 )
@@ -710,7 +730,7 @@ class BatchRenderer:
                         sharded["u_lo"],
                         sharded["inv_frac"],
                     )
-                    self._variant_result("mover", True)
+                    self._variant_result(skey, True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -723,7 +743,7 @@ class BatchRenderer:
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",
-                        strikes=self._variant_result("mover", False),
+                        strikes=self._variant_result(skey, False),
                     )
                     # fall through to the direct/dedup dispatch for this chunk
             if dedup_chunks is not None:

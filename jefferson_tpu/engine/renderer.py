@@ -839,9 +839,14 @@ class Renderer:
                 tb_o = (
                     pick_fused_tile(cb, cb)
                     if onehot_u_pad is not None and "onehot" not in fused_off
-                    and self._variant_ok("onehot")
                     else None
                 )
+                if tb_o is not None:
+                    # strike keys carry the program geometry so failures of
+                    # one shape don't get reset by successes of another
+                    okey = ("onehot", cb, tb_o, onehot_group, onehot_u_pad)
+                    if not self._variant_ok(okey):
+                        tb_o = None
                 if tb_o is not None:
                     last_i = plan.idx_new[stop - 1 : stop]
                     last_w = plan.w_new[stop - 1 : stop]
@@ -881,7 +886,7 @@ class Renderer:
                             jnp.asarray(wbnd),
                             *tail_args,
                         )
-                        self._variant_result("onehot", True)
+                        self._variant_result(okey, True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -891,7 +896,7 @@ class Renderer:
                         self._fd_onehot_grp.pop(key, None)
                         _warn_fused_fallback(
                             e, "grouped one-hot", "the gather/XLA path",
-                            strikes=self._variant_result("onehot", False),
+                            strikes=self._variant_result(okey, False),
                         )
                 elif tb_o is not None:
                     from .plan import compact_filter_ids
@@ -914,7 +919,7 @@ class Renderer:
                             jnp.asarray(last_w),
                             *tail_args,
                         )
-                        self._variant_result("onehot", True)
+                        self._variant_result(okey, True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -924,13 +929,16 @@ class Renderer:
                         self._fd_onehot.pop(key, None)
                         _warn_fused_fallback(
                             e, "one-hot", "the gather/XLA path",
-                            strikes=self._variant_result("onehot", False),
+                            strikes=self._variant_result(okey, False),
                         )
                 if (
                     dedup_chunks is None and "gather" not in fused_off
-                    and self.fused and with_xfade and self._variant_ok("gather")
+                    and self.fused and with_xfade
                 ):
                     tb_f = pick_fused_tile(cb, cb)
+                    gkey = ("gather", cb, tb_f)
+                    if tb_f is not None and not self._variant_ok(gkey):
+                        tb_f = None
                 else:
                     tb_f = None
                 if tb_f is not None:
@@ -964,7 +972,7 @@ class Renderer:
                             pad(plan.u_lo[sl], nb),
                             pad(plan.inv_frac[sl], nb),
                         )
-                        self._variant_result("gather", True)
+                        self._variant_result(gkey, True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         continue
                     except Exception as e:
@@ -974,7 +982,7 @@ class Renderer:
                         self._fd_fused.pop(key, None)
                         _warn_fused_fallback(
                             e, "gather-blend", "the XLA path",
-                            strikes=self._variant_result("gather", False),
+                            strikes=self._variant_result(gkey, False),
                         )
                         # fall through to the XLA dispatch for this chunk
                 if dedup_chunks is not None:
@@ -986,9 +994,12 @@ class Renderer:
                     tb_df = (
                         pick_fused_tile(cb, cb)
                         if self.fused and with_xfade and "dedup" not in fused_off
-                        and self._variant_ok("dedup")
                         else None
                     )
+                    if tb_df is not None:
+                        dkey = ("dedup", cb, u_pad, tb_df)
+                        if not self._variant_ok(dkey):
+                            tb_df = None
                     if tb_df is not None:  # dedup + fused composition
                         key = (cb, u_pad, tb_df)
                         if key not in self._fd_dedup_fused:
@@ -1007,7 +1018,7 @@ class Renderer:
                                 pad(plan.u_lo[sl], nb),
                                 pad(plan.inv_frac[sl], nb),
                             )
-                            self._variant_result("dedup", True)
+                            self._variant_result(dkey, True)
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                             continue
                         except Exception as e:
@@ -1017,7 +1028,7 @@ class Renderer:
                             self._fd_dedup_fused.pop(key, None)
                             _warn_fused_fallback(
                                 e, "dedup+fused", "the XLA dedup path",
-                                strikes=self._variant_result("dedup", False),
+                                strikes=self._variant_result(dkey, False),
                             )
                     key = (cb, with_xfade, u_pad)
                     if key not in self._fd_dedup:

@@ -213,17 +213,26 @@ def tty_key_loop(control: SourceControl, fd: int, on_key=None) -> None:
     import select
 
     carry = b""
+    stale = 0
     while not control.quit:
         ready, _, _ = select.select([fd], [], [], 0.05)
         if not ready:
             if carry == b"\x1b":  # a real ESC press, not a truncated arrow
+                carry = b""
                 if not control.apply_key("esc"):
                     return
-            carry = b""
+            elif carry:
+                # a partial CSI may still complete over a laggy connection
+                # (dropping it would decode the late final byte as a move
+                # key); keep it for one more timeout window, then discard
+                stale += 1
+                if stale >= 2:
+                    carry = b""
             continue
         data = os.read(fd, 64)
         if not data:
             break
+        stale = 0
         keys, carry = decode_keys_partial(carry + data)
         for key in keys:
             alive = control.apply_key(key)

@@ -53,6 +53,11 @@ def main() -> int:
     idx_last = np.stack([p.idx_new[-1] for p in plans])
     _, _, _, u_pad_all = compact_filter_ids(idx_old, idx_last)
     g_srcs, g_upad = _plan_source_groups(idx_old, idx_last, s, 1)
+    if g_srcs is None:
+        print(f"no viable source grouping (cross-source bucket {u_pad_all}, "
+              f"even single-source sets exceed the VMEM gate) — nothing to "
+              f"measure", file=sys.stderr)
+        return 1
     print(f"{s} movers x {nb} blocks: cross-source bucket {u_pad_all}; "
           f"groups of {g_srcs} sources, bucket {g_upad}", file=sys.stderr)
 
@@ -97,7 +102,7 @@ def main() -> int:
     )
 
     tb_g = pick_fused_tile(s * nb, nb, max_tb=g_srcs * nb)
-    if (g_srcs * nb) % tb_g:
+    if tb_g % nb or (g_srcs * nb) % tb_g:  # tiles own whole sources
         tb_g = nb
     gt = (g_srcs * nb) // tb_g
     uniq_ids, ridx, rlast = compact_filter_ids_grouped_sources(

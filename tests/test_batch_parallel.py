@@ -297,3 +297,51 @@ def test_batch_grouped_onehot_sharded(db, config, castanets, monkeypatch):
     want = BatchRenderer(db, chunk_blocks=16, fused=False).render(signals, positions)
     rep = precision_check(got, want, eps=5e-7)
     assert rep.ok, str(rep)
+
+
+def test_batch_grouped_single_source_groups_nonpow2_chunk(db, config, castanets, monkeypatch):
+    """Review-confirmed crash (round 3): groups of 1 source with a chunk
+    size whose tile candidates include sub-source tiles (nb=24 -> tb=8)
+    must not violate the batched kernel's tb % nb == 0 contract — the
+    dispatch re-picks a whole-source tile or falls back, never crashes."""
+    import jefferson_tpu.pallas.fused_step as fs
+
+    monkeypatch.setattr(fs, "MAX_ONEHOT_U", 16)  # force groups of 1 source
+    signals, positions = _wide_scene(config, castanets, s=4, blocks=24)
+    fused = BatchRenderer(db, chunk_blocks=24, fused=True, dedup=False)
+    got = fused.render(signals, positions)  # used to raise AssertionError
+    want = BatchRenderer(db, chunk_blocks=24, fused=False).render(signals, positions)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
+
+
+def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
+    """A deterministically-failing partial-final-chunk program accumulates
+    strikes independently of the succeeding full-size chunks (success on
+    one geometry must not reset another's count)."""
+    import jefferson_tpu.engine.batch as batch_mod
+    from jefferson_tpu.engine.renderer import _MAX_FUSED_STRIKES
+
+    signals, positions = _wide_scene(config, castanets, s=4, blocks=24)
+    # 24 blocks with chunk 16 -> a 16-block program and an 8-block program
+    real_factory = batch_mod.batched_chunk_fn_fused
+    calls = {"bad": 0}
+
+    def factory(config_, nb, tb, onehot=False, group_tiles=None):
+        fn = real_factory(config_, nb, tb, onehot=onehot, group_tiles=group_tiles)
+        if nb == 8:  # the partial-final-chunk program fails deterministically
+            def bad(*a, **k):
+                calls["bad"] += 1
+                raise RuntimeError("deterministic failure at nb=8")
+            return bad
+        return fn
+
+    monkeypatch.setattr(batch_mod, "batched_chunk_fn_fused", factory)
+    br = BatchRenderer(db, chunk_blocks=16, fused=True, dedup=False)
+    for _ in range(6):
+        out = br.render(signals, positions)
+        assert np.isfinite(out).all()
+    # the nb=8 one-hot geometry gets _MAX_FUSED_STRIKES attempts, then the
+    # dispatcher downgrades to the (different) gather program which gets its
+    # own strikes — after both are capped, no further attempts
+    assert calls["bad"] == 2 * _MAX_FUSED_STRIKES, calls
