@@ -87,6 +87,16 @@ def pick_hrtf(obj_ele, obj_azi) -> np.ndarray:
     scalar = ele.ndim == 0 and azi.ndim == 0
     ele, azi = np.broadcast_arrays(np.atleast_1d(ele), np.atleast_1d(azi))
 
+    from ..native import HAVE_NATIVE
+
+    if HAVE_NATIVE:  # bit-exact C++ scan, ~10x faster (tests/test_native.py)
+        from ..native import pick_hrtf as native_pick
+
+        idx = native_pick(
+            np.ascontiguousarray(ele).ravel(), np.ascontiguousarray(azi).ravel()
+        ).reshape(ele.shape)
+        return idx[0] if scalar else idx
+
     ele_snap = round_half_away(ele / 10).astype(np.float32) * np.float32(10.0)
     # first-minimum scan over the 14 elevation rows
     d_ele = np.abs(ele_snap[..., None] - ELEVATIONS.astype(np.float32))

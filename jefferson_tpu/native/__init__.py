@@ -65,3 +65,29 @@ def build_segments(stream: np.ndarray, hist: np.ndarray, fpb: int, pad: int) -> 
     b = len(stream) // fpb
     idx = np.arange(b)[:, None] * fpb + np.arange(pad)[None, :]
     return full[idx]
+
+
+def pick_hrtf(ele: np.ndarray, azi: np.ndarray) -> np.ndarray:
+    """Native nearest-filter scan; callers fall back to hrtf.kemar.pick_hrtf
+    when the extension is absent (this wrapper requires it)."""
+    return _native.pick_hrtf(
+        np.ascontiguousarray(ele, dtype=np.float32),
+        np.ascontiguousarray(azi, dtype=np.float32),
+    )
+
+
+def interp_plan(ele: np.ndarray, azi: np.ndarray):
+    """Native interpolationCalculations: (idx (B,4) i32, weights (B,4) f32,
+    omegas (B,6) f32, case (B,) i8).  Bit-exact vs the NumPy port
+    (tests/test_native.py)."""
+    return _native.interp_plan(
+        np.ascontiguousarray(ele, dtype=np.float32),
+        np.ascontiguousarray(azi, dtype=np.float32),
+    )
+
+
+def distance_phase_split(fsvs: float, radii: np.ndarray, num_bins: int):
+    """Native float64-accurate 12-bit phase split (ops/filters port)."""
+    return _native.distance_phase_split(
+        float(fsvs), np.ascontiguousarray(radii, dtype=np.float32), int(num_bins)
+    )

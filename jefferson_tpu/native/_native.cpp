@@ -257,11 +257,234 @@ PyObject* build_segments(PyObject*, PyObject* args) {
   return outo;
 }
 
+// ---------------------------------------------------------------------------
+// Host plan core: the reference's spatial-state math in its native language.
+//
+// Exact C++ ports of SoundSource::interpolationCalculations (reference:
+// Jefferson/src/SoundSource.cu:65-105), pick_hrtf (reference:
+// Jefferson/src/hrtf_signals.cu:20-51), the 4-case weight chains (reference:
+// Jefferson/src/CPUSoundSource.cpp:174-242,255-273), and the engine's
+// float64 distance phase split (ops/filters.distance_phase_split).  Every
+// operation is float32/trunc-exact, matching the NumPy implementations BIT
+// FOR BIT (asserted in tests/test_native.py) — the quirky C semantics
+// (truncation toward zero at each int cast, non-normalized omegas) are the
+// reference's own, expressed in the reference's own language.
+
+const int kNumElev = 14;
+const int kElev[kNumElev] = {-40, -30, -20, -10, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90};
+const float kAzIncr[kNumElev] = {6.43f, 6.00f, 5.00f, 5.00f, 5.00f, 5.00f, 5.00f,
+                                 6.00f, 6.43f, 8.00f, 10.00f, 15.00f, 30.00f, 361.0f};
+// azimuth counts per row (reference: Jefferson/src/hrtf_signals.cu:7-11)
+const int kAzCount[kNumElev] = {56, 60, 72, 72, 72, 72, 72, 60, 56, 45, 36, 24, 12, 1};
+
+int az_offset(int row) {
+  int off = 0;
+  for (int i = 0; i < row; i++) off += kAzCount[i];
+  return off;
+}
+
+float round_half_away_f(float x) {
+  float r = std::floor(std::fabs(x) + 0.5f);
+  return x < 0.0f ? -r : (x > 0.0f ? r : 0.0f * r);
+}
+
+// pick_hrtf(ele, azi) — first-minimum linear scans, float32 arithmetic
+// (reference: Jefferson/src/hrtf_signals.cu:20-51)
+int32_t pick_hrtf_one(float ele, float azi) {
+  float ele_snap = round_half_away_f(ele / 10.0f) * 10.0f;
+  int row = 0;
+  float best = std::fabs(ele_snap - static_cast<float>(kElev[0]));
+  for (int i = 1; i < kNumElev; i++) {
+    float d = std::fabs(ele_snap - static_cast<float>(kElev[i]));
+    if (d < best) {
+      best = d;
+      row = i;
+    }
+  }
+  float azi_r = round_half_away_f(azi);
+  float inc = kAzIncr[row];
+  int best_i = 0;
+  float bd = std::fabs(azi_r - 0.0f * inc);
+  for (int i = 1; i < kAzCount[row]; i++) {
+    float d = std::fabs(azi_r - static_cast<float>(i) * inc);
+    if (d < bd) {
+      bd = d;
+      best_i = i;
+    }
+  }
+  return static_cast<int32_t>(az_offset(row) + best_i);
+}
+
+int row_of_phi(int phi) {
+  int p = phi < kElev[0] ? kElev[0] : (phi > kElev[kNumElev - 1] ? kElev[kNumElev - 1] : phi);
+  return (p - kElev[0]) / 10;
+}
+
+// interpolationCalculations for one position; writes 4 indices, 4 effective
+// case weights, 6 omegas, and the case id.
+void interp_one(float ele, float azi, int32_t* idx, float* w, float* omegas,
+                int8_t* case_out) {
+  int ele_i = static_cast<int>(ele);              // C trunc toward zero
+  int phi0 = ele_i / 10 * 10;                     // C integer division
+  int e9 = static_cast<int>(ele + 9.0f);
+  int phi1 = e9 / 10 * 10;
+  float omega_e = (ele - static_cast<float>(phi0)) / 10.0f;
+  float omega_f = (static_cast<float>(phi1) - ele) / 10.0f;
+
+  float dt1 = kAzIncr[row_of_phi(phi0)];
+  float dt2 = kAzIncr[row_of_phi(phi1)];
+
+  auto theta_lo = [&](float dt) {
+    return static_cast<int>(static_cast<float>(static_cast<int>(azi / dt)) * dt);
+  };
+  auto theta_hi = [&](float dt) {
+    return static_cast<int>(
+        static_cast<float>(static_cast<int>((azi + dt - 1.0f) / dt)) * dt);
+  };
+  int theta0 = theta_lo(dt1), theta1 = theta_hi(dt1);
+  int theta2 = theta_lo(dt2), theta3 = theta_hi(dt2);
+
+  float omega_a = (azi - static_cast<float>(theta0)) / dt1;
+  float omega_b = (static_cast<float>(theta1) - azi) / dt1;
+  float omega_c = (azi - static_cast<float>(theta2)) / dt2;
+  float omega_d = (static_cast<float>(theta3) - azi) / dt2;
+
+  idx[0] = pick_hrtf_one(static_cast<float>(phi0), static_cast<float>(theta0));
+  idx[1] = pick_hrtf_one(static_cast<float>(phi0), static_cast<float>(theta1));
+  idx[2] = pick_hrtf_one(static_cast<float>(phi1), static_cast<float>(theta2));
+  idx[3] = pick_hrtf_one(static_cast<float>(phi1), static_cast<float>(theta3));
+
+  omegas[0] = omega_a; omegas[1] = omega_b; omegas[2] = omega_c;
+  omegas[3] = omega_d; omegas[4] = omega_e; omegas[5] = omega_f;
+
+  // case dispatch (reference: Jefferson/src/CPUSoundSource.cpp:258-272)
+  int8_t c;
+  if (idx[0] == idx[1] && idx[1] == idx[2] && idx[2] == idx[3]) c = 1;
+  else if (idx[0] == idx[2]) c = 2;
+  else if (idx[0] == idx[1]) c = 3;
+  else c = 4;
+  *case_out = c;
+  switch (c) {
+    case 1: w[0] = 1.0f; w[1] = 0.0f; w[2] = 0.0f; w[3] = 0.0f; break;
+    case 2: w[0] = omega_b; w[1] = omega_a; w[2] = 0.0f; w[3] = 0.0f; break;
+    case 3: w[0] = omega_f; w[1] = 0.0f; w[2] = omega_e; w[3] = 0.0f; break;
+    default:
+      w[0] = omega_f * omega_b;
+      w[1] = omega_f * omega_a;
+      w[2] = omega_e * omega_d;
+      w[3] = omega_e * omega_c;
+  }
+}
+
+// pick_hrtf(ele float32[b], azi float32[b]) -> int32[b]
+PyObject* pick_hrtf(PyObject*, PyObject* args) {
+  PyObject *ein, *ain;
+  if (!PyArg_ParseTuple(args, "OO", &ein, &ain)) return nullptr;
+  PyArrayObject* ea = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ein, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED));
+  PyArrayObject* aa = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ain, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED));
+  if (!ea || !aa || PyArray_SIZE(ea) != PyArray_SIZE(aa)) {
+    Py_XDECREF(ea);
+    Py_XDECREF(aa);
+    if (!PyErr_Occurred()) PyErr_SetString(PyExc_ValueError, "size mismatch");
+    return nullptr;
+  }
+  const npy_intp b = PyArray_SIZE(ea);
+  const float* e = static_cast<const float*>(PyArray_DATA(ea));
+  const float* a = static_cast<const float*>(PyArray_DATA(aa));
+  npy_intp dims[1] = {b};
+  PyObject* outo = PyArray_SimpleNew(1, dims, NPY_INT32);
+  int32_t* o = static_cast<int32_t*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(outo)));
+  for (npy_intp i = 0; i < b; i++) o[i] = pick_hrtf_one(e[i], a[i]);
+  Py_DECREF(ea);
+  Py_DECREF(aa);
+  return outo;
+}
+
+// interp_plan(ele float32[b], azi float32[b])
+//   -> (idx int32[b,4], w float32[b,4], omegas float32[b,6], case int8[b])
+PyObject* interp_plan(PyObject*, PyObject* args) {
+  PyObject *ein, *ain;
+  if (!PyArg_ParseTuple(args, "OO", &ein, &ain)) return nullptr;
+  PyArrayObject* ea = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ein, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED));
+  PyArrayObject* aa = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(ain, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED));
+  if (!ea || !aa || PyArray_SIZE(ea) != PyArray_SIZE(aa)) {
+    Py_XDECREF(ea);
+    Py_XDECREF(aa);
+    if (!PyErr_Occurred()) PyErr_SetString(PyExc_ValueError, "size mismatch");
+    return nullptr;
+  }
+  const npy_intp b = PyArray_SIZE(ea);
+  const float* e = static_cast<const float*>(PyArray_DATA(ea));
+  const float* a = static_cast<const float*>(PyArray_DATA(aa));
+  npy_intp d2[2] = {b, 4}, d6[2] = {b, 6}, d1[1] = {b};
+  PyObject* idxo = PyArray_SimpleNew(2, d2, NPY_INT32);
+  PyObject* wo = PyArray_SimpleNew(2, d2, NPY_FLOAT32);
+  PyObject* omo = PyArray_SimpleNew(2, d6, NPY_FLOAT32);
+  PyObject* co = PyArray_SimpleNew(1, d1, NPY_INT8);
+  int32_t* idx = static_cast<int32_t*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(idxo)));
+  float* w = static_cast<float*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(wo)));
+  float* om = static_cast<float*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(omo)));
+  int8_t* c = static_cast<int8_t*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(co)));
+  for (npy_intp i = 0; i < b; i++)
+    interp_one(e[i], a[i], idx + 4 * i, w + 4 * i, om + 6 * i, c + i);
+  Py_DECREF(ea);
+  Py_DECREF(aa);
+  return Py_BuildValue("(NNNN)", idxo, wo, omo, co);
+}
+
+// distance_phase_split(fsvs double, radii float32[b], num_bins)
+//   -> (u_hi float32[b], u_lo float32[b], inv_frac float32[b])
+// Exact port of ops/filters.distance_phase_split (12-bit head split; the
+// head product with any k < 4096 is exact in fp32).
+PyObject* distance_phase_split(PyObject*, PyObject* args) {
+  double fsvs;
+  PyObject* rin;
+  long num_bins;
+  if (!PyArg_ParseTuple(args, "dOl", &fsvs, &rin, &num_bins)) return nullptr;
+  PyArrayObject* ra = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(rin, NPY_FLOAT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED));
+  if (!ra) return nullptr;
+  const npy_intp b = PyArray_SIZE(ra);
+  const float* r = static_cast<const float*>(PyArray_DATA(ra));
+  npy_intp dims[1] = {b};
+  PyObject* hio = PyArray_SimpleNew(1, dims, NPY_FLOAT32);
+  PyObject* loo = PyArray_SimpleNew(1, dims, NPY_FLOAT32);
+  PyObject* ifo = PyArray_SimpleNew(1, dims, NPY_FLOAT32);
+  float* hi = static_cast<float*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(hio)));
+  float* lo = static_cast<float*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(loo)));
+  float* ifr = static_cast<float*>(PyArray_DATA(reinterpret_cast<PyArrayObject*>(ifo)));
+  const float fsvs32 = static_cast<float>(fsvs);
+  for (npy_intp i = 0; i < b; i++) {
+    double u = static_cast<double>(fsvs32) * static_cast<double>(r[i]) /
+               static_cast<double>(num_bins);
+    float uh = static_cast<float>(u);
+    uint32_t bits_;
+    std::memcpy(&bits_, &uh, 4);
+    bits_ &= 0xFFFFF000u;  // keep sign+exp+top-12 mantissa bits (mask low 12)
+    std::memcpy(&uh, &bits_, 4);
+    hi[i] = uh;
+    lo[i] = static_cast<float>(u - static_cast<double>(uh));
+    float frac = 1.0f + fsvs32 * r[i] * r[i];
+    ifr[i] = 1.0f / frac;
+  }
+  Py_DECREF(ra);
+  return Py_BuildValue("(NNN)", hio, loo, ifo);
+}
+
 PyMethodDef methods[] = {
     {"decode_wav", decode_wav, METH_VARARGS, "decode WAV bytes -> (float32[frames,ch], rate)"},
     {"encode_pcm", encode_pcm, METH_VARARGS, "float32 array, bits -> PCM bytes"},
     {"fed_stream", fed_stream, METH_VARARGS, "wrapping playhead stream"},
     {"build_segments", build_segments, METH_VARARGS, "overlap-save windows"},
+    {"pick_hrtf", pick_hrtf, METH_VARARGS, "nearest KEMAR filter index scan"},
+    {"interp_plan", interp_plan, METH_VARARGS,
+     "interpolationCalculations: (idx, weights, omegas, case) per position"},
+    {"distance_phase_split", distance_phase_split, METH_VARARGS,
+     "float64-accurate 12-bit phase split for the distance factor"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -32,6 +32,12 @@ def distance_phase_split(fsvs: float, radii: np.ndarray, num_bins: int):
     ``radii`` are the *scaled* radii (|coords|/distance_scale) in float32.
     """
     r = np.asarray(radii, dtype=np.float32)
+    from ..native import HAVE_NATIVE
+
+    if HAVE_NATIVE and r.ndim == 1:  # bit-exact C++ port (tests/test_native.py)
+        from ..native import distance_phase_split as native_dps
+
+        return native_dps(float(fsvs), r, num_bins)
     fsvs32 = np.float32(fsvs)
     u = np.float64(fsvs32) * r.astype(np.float64) / np.float64(num_bins)
     u_hi = np.float32(u)

@@ -57,6 +57,22 @@ def interpolation_calculations(ele, azi) -> InterpCoeffs:
     ele = ele.astype(_F32)
     azi = azi.astype(_F32)
 
+    from ..native import HAVE_NATIVE
+
+    if HAVE_NATIVE:
+        # C++ port of the same math — BIT-EXACT vs the NumPy path below
+        # (asserted in tests/test_native.py) and ~12x faster per position
+        from ..native import interp_plan
+
+        shape = ele.shape
+        idx, w, om, case = interp_plan(ele.ravel(), azi.ravel())
+        return InterpCoeffs(
+            indices=idx.reshape(shape + (4,)),
+            weights=w.reshape(shape + (4,)),
+            omegas=om.reshape(shape + (6,)),
+            case=case.reshape(shape),
+        )
+
     # phi[0] = int(ele)/10*10; phi[1] = int(ele+9)/10*10  (C integer division)
     ele_i = _trunc_i(ele)
     phi0 = (ele_i.astype(np.int64) // 10 * 10).astype(np.int32)

@@ -80,3 +80,55 @@ def test_fed_stream_and_segments(native):
 def test_malformed_wav_raises(native):
     with pytest.raises(ValueError):
         native.decode_wav(b"RIFFxxxxWAVEjunkjunk")
+
+
+def test_native_plan_core_bit_exact(config):
+    """The C++ plan core (interpolationCalculations, pick_hrtf, distance
+    phase split) is BIT-EXACT vs the NumPy ports across a dense sweep,
+    fractional inputs, edges, and out-of-range values — the dispatch in
+    trajectory/interpolation, hrtf/kemar, and ops/filters relies on it."""
+    import pytest
+
+    from jefferson_tpu import native
+
+    if not native.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    from jefferson_tpu.hrtf import kemar
+    from jefferson_tpu.ops import filters
+
+    rng = np.random.default_rng(7)
+    ele = np.concatenate([
+        np.round(rng.uniform(-60, 110, 5000)),       # rounded degrees (engine)
+        rng.uniform(-50, 100, 2000),                 # fractional (C trunc path)
+        [-40, -39.5, 0, 89.5, 90, 95, -50, 40.5],    # edges / out-of-table
+    ]).astype(np.float32)
+    azi = np.concatenate([
+        np.round(rng.uniform(-20, 380, 5000)),
+        rng.uniform(0, 360, 2000),
+        [0, 0.5, 179.5, 355, 359.5, 360, 361, -1],
+    ]).astype(np.float32)
+
+    idx, w, om, case = native.interp_plan(ele, azi)
+    # compare against the pure-NumPy implementation (dispatch bypassed by
+    # calling the module-level math directly with HAVE_NATIVE monkeyed off)
+    import jefferson_tpu.native as nat_mod
+    import jefferson_tpu.trajectory.interpolation as interp_mod
+
+    old = nat_mod.HAVE_NATIVE
+    try:
+        nat_mod.HAVE_NATIVE = False
+        want = interp_mod.interpolation_calculations(ele, azi)
+        want_pick = kemar.pick_hrtf(ele, azi)
+        r = rng.uniform(0.001, 12.0, 7000).astype(np.float32)
+        want_dps = filters.distance_phase_split(44100.0 / 343.0, r, 513)
+    finally:
+        nat_mod.HAVE_NATIVE = old
+
+    np.testing.assert_array_equal(idx, want.indices)
+    np.testing.assert_array_equal(w, want.weights)
+    np.testing.assert_array_equal(om, want.omegas)
+    np.testing.assert_array_equal(case, want.case)
+    np.testing.assert_array_equal(native.pick_hrtf(ele, azi), want_pick)
+    got_dps = native.distance_phase_split(44100.0 / 343.0, r, 513)
+    for g, v in zip(got_dps, want_dps):
+        np.testing.assert_array_equal(g, v)
