@@ -92,9 +92,9 @@ def pick_hrtf(obj_ele, obj_azi) -> np.ndarray:
     if HAVE_NATIVE:  # bit-exact C++ scan, ~10x faster (tests/test_native.py)
         from ..native import pick_hrtf as native_pick
 
-        idx = native_pick(
-            np.ascontiguousarray(ele).ravel(), np.ascontiguousarray(azi).ravel()
-        ).reshape(ele.shape)
+        # .ravel() copies the broadcast views contiguously; the wrapper
+        # handles dtype/contiguity
+        idx = native_pick(ele.ravel(), azi.ravel()).reshape(ele.shape)
         return idx[0] if scalar else idx
 
     ele_snap = round_half_away(ele / 10).astype(np.float32) * np.float32(10.0)

@@ -15,7 +15,12 @@ def main() -> int:
     ext = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = src.parent / f"_jefferson_native{ext}"
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        # -ffp-contract=off: the plan core's BIT-EXACT contract vs NumPy
+        # (tests/test_native.py) forbids FMA contraction — on FMA-baseline
+        # targets (aarch64, -march=native) the default contraction would
+        # shift e.g. 1 + fsvs*r*r by 1 ulp and silently eat sweep-gate
+        # headroom relative to the independently-computed oracle
+        "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
         f"-I{sysconfig.get_paths()['include']}",
         f"-I{np.get_include()}",
         str(src), "-o", str(out),

@@ -82,17 +82,13 @@ def test_malformed_wav_raises(native):
         native.decode_wav(b"RIFFxxxxWAVEjunkjunk")
 
 
-def test_native_plan_core_bit_exact(config):
+def test_native_plan_core_bit_exact(native):
     """The C++ plan core (interpolationCalculations, pick_hrtf, distance
     phase split) is BIT-EXACT vs the NumPy ports across a dense sweep,
     fractional inputs, edges, and out-of-range values — the dispatch in
-    trajectory/interpolation, hrtf/kemar, and ops/filters relies on it."""
-    import pytest
-
-    from jefferson_tpu import native
-
-    if not native.HAVE_NATIVE:
-        pytest.skip("native extension not built")
+    trajectory/interpolation, hrtf/kemar, and ops/filters relies on it.
+    Uses the module `native` fixture, which BUILDS the extension on a
+    fresh checkout instead of skipping."""
     from jefferson_tpu.hrtf import kemar
     from jefferson_tpu.ops import filters
 
