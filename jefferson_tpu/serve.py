@@ -214,8 +214,23 @@ class RenderService:
             "output": req["output"], "blocks": num_blocks,
         }
         t.start()
-        return {"ok": True, "session": sid, "output": req["output"],
+        resp = {"ok": True, "session": sid, "output": req["output"],
                 "blocks": num_blocks, "paced": paced}
+        import jax
+
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            # the live loop needs one device roundtrip per 2.9 ms block; a
+            # relay-attached TPU costs ~40 ms/block (PERF.md) — offline
+            # renders belong on the TPU, live streams on a CPU-platform
+            # daemon (jefferson-rt's --device policy)
+            resp["warning"] = (
+                f"daemon runs on '{platform}': per-block stream latency will "
+                f"miss the realtime budget on a relay-attached TPU; start a "
+                f"CPU-platform daemon for live streams (PERF.md live-loop "
+                f"table)"
+            )
+        return resp
 
     def _session(self, req: dict):
         """Resolve a stream session from the optional 'session' field;
