@@ -57,7 +57,12 @@ class EngineConfig:
     num_hrtf: int = 710               # filters in the KEMAR grid
     speed_of_sound: float = 343.0     # m/s, used by the distance factor
     distance_scale: float = 5.0       # reference divides r by 5 (CPUSoundSource.cpp:40)
-    source_gain: float = 0.99074      # reference SoundSource gain (SoundSource.cu:6)
+    # reference SoundSource gain (SoundSource.cu:6).  Applied (clamped <= 1)
+    # by the TIME-DOMAIN engine path only, matching the reference's GPU TD
+    # semantics (kernels.cu:146, GPUSoundSource.cu:418-419); its FD paths
+    # never consume gain and its CPU TD path hardcodes 1 (a reference-side
+    # CPU/GPU divergence — PARITY.md defect list)
+    source_gain: float = 0.99074
 
     @property
     def pad_len(self) -> int:

@@ -415,14 +415,14 @@ class BatchRenderer:
         # cross-render failure counts per fused variant (see
         # renderer._MAX_FUSED_STRIKES): flaky compiles retry next render,
         # deterministic failures stop being attempted
-        self._fused_strikes: dict[str, int] = {}
+        self._fused_strikes: dict[tuple, int] = {}
 
-    def _variant_ok(self, variant: str) -> bool:
+    def _variant_ok(self, variant: tuple) -> bool:
         from .renderer import _MAX_FUSED_STRIKES
 
         return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
 
-    def _variant_result(self, variant: str, ok: bool) -> int:
+    def _variant_result(self, variant: tuple, ok: bool) -> int:
         if ok:
             self._fused_strikes.pop(variant, None)
             return 0

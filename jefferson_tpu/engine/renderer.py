@@ -199,17 +199,44 @@ _FUSED_FALLBACK_TYPES = (
     "DeadlineExceededError",
 )
 
+# Message signatures that mark a BARE RuntimeError as a compile/runtime-stack
+# failure (the deployed stack's remote compile service wraps its failures in
+# plain RuntimeErrors in some layers — observed forms in PERF.md dead ends).
+# A bare RuntimeError with none of these is a program bug and propagates.
+_FUSED_FALLBACK_SIGNATURES = (
+    "tpu_compile_helper",   # remote Mosaic compile crash (observed HTTP 500)
+    "http 500",
+    "mosaic",
+    "xla",
+    "compile",
+    "lowering",
+    "resource_exhausted",
+    "vmem",
+    "scoped memory",
+    "unavailable",
+    "deadline",
+)
+
 
 def _is_fused_fallback_error(e: BaseException) -> bool:
     """True when ``e`` is a compile/runtime-stack failure worth degrading
     gracefully on (see _FUSED_FALLBACK_TYPES); False for program bugs.
 
-    RuntimeError covers jax.errors.JaxRuntimeError (the type the remote
-    compile service's failures surface as).  Trace-time shape/type bugs
-    raise ValueError/TypeError and are NOT absorbed."""
-    if isinstance(e, (OSError, ConnectionError, RuntimeError)):
+    The remote compile service's failures surface as
+    jax.errors.JaxRuntimeError, which the name-based MRO check matches (it
+    subclasses RuntimeError).  A BARE RuntimeError is absorbed only when
+    its message carries a known compile-service signature
+    (_FUSED_FALLBACK_SIGNATURES); otherwise it is a program bug and must
+    propagate (round-3 advisor).  Trace-time shape/type bugs raise
+    ValueError/TypeError and are NOT absorbed."""
+    if isinstance(e, (OSError, ConnectionError)):
         return True
-    return any(t.__name__ in _FUSED_FALLBACK_TYPES for t in type(e).__mro__)
+    if any(t.__name__ in _FUSED_FALLBACK_TYPES for t in type(e).__mro__):
+        return True
+    if isinstance(e, RuntimeError):
+        msg = str(e).lower()
+        return any(sig in msg for sig in _FUSED_FALLBACK_SIGNATURES)
+    return False
 
 
 # consecutive cross-render failures after which a fused variant stops being
@@ -588,7 +615,14 @@ def _fd_basic_chunk(spectra, hist, fed, nearest, *, config, num_blocks, backend)
 def _td_chunk(hrirs, hist, fed, nearest, *, config, num_blocks):
     """Time-domain path: per-block convolution with the nearest HRIR pair via
     a batched grouped convolution (the MXU-native analogue of the reference's
-    naive kernel, reference: Jefferson/src/kernels.cu:139-148)."""
+    naive kernel, reference: Jefferson/src/kernels.cu:139-148).
+
+    The output is scaled by the source gain clamped at 1 — the reference's
+    GPU TD semantics (`value * gain`, kernels.cu:146, gain clamp
+    GPUSoundSource.cu:418-419).  Its CPU TD path hardcodes gain = 1
+    (CPUSoundSource.cpp:74), a CPU/GPU divergence in the reference itself;
+    this engine is the GPU analogue, and the oracle takes td_gain to match
+    either side (PARITY.md defect list)."""
     fpb = config.frames_per_buffer
     taps = config.hrtf_len
     full = jnp.concatenate([hist, fed])
@@ -598,6 +632,9 @@ def _td_chunk(hrirs, hist, fed, nearest, *, config, num_blocks):
     segs = full[idx]  # (B, taps-1+fpb)
     h = hrirs[nearest][:, :, :taps]  # (B, 2, taps)
     y = _td_direct(segs, h, fpb, taps)
+    gain = min(config.source_gain, 1.0)
+    if gain != 1.0:
+        y = y * jnp.float32(gain)
     return jnp.transpose(y, (0, 2, 1)), full[num_blocks * fpb :]
 
 
@@ -691,16 +728,16 @@ class Renderer:
         # consecutive cross-render failure counts per fused variant; a
         # variant at _MAX_FUSED_STRIKES stops being attempted (see
         # _warn_fused_fallback); any success resets its count
-        self._fused_strikes: dict[str, int] = {}
+        self._fused_strikes: dict[tuple, int] = {}
         self._mk_fd_basic = lambda nb: jit_chunk(
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
         )
         self._mk_td = lambda nb: jit_chunk(_td_chunk, config=cfg, num_blocks=nb)
 
-    def _variant_ok(self, variant: str) -> bool:
+    def _variant_ok(self, variant: tuple) -> bool:
         return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
 
-    def _variant_result(self, variant: str, ok: bool) -> int:
+    def _variant_result(self, variant: tuple, ok: bool) -> int:
         """Record a fused-variant outcome; returns the new strike count."""
         if ok:
             self._fused_strikes.pop(variant, None)

@@ -135,6 +135,7 @@ class OracleSpatializer:
         self.old_ele = self.ele
         self.count = 0
         self.buf: np.ndarray | None = None
+        self.td_gain = 1.0  # CPU TD semantics (see td_convolve docstring)
 
     # --- position updates (reference: Jefferson/src/SoundSource.cu:20-54) ---
     def update_from_spherical(self, ele=None, azi=None, r=None):
@@ -232,6 +233,13 @@ class OracleSpatializer:
         convolves input[n-k] over the hrtf_len taps using the overlap-save
         history (the reference's +2 pointer offset bug is fixed, see module
         docstring).  (reference: Jefferson/src/CPUSoundSource.cpp:66-112)
+
+        ``self.td_gain`` scales the output (clamped <= 1): 1.0 (the default)
+        is the reference's CPU TD semantics (gain hardcoded to 1,
+        CPUSoundSource.cpp:74); set it to config.source_gain to mirror the
+        GPU TD path instead (`value * gain`, kernels.cu:146) — the
+        reference's own CPU/GPU TD outputs differ by this factor (PARITY.md
+        defect list).
         """
         cfg = self.config
         hrtf_idx = pick_hrtf(self.ele, self.azi)
@@ -240,12 +248,13 @@ class OracleSpatializer:
         out = np.zeros((fpb, 2), dtype=_F32)
         xbuf = self.x
         start = cfg.history_len
+        gain = _F32(min(self.td_gain, 1.0))
         for ch in range(2):
             acc = np.zeros(fpb, dtype=_F32)
             for k in range(cfg.hrtf_len):
                 lo = start - k
                 acc += xbuf[lo : lo + fpb] * h[ch, k]
-            out[:, ch] = acc
+            out[:, ch] = acc if gain == _F32(1.0) else acc * gain
         return out
 
     def process(self, ptype: ProcessType = ProcessType.CPU_FD_COMPLEX) -> np.ndarray:
@@ -264,6 +273,7 @@ def render_oracle(
     config: EngineConfig = DEFAULT_CONFIG,
     ptype: ProcessType = ProcessType.CPU_FD_COMPLEX,
     initial_old: tuple[float, float] | None = (0.0, 0.0),
+    td_gain: float = 1.0,
 ) -> np.ndarray:
     """File-to-file oracle render: block loop like the reference audio callback.
 
@@ -273,9 +283,13 @@ def render_oracle(
     ``initial_old``: the crossfade state before block 0 — (0, 0) mirrors the
     reference's SoundSource constructor; None disables the initial crossfade
     by pre-seeding the first position.
+    ``td_gain``: TD-path output gain (clamped <= 1); 1.0 = the reference's
+    CPU TD semantics, config.source_gain = its GPU TD semantics (which the
+    TPU engine implements) — see OracleSpatializer.td_convolve.
     """
     positions = list(positions)
     sp = OracleSpatializer(db, config)
+    sp.td_gain = td_gain
     sp.buf = np.asarray(signal, dtype=_F32)
     if initial_old is None and positions:
         a0, e0, _ = positions[0]

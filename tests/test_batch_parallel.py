@@ -332,7 +332,7 @@ def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
         if nb == 8:  # the partial-final-chunk program fails deterministically
             def bad(*a, **k):
                 calls["bad"] += 1
-                raise RuntimeError("deterministic failure at nb=8")
+                raise RuntimeError("deterministic Mosaic failure at nb=8")
             return bad
         return fn
 

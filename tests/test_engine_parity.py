@@ -41,7 +41,12 @@ def test_static_source_parity(renderer, db, config, castanets, ptype):
     traj = StaticPosition(azi=30, ele=10, r=1.5)
     pos = _positions(traj, 40, config)
     got = renderer.render(castanets, pos, ptype)
-    want = render_oracle(castanets, db, [tuple(p) for p in pos], config, ptype)
+    # the TD engine implements the reference's GPU TD gain semantics
+    # (kernels.cu:146); the oracle defaults to its CPU TD gain=1 — pass
+    # td_gain to gate against the GPU behavior the engine mirrors
+    td_gain = config.source_gain if ptype == ProcessType.TPU_TD else 1.0
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], config, ptype,
+                         td_gain=td_gain)
     rep = precision_check(got, want, eps=E2E_EPS if ptype != ProcessType.TPU_TD else 5e-6)
     assert rep.ok, f"{ptype.name}: {rep}"
 
@@ -139,7 +144,37 @@ def test_td_equals_fd_basic_static(renderer, db, config, castanets):
     pos = StaticPosition(azi=75, ele=-20, r=1.0).sample(24, config)
     td = renderer.render(castanets, pos, ProcessType.TPU_TD)
     fd = renderer.render(castanets, pos, ProcessType.TPU_FD_BASIC)
-    rep = precision_check(td, fd, eps=2e-5)
+    # TD applies the GPU-path source gain (kernels.cu:146); FD_BASIC, like
+    # the reference's fftConvolve, does not — undo it for the math check
+    rep = precision_check(td / np.float32(min(config.source_gain, 1.0)), fd, eps=2e-5)
+    assert rep.ok, str(rep)
+
+
+def test_td_gain_semantics(renderer, db, config, castanets):
+    """source_gain is applied by the TD path only, clamped at 1, mirroring
+    the reference's GPU TD kernel (kernels.cu:146, GPUSoundSource.cu:418-419)
+    — while its CPU TD path (the oracle default) hardcodes gain = 1, a
+    reference-side divergence kept as contract (PARITY.md defect list)."""
+    pos = StaticPosition(azi=30, ele=0, r=1.0).sample(12, config)
+    td = renderer.render(castanets, pos, ProcessType.TPU_TD)
+    cpu = render_oracle(castanets, db, [tuple(p) for p in pos], config,
+                        ProcessType.CPU_TD)  # td_gain default 1.0
+    assert np.abs(cpu).max() > 0
+    # engine output == CPU oracle scaled by the (clamped) source gain
+    rep = precision_check(td, cpu * np.float32(config.source_gain), eps=5e-6)
+    assert rep.ok, str(rep)
+    # a gain > 1 clamps to 1 on both sides (GPUSoundSource.cu:418-419)
+    import dataclasses
+
+    cfg_hot = dataclasses.replace(config, source_gain=1.7)
+    from jefferson_tpu.engine.renderer import Renderer
+
+    td_hot = Renderer(db, cfg_hot, chunk_blocks=16).render(castanets, pos, ProcessType.TPU_TD)
+    hot = render_oracle(castanets, db, [tuple(p) for p in pos], cfg_hot,
+                        ProcessType.CPU_TD, td_gain=1.7)
+    rep = precision_check(td_hot, hot, eps=5e-6)
+    assert rep.ok, str(rep)
+    rep = precision_check(td_hot, cpu, eps=5e-6)  # clamped == unity gain
     assert rep.ok, str(rep)
 
 

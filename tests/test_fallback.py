@@ -37,7 +37,12 @@ def _raising(exc):
 def test_error_classifier():
     import jax
 
-    assert _is_fused_fallback_error(RuntimeError("x"))
+    # bare RuntimeError: absorbed only with a compile-service signature in
+    # the message (round-3 advisor); otherwise it's a program bug
+    assert _is_fused_fallback_error(RuntimeError("tpu_compile_helper exit 1"))
+    assert _is_fused_fallback_error(RuntimeError("remote service HTTP 500"))
+    assert not _is_fused_fallback_error(RuntimeError("x"))
+    assert not _is_fused_fallback_error(RuntimeError("bug in kernel wrapper"))
     assert _is_fused_fallback_error(jax.errors.JaxRuntimeError("x"))
     assert _is_fused_fallback_error(OSError("conn reset"))
     assert not _is_fused_fallback_error(ValueError("shape bug"))

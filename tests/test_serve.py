@@ -160,6 +160,87 @@ def test_daemon_move_rejects_unknown_fields(daemon, db, config, castanets, tmp_p
         request(sock, {"cmd": "stream_stop"})
 
 
+def test_daemon_move_after_stream_end_rejected(daemon, db, config, castanets, tmp_path):
+    """A move landing after the session's block loop has finished (natural
+    end or racing teardown) must report ok:false, not ok against a dead
+    stream (round-3 verdict weak item)."""
+    import time
+
+    sock, service = daemon
+    src = tmp_path / "end_in.wav"
+    write_wav(src, castanets[:2000, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "end_out.wav"
+    resp = request(sock, {"cmd": "stream_start", "input": str(src),
+                          "output": str(out), "seconds": 0.05, "paced": False})
+    assert resp["ok"], resp
+    sid = resp["session"]
+    th = service._streams[sid]["thread"]
+    th.join(timeout=30)
+    assert not th.is_alive()
+    mv = request(sock, {"cmd": "move", "session": sid, "azi": 90})
+    assert not mv["ok"] and "ended" in mv["error"], mv
+    st = request(sock, {"cmd": "stream_stop", "session": sid})
+    assert st["ok"], st  # stop after natural end still returns stats
+
+
+def test_daemon_stream_status(daemon, db, config, castanets, tmp_path):
+    """stream_status polls the live position/progress — the feed for in-play
+    visualization (reference redraws at ~100 Hz, graphics.cu:352-453)."""
+    sock, service = daemon
+    src = tmp_path / "st_in.wav"
+    write_wav(src, castanets[:6000, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "st_out.wav"
+    resp = request(sock, {"cmd": "stream_start", "input": str(src),
+                          "output": str(out), "seconds": 8, "paced": True})
+    assert resp["ok"], resp
+    try:
+        st = request(sock, {"cmd": "stream_status"})
+        assert st["ok"] and st["alive"], st
+        # default position (0, 0, 0.5) read back through the reference's
+        # mirrored cartesian->spherical convention: atan2(-x,-z) -> 180 deg
+        # (SoundSource.cu:29; same readback as the move reply)
+        assert st["azi"] == 180 and st["r"] == 0.5, st
+        assert st["z"] == 0.5, st
+        assert st["total_blocks"] == resp["blocks"]
+        mv = request(sock, {"cmd": "move", "azi": 90, "ele": 10, "r": 1.0})
+        assert mv["ok"], mv
+        st = request(sock, {"cmd": "stream_status"})
+        assert st["azi"] == 90 and st["ele"] == 10, st
+    finally:
+        assert request(sock, {"cmd": "stream_stop"})["ok"]
+    # status with no session -> clean error
+    assert not request(sock, {"cmd": "stream_status"})["ok"]
+
+
+def test_live_viz_watch(daemon, db, config, castanets, tmp_path):
+    """viz.live polls stream_status and redraws the scene SVG while the
+    stream plays — the headless analogue of the reference's in-play GLUT
+    redraw (graphics.cu:352-453)."""
+    from jefferson_tpu.viz.live import watch
+
+    sock, service = daemon
+    src = tmp_path / "lv_in.wav"
+    write_wav(src, castanets[:6000, None].repeat(2, 1), config.sample_rate)
+    out = tmp_path / "lv_out.wav"
+    svg = tmp_path / "live.svg"
+    resp = request(sock, {"cmd": "stream_start", "input": str(src),
+                          "output": str(out), "seconds": 8, "paced": True})
+    assert resp["ok"], resp
+    try:
+        request(sock, {"cmd": "move", "azi": 90, "ele": 0, "r": 1.0})
+        status = watch(sock, svg, interval_s=0.01, max_polls=8)
+        assert status["ok"], status
+        text = svg.read_text()
+        assert "listener" in text and "azi 90" in text, text[:400]
+        assert svg.with_suffix(".html").exists()  # self-refreshing wrapper
+    finally:
+        assert request(sock, {"cmd": "stream_stop"})["ok"]
+    # after the stream ends, watch exits on the first poll with ok:false
+    # (session pruned) — no infinite loop
+    status = watch(sock, svg, interval_s=0.01, max_polls=3)
+    assert not status.get("ok")
+
+
 def test_daemon_concurrent_sessions(daemon, db, config, castanets, tmp_path):
     """Two live sessions at once: independent spatializers/outputs; moves
     need an explicit session id while more than one is active."""
