@@ -62,6 +62,144 @@ def run_mover_gate(
     return precision_check(got, want, eps=eps)
 
 
+def scene_hold_positions(
+    num_sources: int, num_blocks: int, blocks_per_step: int = 172
+) -> np.ndarray:
+    """(S, B, 3) multi-source scene whose sources each HOLD positions for
+    ``blocks_per_step`` blocks (the reference's benchmarkTesting cadence,
+    precision_test.cu:2093-2148) at staggered start azimuths/elevations —
+    the production scene shape that forces the batch dedup+fused dispatch
+    (engine/batch.batched_chunk_fn_dedup_fused)."""
+    i = np.arange(num_blocks)
+    step = i // blocks_per_step
+    eles = [0.0, 10.0, -20.0, 40.0]
+    pos = np.empty((num_sources, num_blocks, 3), np.float64)
+    for s in range(num_sources):
+        pos[s, :, 0] = (s * (360.0 / num_sources) + 5.0 * step) % 360.0
+        pos[s, :, 1] = eles[s % len(eles)]
+        pos[s, :, 2] = 0.5 + 0.1 * (s % 3)
+    return pos
+
+
+def scene_mover_positions(num_sources: int, num_blocks: int) -> np.ndarray:
+    """(S, B, 3) wide-mover scene: every source orbits EVERY BLOCK at its
+    own elevation band, so the cross-source unique-filter set exceeds one
+    compact table's VMEM gate (MAX_ONEHOT_U) while each source's own set
+    fits — the shape that forces the batched GROUPED one-hot dispatch
+    (per-source-group table slices inside one kernel call, PERF.md)."""
+    i = np.arange(num_blocks)
+    pos = np.empty((num_sources, num_blocks, 3), np.float64)
+    for s in range(num_sources):
+        speed = 2.1 + 0.13 * (s % 7)  # deg/block: crossfade every block
+        pos[s, :, 0] = (s * (360.0 / num_sources) + speed * i) % 360.0
+        # distinct elevation bands spread the union across the grid's rings
+        pos[s, :, 1] = -30.0 + (s % 8) * 15.0
+        pos[s, :, 2] = 1.0
+    return pos
+
+
+def _batch_dispatches(br) -> set[str]:
+    """Which batched kernels a BatchRenderer compiled, from its jit-cache
+    keys (see BatchRenderer._get_fn): 'dedup_fused', 'onehot_grouped',
+    'onehot_shared', 'gather_fused', 'xla'."""
+    names = set()
+    for (nb, dedup_key, fused_tb, onehot, group_tiles) in br._jitted:
+        if fused_tb is not None and dedup_key is not None:
+            names.add("dedup_fused")
+        elif onehot and group_tiles is not None:
+            names.add("onehot_grouped")
+        elif onehot:
+            names.add("onehot_shared")
+        elif fused_tb is not None:
+            names.add("gather_fused")
+        else:
+            names.add("xla")
+    return names
+
+
+def run_scene_gate(
+    signal: np.ndarray,
+    db: HRTFDatabase,
+    config: EngineConfig = DEFAULT_CONFIG,
+    scenario: str = "hold",
+    num_sources: int = 16,
+    num_blocks: int = 12556,
+    eps: float = 2e-7,
+    chunk_blocks: int = 512,
+    require_dispatch: bool = True,
+    fused: bool | None = None,
+) -> PrecisionReport:
+    """Full-scale engine-vs-oracle gate for the BATCHED/scene kernels.
+
+    The reference gates its engine end-to-end on every launch
+    (precision_test.cu:2154-2201); the four classic scenarios above cover
+    the single-source Renderer but the daemon/--scene production paths run
+    `engine/batch.py`'s kernels (dedup+fused composition, batched grouped
+    one-hot) whose MXU tile geometries differ.  This gate renders a
+    multi-source scene through BatchRenderer and checks EVERY source's
+    stream against its own oracle render at the same eps — per-source
+    comparison, because a summed-mix comparison would dilute per-stream
+    error into the sum's amplitude (the mix is still checked for
+    finiteness by the callers).
+
+    scenario 'hold'   -> sources hold positions  -> batch dedup+fused
+    scenario 'movers' -> every-block wide movers -> batched grouped one-hot
+    ``require_dispatch`` asserts the intended kernel actually compiled and
+    never struck a fallback (otherwise the gate could silently pass
+    against the XLA path instead of the kernel it exists to pin).
+    """
+    from ..engine.batch import BatchRenderer
+
+    # whole chunks only: a partial final chunk compiles a second program
+    # (each remote compile costs 20 s - 5 min on the deployed stack) without
+    # adding gate coverage
+    if num_blocks > chunk_blocks:
+        num_blocks = (num_blocks // chunk_blocks) * chunk_blocks
+    if scenario == "hold":
+        positions = scene_hold_positions(num_sources, num_blocks)
+        want_dispatch = "dedup_fused"
+    elif scenario == "movers":
+        positions = scene_mover_positions(num_sources, num_blocks)
+        want_dispatch = "onehot_grouped"
+    else:
+        raise ValueError(f"unknown scene scenario {scenario!r}")
+    fpb = config.frames_per_buffer
+    # distinct per-source streams: rotated copies of the input (cheap, and
+    # keeps every stream's spectrum realistic)
+    n = max(len(signal), num_blocks * fpb)
+    base = np.resize(np.asarray(signal, np.float32), n)
+    signals = np.stack(
+        [np.roll(base, -(s * 7919 * fpb) % n) for s in range(num_sources)]
+    )
+    br = BatchRenderer(db, config, chunk_blocks=chunk_blocks, mix=False, fused=fused)
+    outs = br.render(signals, positions)  # (S, B*fpb, 2)
+    if require_dispatch:
+        got_d = _batch_dispatches(br)
+        if want_dispatch not in got_d:
+            raise AssertionError(
+                f"scene '{scenario}' gate did not exercise the "
+                f"{want_dispatch} dispatch (compiled: {sorted(got_d)}) — "
+                f"the gate would pin the wrong kernel"
+            )
+        if br._fused_strikes:
+            raise AssertionError(
+                f"scene '{scenario}' gate hit fused fallbacks "
+                f"{dict(br._fused_strikes)} — output came from the XLA path"
+            )
+    worst = None
+    for s in range(num_sources):
+        want = render_oracle(
+            signals[s], db, [tuple(p) for p in positions[s]], config,
+            initial_old=(0.0, 0.0),
+        )
+        rep = precision_check(outs[s], want, eps=eps)
+        if worst is None or rep.max_abs_diff > worst.max_abs_diff:
+            worst = rep
+        if not rep.ok:
+            break  # a failure is already the gate's answer
+    return worst
+
+
 def run_benchmark_sweep(
     signal: np.ndarray,
     db: HRTFDatabase,
@@ -111,6 +249,12 @@ def main(argv=None) -> int:
                    help="skip the per-block mover scenario (one-hot/gather "
                         "kernel gate; the 4 reference scenarios only "
                         "exercise the dedup dispatch)")
+    p.add_argument("--no-scene", action="store_true",
+                   help="skip the two multi-source scene scenarios (batch "
+                        "dedup+fused and batched grouped one-hot gates — "
+                        "the daemon/--scene production kernels)")
+    p.add_argument("--scene-sources", type=int, default=16,
+                   help="sources per scene scenario (default 16)")
     p.add_argument("--write-dir", default=None,
                    help="also write each scenario's engine render as a WAV "
                         "(the reference's waveFileTesting, "
@@ -140,6 +284,20 @@ def main(argv=None) -> int:
             )
         )
         names.append("mover")
+    if not args.no_scene:
+        from ..engine.renderer import fused_supported
+
+        nb_scene = args.blocks * (args.steps + 1)
+        for scenario in ("hold", "movers"):
+            reports.append(run_scene_gate(
+                signal, db, config, scenario=scenario,
+                num_sources=args.scene_sources, num_blocks=nb_scene,
+                eps=args.eps,
+                # the dispatch pin only makes sense where the fused kernels
+                # actually run (TPU); CPU runs still gate the XLA batch path
+                require_dispatch=fused_supported(),
+            ))
+            names.append(f"scene_{scenario}")
     ok = True
     for name, rep in zip(names, reports):
         print(f"scenario {name}: {rep}")

@@ -82,12 +82,49 @@ def test_sweep_cli_emits_margin_json(db, config, castanets, tmp_path, capsys, mo
     import jefferson_tpu.cli.main as cli_main
 
     monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
-    rc = sweep_mod.main(["-i", str(src), "--blocks", "8", "--steps", "3"])
+    rc = sweep_mod.main(["-i", str(src), "--blocks", "8", "--steps", "3",
+                         "--scene-sources", "4"])
     out = capsys.readouterr().out
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     data = json.loads(line)
     assert rc == 0 and data["ok"]
     assert set(data["scenarios"]) == {
-        "azi0_ele0", "azi3_ele0", "azi0_ele5", "azi3_ele5", "mover"
+        "azi0_ele0", "azi3_ele0", "azi0_ele5", "azi3_ele5", "mover",
+        "scene_hold", "scene_movers",
     }
     assert 0 <= data["worst_margin"] <= 1
+
+
+def test_scene_gate_scaled(db, config, castanets):
+    """Round-4 gate addition: the BATCHED/scene kernels (batch dedup+fused
+    and batched grouped one-hot — the daemon/--scene production paths) are
+    oracle-gated per source at the reference's 2e-7 eps; the full-scale
+    on-chip run is `python -m jefferson_tpu.bench.sweep` (PERF.md ladder).
+    fused=True forces the kernels (interpret mode on CPU) so the dispatch
+    pin verifies the gate exercises what it claims to."""
+    from jefferson_tpu.bench.sweep import run_scene_gate
+
+    rep = run_scene_gate(
+        castanets, db, config, scenario="hold", num_sources=8, num_blocks=128,
+        chunk_blocks=64, fused=True, require_dispatch=True,
+    )
+    assert rep.ok, f"scene hold: {rep}"
+    rep = run_scene_gate(
+        castanets, db, config, scenario="movers", num_sources=16, num_blocks=128,
+        chunk_blocks=64, fused=True, require_dispatch=True,
+    )
+    assert rep.ok, f"scene movers: {rep}"
+
+
+def test_scene_gate_dispatch_pin_detects_wrong_path(db, config, castanets):
+    """The gate must refuse to pass when the intended kernel never ran
+    (fused disabled -> XLA batch path -> AssertionError, not a green gate)."""
+    import pytest
+
+    from jefferson_tpu.bench.sweep import run_scene_gate
+
+    with pytest.raises(AssertionError, match="dedup_fused"):
+        run_scene_gate(
+            castanets, db, config, scenario="hold", num_sources=8,
+            num_blocks=128, chunk_blocks=64, fused=False, require_dispatch=True,
+        )
