@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas apply kernel (XLA numerics)")
     p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the render over N chips of a jax.sharding.Mesh: "
+                        "--scene shards the SOURCE axis (data-parallel streams, "
+                        "auto-shrunk to a divisor of the source count); "
+                        "single-source renders shard the TIME-BLOCK axis "
+                        "('sp'-style, XLA path). Default: one device")
     p.add_argument("--initial-old", default="0,0",
                    help="crossfade state before block 0 as 'azi,ele' (reference "
                         "constructor default 0,0) or 'none' to disable")
@@ -174,6 +180,27 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def scene_mesh(num_sources: int, devices: int | None, quiet: bool = True):
+    """Build the --devices source mesh for a scene, auto-shrunk to the
+    largest device count that divides the source count (shard_map-wrapped
+    fused kernels need even source shards; a lopsided mesh would silently
+    fall back to slower paths)."""
+    if not devices or devices <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    n = min(devices, num_sources)
+    while num_sources % n:
+        n -= 1
+    if n != devices and not quiet:
+        print(
+            f"warning: --devices {devices} shrunk to {n} "
+            f"(must divide the {num_sources}-source scene)",
+            file=sys.stderr,
+        )
+    return make_mesh(n, ("src",)) if n > 1 else None
+
+
 def render_scene_spec(
     scene: dict,
     db,
@@ -182,9 +209,12 @@ def render_scene_spec(
     duration: float | None = None,
     chunk_blocks: int = 2048,
     quiet: bool = True,
+    devices: int | None = None,
 ):
     """Render a scene dict ({"sources": [{"input", "trajectory", "gain"}…]})
-    into one stereo mix — shared by the CLI and the render daemon."""
+    into one stereo mix — shared by the CLI and the render daemon.
+    ``devices``: shard the source axis over an N-chip mesh (auto-shrunk to
+    a divisor of the source count; the mixdown psum rides the ICI)."""
     import numpy as np
 
     from ..engine.batch import BatchRenderer
@@ -210,7 +240,10 @@ def render_scene_spec(
             num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
     feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
     positions = np.stack([t.sample(num_blocks, config) for t in trajs])
-    br = BatchRenderer(db, config, chunk_blocks=min(chunk_blocks, num_blocks), mix=True)
+    br = BatchRenderer(
+        db, config, chunk_blocks=min(chunk_blocks, num_blocks), mix=True,
+        mesh=scene_mesh(len(sources), devices, quiet=quiet),
+    )
     return br.render(feds, positions).reshape(-1, 2), num_blocks
 
 
@@ -229,6 +262,7 @@ def render_scene(args, config) -> int:
             scene, db, config,
             num_blocks=args.blocks, duration=args.duration,
             chunk_blocks=args.chunk_blocks, quiet=args.quiet,
+            devices=args.devices,
         )
     except ValueError as e:
         raise SystemExit(str(e))
@@ -349,8 +383,18 @@ def main(argv=None) -> int:
         else:
             from ..engine.renderer import Renderer
 
+            mesh = None
+            if args.devices and args.devices > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(args.devices, ("blk",))
+                if args.chunk_blocks % args.devices:
+                    raise SystemExit(
+                        f"--chunk-blocks {args.chunk_blocks} must divide "
+                        f"evenly over --devices {args.devices}"
+                    )
             r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend,
-                         fused=False if args.no_fused else None)
+                         fused=False if args.no_fused else None, mesh=mesh)
             out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0
 

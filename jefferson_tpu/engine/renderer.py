@@ -671,16 +671,35 @@ class Renderer:
         backend: str = "matmul",
         dedup: bool = True,
         fused: bool | None = None,
+        mesh=None,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
         unique positions for it to pay). matmul backend only.
         ``fused``: use the Pallas fused apply kernel for moving-source
-        chunks (None = auto: on when a TPU backend is attached)."""
+        chunks (None = auto: on when a TPU backend is attached).
+        ``mesh``: optional 1-D jax Mesh — one render's TIME-BLOCK axis is
+        sharded across it ('sp'-style: offline blocks are independent given
+        the input stream, so GSPMD partitions the chunk pipeline and
+        inserts the sliding-window halo collectives itself; SURVEY §2's
+        parallelism map names this the natural single-source extension).
+        Mesh renders run the XLA chunk path: a Pallas custom call is not
+        GSPMD-partitionable, so fused kernels are single-device-only (the
+        multi-source BatchRenderer shard_maps them over SOURCES instead)."""
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
         self.backend = backend
+        self.mesh = mesh
+        if mesh is not None:
+            if len(mesh.axis_names) != 1:
+                raise ValueError("Renderer mesh must be 1-D (block axis)")
+            if chunk_blocks % mesh.size:
+                raise ValueError(
+                    f"chunk_blocks ({chunk_blocks}) must divide evenly over "
+                    f"the {mesh.size}-device mesh"
+                )
+            fused = False
         self.dedup = dedup and backend != "fft"
         if fused is None:
             fused = fused_supported()
@@ -789,7 +808,27 @@ class Renderer:
         b_total = plan.num_blocks
         cb = min(self.chunk_blocks, b_total) if b_total else self.chunk_blocks
         fed_all = fed_stream(signal, b_total, cfg)
-        hist = jnp.zeros(cfg.history_len, dtype=jnp.float32)
+        # block-axis mesh: shard every per-block (and per-sample) chunk
+        # argument over the mesh; replicate the small broadcast arrays.
+        # Chunks are always padded to cb (divisible by the mesh), so shards
+        # stay even; GSPMD inserts the DFT window halo exchange.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, blk_ax = self.mesh, self.mesh.axis_names[0]
+
+            def dev(a, shard=True):
+                a = jnp.asarray(a)
+                spec = (
+                    P(blk_ax, *([None] * (a.ndim - 1)))
+                    if shard and a.ndim >= 1 and a.shape[0] % mesh.size == 0
+                    else P()
+                )
+                return jax.device_put(a, NamedSharding(mesh, spec))
+        else:
+            def dev(a, shard=True):
+                return jnp.asarray(a)
+        hist = dev(np.zeros(cfg.history_len, dtype=np.float32), shard=False)
         out = np.empty((b_total * fpb, 2), dtype=np.float32)
         # one compiled program per render: fixed chunk size (last partial
         # chunk padded and trimmed) and one global xfade variant — XLA
@@ -803,8 +842,8 @@ class Renderer:
 
         def pad(a, nb):
             if nb == cb:
-                return jnp.asarray(a)
-            return jnp.asarray(np.concatenate([a, np.repeat(a[-1:], cb - nb, axis=0)]))
+                return dev(a)
+            return dev(np.concatenate([a, np.repeat(a[-1:], cb - nb, axis=0)]))
 
         # static-segment dedup: one pass over the chunks to find the unique
         # blend rows per chunk; one Upad bucket per render (single compiled
@@ -864,7 +903,7 @@ class Renderer:
             fed_np = fed_all[start * fpb : stop * fpb]
             if nb < cb:
                 fed_np = np.concatenate([fed_np, np.zeros((cb - nb) * fpb, np.float32)])
-            fed = jnp.asarray(fed_np)
+            fed = dev(fed_np)
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
                 # movers path: one-hot compact-table kernel (zero filter
                 # gathers) — needs aligned geometry, the crossfade form, and
@@ -1074,9 +1113,9 @@ class Renderer:
                         self._spectra,
                         hist,
                         fed,
-                        jnp.asarray(uniq_idx),
-                        jnp.asarray(uniq_w),
-                        jnp.asarray(inv),
+                        dev(uniq_idx, shard=False),
+                        dev(uniq_w, shard=False),
+                        dev(inv, shard=False),
                         pad(plan.xfade[sl], nb),
                         pad(plan.u_hi[sl], nb),
                         pad(plan.u_lo[sl], nb),

@@ -57,7 +57,11 @@ from pathlib import Path
 class RenderService:
     """Resident engine: one Renderer (warm jit caches) + one HRTF database."""
 
-    def __init__(self, hrtf_dir=None, chunk_blocks: int = 2048, quiet: bool = True):
+    def __init__(self, hrtf_dir=None, chunk_blocks: int = 2048, quiet: bool = True,
+                 devices: int | None = None):
+        """``devices``: shard renders over an N-chip mesh — single-source
+        renders over the time-block axis (XLA path), scenes over the source
+        axis (shard_map'd fused kernels; auto-shrunk per scene)."""
         import threading
 
         from .cli.main import load_hrtf
@@ -66,7 +70,19 @@ class RenderService:
 
         self.config = DEFAULT_CONFIG
         self.db = load_hrtf(hrtf_dir, self.config, quiet=quiet)
-        self.renderer = Renderer(self.db, self.config, chunk_blocks=chunk_blocks)
+        self.devices = devices
+        mesh = None
+        if devices and devices > 1:
+            from .parallel.mesh import make_mesh
+
+            if chunk_blocks % devices:
+                raise ValueError(
+                    f"chunk_blocks ({chunk_blocks}) must divide evenly over "
+                    f"devices ({devices})"
+                )
+            mesh = make_mesh(devices, ("blk",))
+        self.renderer = Renderer(self.db, self.config, chunk_blocks=chunk_blocks,
+                                 mesh=mesh)
         self.stats = {"renders": 0, "blocks": 0, "seconds": 0.0, "errors": 0}
         # the threading server handles clients concurrently, but renders
         # share one Renderer (jit caches, fused state) and one device —
@@ -394,6 +410,7 @@ class RenderService:
             scene, self.db, self.config,
             num_blocks=req.get("blocks"), duration=req.get("duration"),
             chunk_blocks=int(req.get("chunk_blocks", 2048)),
+            devices=self.devices,
         )
         dt = time.time() - t0
         if not np.isfinite(out).all():
@@ -464,6 +481,9 @@ def main(argv=None) -> int:
     p.add_argument("--socket", default="/tmp/jefferson.sock")
     p.add_argument("--hrtf-dir", default=None)
     p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard renders over N chips (scenes: source axis; "
+                        "single-source renders: time-block axis)")
     p.add_argument("--request", default=None,
                    help="client mode: send this JSON request to a running daemon")
     args = p.parse_args(argv)
@@ -473,7 +493,8 @@ def main(argv=None) -> int:
         print(json.dumps(resp))
         return 0 if resp.get("ok") else 1
 
-    service = RenderService(args.hrtf_dir, chunk_blocks=args.chunk_blocks)
+    service = RenderService(args.hrtf_dir, chunk_blocks=args.chunk_blocks,
+                            devices=args.devices)
     print(f"jefferson-serve: listening on {args.socket}", file=sys.stderr)
     serve(args.socket, service)
     return 0
