@@ -125,7 +125,7 @@ def run_scene_gate(
     num_sources: int = 16,
     num_blocks: int = 12556,
     eps: float = 2e-7,
-    chunk_blocks: int = 512,
+    chunk_blocks: int = 256,
     require_dispatch: bool = True,
     fused: bool | None = None,
 ) -> PrecisionReport:
@@ -147,6 +147,13 @@ def run_scene_gate(
     ``require_dispatch`` asserts the intended kernel actually compiled and
     never struck a fallback (otherwise the gate could silently pass
     against the XLA path instead of the kernel it exists to pin).
+
+    chunk_blocks defaults to 256 so per-source group tiles sit at the
+    flagship 256-row geometry: with whole-source tiles (tb % nb == 0 is
+    the kernel contract) a larger chunk would force 512-row tiles, which
+    exceed VMEM (PERF.md kernel tile sweep), and the GROUPED_MIN_TB policy
+    (engine/batch.py) would otherwise route shrunken tiles to the gather
+    blend.
     """
     from ..engine.batch import BatchRenderer
 

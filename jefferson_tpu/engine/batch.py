@@ -287,6 +287,19 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
     return fn
 
 
+# Geometry policy for the batched grouped one-hot (round 4): grouped tables
+# only pay when group-aligned tiles keep the default row count — each tile
+# DMAs its group's whole (U_pad, 4*bins) table into VMEM, a fixed cost
+# amortized over the tile's rows.  At full tiles the grouped blend measured
+# 1.24-2.38x the gather path, but when groups force tiles down to 128 rows
+# the same-session A/Bs read 0.82-1.24x (cross-session parity at best,
+# PERF.md round 3/4; scripts/bench_scene_movers.py) — so shrunken-tile
+# geometries dispatch to the gather blend instead.  The single-stream
+# grouped form (renderer.plan_onehot_chunking) never shrinks tiles (groups
+# are multiples of the tile there), so this policy is batched-only.
+GROUPED_MIN_TB = 256
+
+
 def _group_bucket(idx_old, idx_last, group: int | None) -> int:
     """Power-of-two bucket covering every source-group's unique-filter set
     (group=None: one group of all sources).  idx_old (S, nb, 4);
@@ -666,11 +679,21 @@ class BatchRenderer:
                     # tile must still own WHOLE sources (tb % nb == 0, the
                     # kernel's contract) and never straddle a group.
                     _, g_srcs, g_upad = onehot_plan
-                    tb_g = pick_fused_tile(s_local * nb, nb, max_tb=g_srcs * nb)
+                    # tiles never exceed 256 rows regardless of group span:
+                    # (TB, pad_len) stream tiles at TB >= 512 overflow VMEM
+                    # (PERF.md kernel tile sweep)
+                    tb_g = pick_fused_tile(
+                        s_local * nb, nb, max_tb=min(256, g_srcs * nb)
+                    )
                     if tb_g is not None and (tb_g % nb or (g_srcs * nb) % tb_g):
                         # one source per tile always satisfies both (Mosaic
                         # still needs the sublane multiple)
-                        tb_g = nb if nb % 8 == 0 else None
+                        tb_g = nb if nb % 8 == 0 and nb <= 256 else None
+                    if tb_g is not None and tb_g < GROUPED_MIN_TB:
+                        # shrunken-tile geometry: the per-tile table DMA no
+                        # longer amortizes — measured slower than the gather
+                        # blend (see GROUPED_MIN_TB above)
+                        tb_g = None
                     if tb_g is not None:
                         onehot = True
                         tb_f = tb_g

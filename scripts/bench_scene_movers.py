@@ -1,14 +1,25 @@
-"""Measure grouped one-hot vs gather on a WIDE-MOVER SCENE (TPU).
+"""Grouped one-hot vs gather on WIDE-MOVER SCENES across tile geometries (TPU).
 
 Workload: many sources spread over the full sphere, all moving every block
 — the cross-source unique-filter set exceeds one compact table's VMEM gate
-(MAX_ONEHOT_U), the case that previously fell back to the gather blend.
-Round 3 groups consecutive sources onto per-group table slices inside the
-same dispatch (plan.compact_filter_ids_grouped_sources).
+(MAX_ONEHOT_U).  Round 3 groups consecutive sources onto per-group table
+slices inside the same dispatch (plan.compact_filter_ids_grouped_sources);
+round 4 adds the GROUPED_MIN_TB dispatch policy (engine/batch.py): grouped
+only at full-size (256-row) tiles, gather at shrunken tiles.
+
+This script measures BOTH paths at the two geometry regimes the policy
+distinguishes and reports whether the policy's choice is ever the slower
+one (the round-3 verdict's acceptance bar):
+
+  * 128 sources x 64-block steps  -> group-aligned tiles shrink (tb=128)
+  * 16  sources x 256-block steps -> tiles stay at the flagship 256 rows
+
+Run on the chip: python scripts/bench_scene_movers.py
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -18,10 +29,15 @@ import jax
 import jax.numpy as jnp
 
 
-def main() -> int:
-    sys.path.insert(0, ".")
-    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
-    from jefferson_tpu.engine.batch import _plan_source_groups, batched_chunk_fn_fused
+def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
+    """Measure gather vs grouped one-hot on an (s, nb) mover scene; returns
+    a dict with per-path ms and the policy verdict, or None if grouping is
+    not viable at this geometry."""
+    from jefferson_tpu.engine.batch import (
+        GROUPED_MIN_TB,
+        _plan_source_groups,
+        batched_chunk_fn_fused,
+    )
     from jefferson_tpu.engine.plan import (
         compact_filter_ids,
         compact_filter_ids_grouped_sources,
@@ -31,12 +47,7 @@ def main() -> int:
     from jefferson_tpu.engine.renderer import pick_fused_tile
     from jefferson_tpu.trajectory.trajectory import CircularOrbit
 
-    print("devices:", jax.devices(), file=sys.stderr)
-    cfg = DEFAULT_CONFIG
-    db = synthetic_database(cfg)
-    s, nb = 128, 64
-
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     plans = [
         make_plan(
             CircularOrbit(
@@ -54,12 +65,20 @@ def main() -> int:
     _, _, _, u_pad_all = compact_filter_ids(idx_old, idx_last)
     g_srcs, g_upad = _plan_source_groups(idx_old, idx_last, s, 1)
     if g_srcs is None:
-        print(f"no viable source grouping (cross-source bucket {u_pad_all}, "
-              f"even single-source sets exceed the VMEM gate) — nothing to "
-              f"measure", file=sys.stderr)
-        return 1
-    print(f"{s} movers x {nb} blocks: cross-source bucket {u_pad_all}; "
-          f"groups of {g_srcs} sources, bucket {g_upad}", file=sys.stderr)
+        print(f"[{s}x{nb}] no viable source grouping (bucket {u_pad_all})",
+              file=sys.stderr)
+        return None
+    # mirror the dispatcher's tile choice (engine/batch.py mover branch)
+    tb_g = pick_fused_tile(s * nb, nb, max_tb=min(256, g_srcs * nb))
+    if tb_g is None or tb_g % nb or (g_srcs * nb) % tb_g:
+        tb_g = nb if nb % 8 == 0 and nb <= 256 else None
+    if tb_g is None:
+        print(f"[{s}x{nb}] no whole-source tile", file=sys.stderr)
+        return None
+    gt = (g_srcs * nb) // tb_g
+    print(f"[{s}x{nb}] cross-source bucket {u_pad_all}; groups of {g_srcs} "
+          f"sources, bucket {g_upad}, grouped tb={tb_g} ({gt} tiles/group)",
+          file=sys.stderr)
 
     sigs = (rng.standard_normal((s, nb * cfg.frames_per_buffer)) * 0.2).astype(np.float32)
     feds = jnp.asarray(np.stack([fed_stream(sigs[i], nb, cfg) for i in range(s)]))
@@ -78,7 +97,8 @@ def main() -> int:
         t0 = time.time()
         out, h = fn(spectra, hists, feds, *head, w_old, last, w_last, *tail)
         float(probe(out, h))
-        print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"[{s}x{nb}] {label}: compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
         def run(k):
             hh = hists
@@ -91,20 +111,16 @@ def main() -> int:
         run(3)
         t_s, t_l = run(3), run(33)
         per = (t_l - t_s) / 30
-        print(f"{label}: {per*1e3:.2f} ms / {s}x{nb}-block step "
+        print(f"[{s}x{nb}] {label}: {per*1e3:.2f} ms / step "
               f"({s*nb/per:,.0f} blocks/s)", file=sys.stderr)
         return per, np.asarray(out)
 
     tb = pick_fused_tile(s * nb, nb)
     gather = jax.jit(batched_chunk_fn_fused(cfg, nb, tb=tb, onehot=False))
     t_g, out_g = bench(
-        gather, (jnp.asarray(idx_old),), jnp.asarray(idx_last), f"gather (tb={tb})   "
+        gather, (jnp.asarray(idx_old),), jnp.asarray(idx_last), f"gather tb={tb}"
     )
 
-    tb_g = pick_fused_tile(s * nb, nb, max_tb=g_srcs * nb)
-    if tb_g % nb or (g_srcs * nb) % tb_g:  # tiles own whole sources
-        tb_g = nb
-    gt = (g_srcs * nb) // tb_g
     uniq_ids, ridx, rlast = compact_filter_ids_grouped_sources(
         idx_old, idx_last, g_srcs, g_upad
     )
@@ -115,11 +131,43 @@ def main() -> int:
         grouped,
         (jnp.asarray(uniq_ids), jnp.asarray(ridx)),
         jnp.asarray(rlast),
-        f"grouped onehot (tb={tb_g}, {gt} tiles/group)",
+        f"grouped tb={tb_g}",
     )
-    print(f"grouped vs gather: {t_g/t_o:.2f}x, max|diff|={np.abs(out_o-out_g).max():.3e}",
+    policy_pick = "grouped" if tb_g >= GROUPED_MIN_TB else "gather"
+    picked_ms = t_o if policy_pick == "grouped" else t_g
+    other_ms = t_g if policy_pick == "grouped" else t_o
+    res = {
+        "geometry": f"{s}x{nb}",
+        "tb_gather": tb,
+        "tb_grouped": tb_g,
+        "gather_ms": round(t_g * 1e3, 3),
+        "grouped_ms": round(t_o * 1e3, 3),
+        "grouped_vs_gather": round(t_g / t_o, 3),
+        "max_diff": float(np.abs(out_o - out_g).max()),
+        "policy_pick": policy_pick,
+        "policy_ok": bool(picked_ms <= other_ms * 1.05),  # 5% noise band
+    }
+    print(f"[{s}x{nb}] grouped vs gather: {t_g/t_o:.2f}x, "
+          f"max|diff|={res['max_diff']:.3e}; policy picks {policy_pick} "
+          f"({'OK' if res['policy_ok'] else 'SLOWER — revisit GROUPED_MIN_TB'})",
           file=sys.stderr)
-    return 0
+    return res
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+    results = []
+    for s, nb in ((128, 64), (16, 256)):
+        r = measure_geometry(s, nb, cfg, db)
+        if r is not None:
+            results.append(r)
+    print(json.dumps({"bench": "scene_movers_policy", "results": results}))
+    return 0 if all(r["policy_ok"] for r in results) else 1
 
 
 if __name__ == "__main__":

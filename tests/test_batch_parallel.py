@@ -344,8 +344,13 @@ def test_batch_grouped_onehot_wide_scene(db, config, castanets, monkeypatch):
     from jefferson_tpu.engine.batch import _plan_source_groups
     from jefferson_tpu.engine.plan import make_plan
 
-    # shrink the gate so the small CI scene counts as "wide"
+    import jefferson_tpu.engine.batch as batch_mod
+
+    # shrink the gates so the small CI scene counts as "wide" AND the
+    # shrunken CI tiles still elect grouped (the production GROUPED_MIN_TB
+    # policy is covered by test_grouped_tile_policy_prefers_gather_...)
     monkeypatch.setattr(fs, "MAX_ONEHOT_U", 32)
+    monkeypatch.setattr(batch_mod, "GROUPED_MIN_TB", 8)
     signals, positions = _wide_scene(config, castanets)
     s, nb = positions.shape[0], positions.shape[1]
     plans = [make_plan(positions[i], config) for i in range(s)]
@@ -371,7 +376,10 @@ def test_batch_grouped_onehot_sharded(db, config, castanets, monkeypatch):
     import jefferson_tpu.pallas.fused_step as fs
     from jefferson_tpu.parallel.mesh import make_mesh
 
+    import jefferson_tpu.engine.batch as batch_mod
+
     monkeypatch.setattr(fs, "MAX_ONEHOT_U", 32)
+    monkeypatch.setattr(batch_mod, "GROUPED_MIN_TB", 8)
     signals, positions = _wide_scene(config, castanets, s=16)
     mesh = make_mesh(8)
     fused = BatchRenderer(db, chunk_blocks=16, mesh=mesh, fused=True, dedup=False)
@@ -388,7 +396,10 @@ def test_batch_grouped_single_source_groups_nonpow2_chunk(db, config, castanets,
     dispatch re-picks a whole-source tile or falls back, never crashes."""
     import jefferson_tpu.pallas.fused_step as fs
 
+    import jefferson_tpu.engine.batch as batch_mod
+
     monkeypatch.setattr(fs, "MAX_ONEHOT_U", 16)  # force groups of 1 source
+    monkeypatch.setattr(batch_mod, "GROUPED_MIN_TB", 8)
     signals, positions = _wide_scene(config, castanets, s=4, blocks=24)
     fused = BatchRenderer(db, chunk_blocks=24, fused=True, dedup=False)
     got = fused.render(signals, positions)  # used to raise AssertionError
@@ -427,3 +438,35 @@ def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
     # dispatcher downgrades to the (different) gather program which gets its
     # own strikes — after both are capped, no further attempts
     assert calls["bad"] == 2 * _MAX_FUSED_STRIKES, calls
+
+
+def test_grouped_tile_policy_prefers_gather_at_shrunken_tiles(db, config):
+    """Round-4 dispatch policy (GROUPED_MIN_TB): a scene whose source
+    groups force group-aligned tiles below 256 rows routes to the gather
+    blend (measured parity-at-best for shrunken-tile grouped one-hot,
+    PERF.md), while the grouped plan itself remains viable."""
+    from jefferson_tpu.bench.sweep import _batch_dispatches
+    from jefferson_tpu.engine.batch import _plan_batch_onehot
+    from jefferson_tpu.engine.plan import make_plan
+
+    s, b = 8, 32
+    rng = np.random.default_rng(0)
+    i = np.arange(b)
+    pos = np.empty((s, b, 3))
+    for src in range(s):
+        pos[src, :, 0] = (src * 45 + 25.0 * i) % 360.0  # wide fast movers
+        pos[src, :, 1] = -35.0 + src * 15.0
+        pos[src, :, 2] = 1.0
+    plans = [make_plan(pos[k], config) for k in range(s)]
+    plan = _plan_batch_onehot(plans, b, 16, s)
+    assert plan is not None and plan[0] == "grouped"  # grouping IS viable
+    assert plan[1] * 16 < 256  # ...but group tiles would shrink below 256
+
+    sigs = (rng.standard_normal((s, b * 128)) * 0.2).astype(np.float32)
+    br = BatchRenderer(db, config, chunk_blocks=16, fused=True, dedup=False)
+    got = br.render(sigs, pos)
+    assert _batch_dispatches(br) == {"gather_fused"}, _batch_dispatches(br)
+    assert not br._fused_strikes
+    want = BatchRenderer(db, config, chunk_blocks=16, fused=False).render(sigs, pos)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
