@@ -87,15 +87,24 @@ def _onehot_kernel(
     fpb: int,
     p_rows: int,
     u_pad: int,
+    single_blend: bool = True,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
     becomes (TB, U_pad) @ (U_pad, 4*bins) on the MXU — no HBM filter
-    gathers and no blended-row materialization at all.  The one-hot weight
-    rows are rolled/patched for the new-filter set (16x cheaper than
-    rolling blended rows).  Numerics: the MXU blend accumulates in
-    fp32-HIGHEST (bf16x6) instead of exact sequential adds (~1e-7 relative
-    on the blend — gate impact measured before enabling by default)."""
+    gathers and no blended-row materialization at all.  Numerics: the MXU
+    blend accumulates in fp32-HIGHEST (bf16x6) instead of exact sequential
+    adds (~1e-7 relative on the blend — gate impact measured before
+    enabling by default).
+
+    ``single_blend`` (round-4 roofline attack): the kernel is MXU-bound at
+    fp32-HIGHEST (PERF.md Roofline), and the second blend matmul is
+    removable — roll(W)@T == roll(W@T) BIT-EXACTLY (rolling rows permutes
+    which row each dot product lands in without touching its contraction
+    order), so g_new derives from g_old by a VMEM sublane roll + an
+    (8, U_pad) patch matmul for the boundary rows, eliminating a
+    (TB, U_pad) @ (U_pad, 4*bins) MXU pass (~22% of the kernel's MACs).
+    False keeps the two-matmul form (same numerics either way)."""
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
     g_sources = tb // nb
@@ -142,22 +151,43 @@ def _onehot_kernel(
 
     w_old = onehot(ridx_ref, w_ref, tb)          # (TB, U_pad)
     w_patch = onehot(rlast_ref, wlast_ref, rlast_ref.shape[0])
-    rolled = pltpu.roll(w_old, shift=tb - 1, axis=0)
-    localu = jax.lax.broadcasted_iota(jnp.int32, (tb, u_pad), 0)
-    reps = tb // p_rows
-    pred = (localu + 1) % nb == 0
-    w_new = rolled
-    for j in range(p_rows):
-        w_new = jnp.where(
-            pred & (localu // reps == j),
-            jnp.broadcast_to(w_patch[j : j + 1, :], (tb, u_pad)),
-            w_new,
-        )
-
     g_old = jax.lax.dot_general(w_old, table_ref[:], (((1,), (0,)), ((), ())),
                                 precision=hp, preferred_element_type=f32)
-    g_new = jax.lax.dot_general(w_new, table_ref[:], (((1,), (0,)), ((), ())),
-                                precision=hp, preferred_element_type=f32)
+    if single_blend:
+        # g_new = roll(g_old) + boundary patches: bit-identical to blending
+        # rolled weights (row permutation commutes with the per-row dot),
+        # one MXU blend pass instead of two; patches blend via a tiny
+        # (P_pad, U_pad) matmul
+        c4 = 4 * bins
+        g_patch = jax.lax.dot_general(
+            w_patch, table_ref[:], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        )
+        rolled_g = pltpu.roll(g_old, shift=tb - 1, axis=0)
+        localg = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
+        reps = tb // p_rows
+        predg = (localg + 1) % nb == 0
+        g_new = rolled_g
+        for j in range(p_rows):
+            g_new = jnp.where(
+                predg & (localg // reps == j),
+                jnp.broadcast_to(g_patch[j : j + 1, :], (tb, c4)),
+                g_new,
+            )
+    else:
+        rolled = pltpu.roll(w_old, shift=tb - 1, axis=0)
+        localu = jax.lax.broadcasted_iota(jnp.int32, (tb, u_pad), 0)
+        reps = tb // p_rows
+        pred = (localu + 1) % nb == 0
+        w_new = rolled
+        for j in range(p_rows):
+            w_new = jnp.where(
+                pred & (localu // reps == j),
+                jnp.broadcast_to(w_patch[j : j + 1, :], (tb, u_pad)),
+                w_new,
+            )
+        g_new = jax.lax.dot_general(w_new, table_ref[:], (((1,), (0,)), ((), ())),
+                                    precision=hp, preferred_element_type=f32)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
     fn = iota / f32(fpb - 1)
@@ -186,7 +216,8 @@ def _onehot_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pad_len", "bins", "fpb", "tb", "interpret")
+    jax.jit,
+    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend"),
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -204,6 +235,7 @@ def fused_step_stream_onehot_xfade(
     fpb: int,
     tb: int = 256,
     interpret: bool | None = None,
+    single_blend: bool = True,
 ) -> jax.Array:
     """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
     boundary one-hot row (next tile's first old row; last tile = g_last)."""
@@ -242,7 +274,7 @@ def fused_step_stream_onehot_xfade(
 
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
-        fpb=fpb, p_rows=1, u_pad=u_pad,
+        fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -275,7 +307,8 @@ def fused_step_stream_onehot_xfade(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad"),
+    static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad",
+                     "single_blend"),
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -294,6 +327,7 @@ def fused_step_stream_onehot_grouped_xfade(
     tb: int,
     group_tiles: int,     # tiles per table group (group_blocks // tb)
     u_pad: int,
+    single_blend: bool = True,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -333,7 +367,7 @@ def fused_step_stream_onehot_grouped_xfade(
 
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
-        fpb=fpb, p_rows=1, u_pad=u_pad,
+        fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -371,7 +405,8 @@ def fused_step_stream_onehot_grouped_xfade(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles", "interpret"),
+    static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
+                     "interpret", "single_blend"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -391,6 +426,7 @@ def fused_step_onehot_xfade(
     tb: int = 256,
     group_tiles: int | None = None,
     interpret: bool | None = None,
+    single_blend: bool = True,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -440,7 +476,7 @@ def fused_step_onehot_xfade(
 
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
-        fpb=fpb, p_rows=p_rows, u_pad=u_pad,
+        fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
     )
     n_tiles = b // tb
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
