@@ -14,7 +14,8 @@ MXU MACs per tile (fp32 Precision.HIGHEST = 6 bf16 passes on v5e):
   one-hot blends          2 x (256 x 128 x 2052)  = 134.5 MMAC  (1x if single)
   tail IDFTs              8 x (256 x 513 x 128)   = 134.5 MMAC
   total                   ~306.8 MMAC/tile x 64 tiles = 19.6 GMAC/step
-v5e MXU peak 197 TFLOP/s bf16 -> fp32-HIGHEST effective ~32.8 TFLOP/s
+v5e MXU peak 197 TFLOP/s bf16 = 98.5 TMAC/s; fp32-HIGHEST = 6 bf16 passes
+  -> 16.4 TMAC/s effective
   -> MXU floor ~1.20 ms/step (two-blend), ~0.94 ms (single-blend)
 
 VPU (elementwise) per step: sliding twiddle accumulation + distance
@@ -140,7 +141,9 @@ def main() -> int:
         "gmac_single": round(macs_one / 1e9, 2),
         "eff_tmacs_two": round(eff(t_two, macs_two), 2),
         "eff_tmacs_single": round(eff(t_one, macs_one), 2),
-        "mxu_floor_highest_tmacs": 32.8,  # 197 TFLOP/s bf16 / 6 passes
+        # v5e MXU peak: 197 TFLOP/s bf16 = 98.5 TMAC/s; fp32 HIGHEST is 6
+        # bf16 passes -> 16.4 TMAC/s effective ceiling for these matmuls
+        "mxu_peak_highest_tmacs": 16.4,
     }
     print(json.dumps(res))
     return 0
