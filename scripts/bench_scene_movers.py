@@ -116,41 +116,65 @@ def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
         return per, np.asarray(out)
 
     tb = pick_fused_tile(s * nb, nb)
-    gather = jax.jit(batched_chunk_fn_fused(cfg, nb, tb=tb, onehot=False))
-    t_g, out_g = bench(
-        gather, (jnp.asarray(idx_old),), jnp.asarray(idx_last), f"gather tb={tb}"
-    )
+    t_g = out_g = None
+    try:
+        gather = jax.jit(batched_chunk_fn_fused(cfg, nb, tb=tb, onehot=False))
+        t_g, out_g = bench(
+            gather, (jnp.asarray(idx_old),), jnp.asarray(idx_last), f"gather tb={tb}"
+        )
+    except Exception as e:
+        # the gather-form kernel at nb=tb=256 sits ~0.4 MB over the 16 MB
+        # scoped-VMEM edge in some compile sessions (observed round 4) —
+        # production absorbs this via the strike ladder; here it is data
+        print(f"[{s}x{nb}] gather tb={tb} failed to compile: "
+              f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
 
     uniq_ids, ridx, rlast = compact_filter_ids_grouped_sources(
         idx_old, idx_last, g_srcs, g_upad
     )
-    grouped = jax.jit(
-        batched_chunk_fn_fused(cfg, nb, tb=tb_g, onehot=True, group_tiles=gt)
-    )
-    t_o, out_o = bench(
-        grouped,
-        (jnp.asarray(uniq_ids), jnp.asarray(ridx)),
-        jnp.asarray(rlast),
-        f"grouped tb={tb_g}",
-    )
+    t_o = out_o = None
+    try:
+        grouped = jax.jit(
+            batched_chunk_fn_fused(cfg, nb, tb=tb_g, onehot=True, group_tiles=gt)
+        )
+        t_o, out_o = bench(
+            grouped,
+            (jnp.asarray(uniq_ids), jnp.asarray(ridx)),
+            jnp.asarray(rlast),
+            f"grouped tb={tb_g}",
+        )
+    except Exception as e:
+        print(f"[{s}x{nb}] grouped tb={tb_g} failed to compile: "
+              f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+
     policy_pick = "grouped" if tb_g >= GROUPED_MIN_TB else "gather"
     picked_ms = t_o if policy_pick == "grouped" else t_g
     other_ms = t_g if policy_pick == "grouped" else t_o
+    # the policy is wrong only when its pick ran measurably slower than an
+    # AVAILABLE alternative; a path that cannot compile is not a choice
+    policy_ok = picked_ms is not None and (
+        other_ms is None or picked_ms <= other_ms * 1.05  # 5% noise band
+    )
     res = {
         "geometry": f"{s}x{nb}",
         "tb_gather": tb,
         "tb_grouped": tb_g,
-        "gather_ms": round(t_g * 1e3, 3),
-        "grouped_ms": round(t_o * 1e3, 3),
-        "grouped_vs_gather": round(t_g / t_o, 3),
-        "max_diff": float(np.abs(out_o - out_g).max()),
+        "gather_ms": None if t_g is None else round(t_g * 1e3, 3),
+        "grouped_ms": None if t_o is None else round(t_o * 1e3, 3),
+        "grouped_vs_gather": (
+            None if t_g is None or t_o is None else round(t_g / t_o, 3)
+        ),
+        "max_diff": (
+            None if out_g is None or out_o is None
+            else float(np.abs(out_o - out_g).max())
+        ),
         "policy_pick": policy_pick,
-        "policy_ok": bool(picked_ms <= other_ms * 1.05),  # 5% noise band
+        "policy_ok": bool(policy_ok),
     }
-    print(f"[{s}x{nb}] grouped vs gather: {t_g/t_o:.2f}x, "
-          f"max|diff|={res['max_diff']:.3e}; policy picks {policy_pick} "
-          f"({'OK' if res['policy_ok'] else 'SLOWER — revisit GROUPED_MIN_TB'})",
-          file=sys.stderr)
+    print(f"[{s}x{nb}] policy picks {policy_pick} "
+          f"({'OK' if res['policy_ok'] else 'SLOWER — revisit GROUPED_MIN_TB'}); "
+          f"gather {res['gather_ms']} ms, grouped {res['grouped_ms']} ms, "
+          f"max|diff|={res['max_diff']}", file=sys.stderr)
     return res
 
 
