@@ -210,11 +210,16 @@ def render_scene_spec(
     chunk_blocks: int = 2048,
     quiet: bool = True,
     devices: int | None = None,
+    renderer_cache: dict | None = None,
 ):
     """Render a scene dict ({"sources": [{"input", "trajectory", "gain"}…]})
     into one stereo mix — shared by the CLI and the render daemon.
     ``devices``: shard the source axis over an N-chip mesh (auto-shrunk to
-    a divisor of the source count; the mixdown psum rides the ICI)."""
+    a divisor of the source count; the mixdown psum rides the ICI).
+    ``renderer_cache``: long-lived callers (the serve daemon) pass a dict
+    so BatchRenderers persist across requests — a fresh instance per
+    request re-jits (and retains) every program, measured as per-request
+    RSS growth and re-paid compiles under the round-4 daemon soak."""
     import numpy as np
 
     from ..engine.batch import BatchRenderer
@@ -240,10 +245,15 @@ def render_scene_spec(
             num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
     feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
     positions = np.stack([t.sample(num_blocks, config) for t in trajs])
-    br = BatchRenderer(
-        db, config, chunk_blocks=min(chunk_blocks, num_blocks), mix=True,
-        mesh=scene_mesh(len(sources), devices, quiet=quiet),
-    )
+    cb = min(chunk_blocks, num_blocks)
+    mesh = scene_mesh(len(sources), devices, quiet=quiet)
+    key = (cb, None if mesh is None else mesh.size)
+    if renderer_cache is not None and key in renderer_cache:
+        br = renderer_cache[key]
+    else:
+        br = BatchRenderer(db, config, chunk_blocks=cb, mix=True, mesh=mesh)
+        if renderer_cache is not None:
+            renderer_cache[key] = br
     return br.render(feds, positions).reshape(-1, 2), num_blocks
 
 

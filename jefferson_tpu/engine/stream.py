@@ -64,6 +64,19 @@ def _block_step(spec_r, spec_i, hist, block, idx_new, w_new, idx_old, w_old, xfa
     return jnp.transpose(out, (1, 0)), new_hist
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_block_step(config: EngineConfig):
+    """One jitted single-block step PER CONFIG, shared by every
+    StreamingSpatializer instance.  A per-instance jax.jit(partial(...))
+    wrapper compiles (and retains) a fresh executable per instance — under
+    the serve daemon's session churn that measured ~30 MiB RSS growth per
+    stream session (round-4 soak) and re-pays the block-step compile on
+    every stream_start.  EngineConfig is a frozen dataclass (hashable), so
+    the memo key is the config itself; distinct configs still get their
+    own program."""
+    return jax.jit(functools.partial(_block_step, config=config))
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _scan_render(spec_r, spec_i, blocks, idx_new, w_new, idx_old, w_old, xfade, u_hi, u_lo, inv_frac, config: EngineConfig):
     hist0 = jnp.zeros(config.history_len, dtype=jnp.float32)
@@ -136,7 +149,7 @@ class StreamingSpatializer:
         self._spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
         self._spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
         self._hist = jnp.zeros(self.config.history_len, dtype=jnp.float32)
-        self._step = jax.jit(functools.partial(_block_step, config=self.config))
+        self._step = _jitted_block_step(self.config)  # shared across sessions
         # reference constructor state (Jefferson/src/SoundSource.cu:3-16)
         self.azi = _F32(0.0)
         self.ele = _F32(0.0)

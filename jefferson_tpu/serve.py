@@ -83,6 +83,10 @@ class RenderService:
             mesh = make_mesh(devices, ("blk",))
         self.renderer = Renderer(self.db, self.config, chunk_blocks=chunk_blocks,
                                  mesh=mesh)
+        # scene BatchRenderers persist across requests (fresh ones re-jit
+        # and retain every program: measured per-request RSS growth +
+        # re-paid compiles in the round-4 soak); keyed by (chunk, mesh)
+        self._scene_renderers: dict = {}
         self.stats = {"renders": 0, "blocks": 0, "seconds": 0.0, "errors": 0}
         # the threading server handles clients concurrently, but renders
         # share one Renderer (jit caches, fused state) and one device —
@@ -411,6 +415,7 @@ class RenderService:
             num_blocks=req.get("blocks"), duration=req.get("duration"),
             chunk_blocks=int(req.get("chunk_blocks", 2048)),
             devices=self.devices,
+            renderer_cache=self._scene_renderers,
         )
         dt = time.time() - t0
         if not np.isfinite(out).all():

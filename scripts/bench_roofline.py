@@ -56,9 +56,10 @@ def main() -> int:
     print("devices:", jax.devices(), file=sys.stderr)
     cfg = DEFAULT_CONFIG
     db = synthetic_database(cfg)
-    # bench operating point; override for CPU smoke runs
+    # bench operating point; override for CPU smoke runs / tile A-Bs
     s = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     nb = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    tb_arg = int(sys.argv[3]) if len(sys.argv) > 3 else None
     fpb = cfg.frames_per_buffer
     rng = np.random.default_rng(0)
     plans = [
@@ -68,7 +69,7 @@ def main() -> int:
     idx_old = np.stack([p.idx_old for p in plans])
     idx_last = np.stack([p.idx_new[-1] for p in plans])
     uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(idx_old, idx_last)
-    tb = pick_fused_tile(s * nb, nb)
+    tb = tb_arg or pick_fused_tile(s * nb, nb)
     print(f"workload: {s}x{nb}, tb={tb}, U_pad={u_pad}", file=sys.stderr)
 
     spectra = (

@@ -39,6 +39,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--minutes", type=float, default=31.0)
     p.add_argument("--report-every", type=float, default=120.0)
+    p.add_argument("--rss-budget-mib", type=float, default=4000.0,
+                   help="max allowed RSS growth (peak - start); the pre-fix "
+                        "daemon leaked ~33 MiB per stream session (round 4)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -153,15 +156,17 @@ def main() -> int:
     request(sock, {"cmd": "shutdown"})
     rss1 = rss_mib()
     minutes = (time.time() - t_start) / 60
-    # daemon-side error counter must equal exactly the deliberate errors
+    # daemon-side error counter must equal exactly the deliberate errors,
+    # and memory must stay bounded across the session churn
     daemon_errors = int(stats.get("errors", -1))
-    ok = (not failures) and daemon_errors == counts["expected_errors"]
+    rss_ok = (rss_peak - rss0) <= args.rss_budget_mib
+    ok = (not failures) and daemon_errors == counts["expected_errors"] and rss_ok
     result = {
         "soak": "daemon", "minutes": round(minutes, 1), "ok": ok,
         "iterations": i, **counts,
         "daemon_errors": daemon_errors,
         "rss_start_mib": round(rss0), "rss_end_mib": round(rss1),
-        "rss_peak_mib": round(rss_peak),
+        "rss_peak_mib": round(rss_peak), "rss_ok": rss_ok,
         "failures": failures[:5],
     }
     print(json.dumps(result))

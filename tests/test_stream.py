@@ -74,3 +74,21 @@ def test_pipeline_latency_mode(db, config, castanets):
     np.testing.assert_array_equal(b[0], np.zeros_like(b[0]))
     for k in range(1, 5):
         np.testing.assert_array_equal(b[k], a[k - 1])
+
+
+def test_block_step_shared_across_instances(db, config):
+    """Stream sessions share ONE jitted block step per config — a
+    per-instance jax.jit(partial(...)) wrapper recompiled and retained a
+    fresh executable per session (~33 MiB RSS per stream session under the
+    daemon soak, round 4)."""
+    from jefferson_tpu.engine.stream import StreamingSpatializer, _jitted_block_step
+
+    a = StreamingSpatializer(db, config)
+    b = StreamingSpatializer(db, config)
+    assert a._step is b._step
+    assert a._step is _jitted_block_step(config)
+    # a distinct config still gets its own program
+    import dataclasses
+
+    other = dataclasses.replace(config, source_gain=0.5)
+    assert _jitted_block_step(other) is not a._step
