@@ -125,9 +125,11 @@ def main() -> int:
 
     # roofline bookkeeping (MACs; see module docstring for the derivation)
     n_tiles = b // tb
-    mm_fwd = 2 * 288 * 128 * 513
-    mm_blend = 256 * u_pad * 4 * 513
-    mm_idft = 8 * 256 * 513 * 128
+    g_sources = tb // nb
+    rows_pad = -(-(nb + cfg.pad_len // fpb - 1) // 8) * 8
+    mm_fwd = 2 * (g_sources * rows_pad) * fpb * cfg.num_bins
+    mm_blend = tb * u_pad * 4 * cfg.num_bins
+    mm_idft = 8 * tb * cfg.num_bins * fpb
     macs_two = (mm_fwd + 2 * mm_blend + mm_idft) * n_tiles
     macs_one = (mm_fwd + 1 * mm_blend + mm_idft) * n_tiles
     eff = lambda t_s, macs: macs / t_s / 1e12  # effective TMAC/s
