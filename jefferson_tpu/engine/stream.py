@@ -64,6 +64,35 @@ def _block_step(spec_r, spec_i, hist, block, idx_new, w_new, idx_old, w_old, xfa
     return jnp.transpose(out, (1, 0)), new_hist
 
 
+_SPECTRA_CACHE: "weakref.WeakValueDictionary | dict" = {}
+
+
+def _device_spectra(db: HRTFDatabase):
+    """Shared (spec_r, spec_i) device planes per database object.
+
+    Each StreamingSpatializer used to upload its own 2 x 2.9 MB float32
+    copies of the spectra; under the serve daemon's session churn that is
+    ~6 MiB of allocator traffic per stream session (round-4 soak) for
+    bit-identical data.  Keyed by id(db) with the db held weakly so a
+    dropped database releases its planes."""
+    import weakref
+
+    key = id(db)
+    hit = _SPECTRA_CACHE.get(key)
+    if hit is not None and hit[0]() is db:
+        return hit[1]
+    planes = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+
+    def _drop(_ref, _key=key):
+        _SPECTRA_CACHE.pop(_key, None)
+
+    _SPECTRA_CACHE[key] = (weakref.ref(db, _drop), planes)
+    return planes
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_block_step(config: EngineConfig):
     """One jitted single-block step PER CONFIG, shared by every
@@ -146,8 +175,7 @@ class StreamingSpatializer:
         self.config = config or db.config
         self.pipeline_latency = pipeline_latency
         self._pending: list[np.ndarray] = []
-        self._spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
-        self._spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
+        self._spec_r, self._spec_i = _device_spectra(db)  # shared per db
         self._hist = jnp.zeros(self.config.history_len, dtype=jnp.float32)
         self._step = _jitted_block_step(self.config)  # shared across sessions
         # reference constructor state (Jefferson/src/SoundSource.cu:3-16)
