@@ -498,6 +498,11 @@ def main(argv=None) -> int:
         print(json.dumps(resp))
         return 0 if resp.get("ok") else 1
 
+    # daemon restarts reuse compiled programs (the first chunk compile has a
+    # heavy tail: 90 s - 10+ min observed on CPU, 20 s - 5 min remote on TPU)
+    from .cli.main import _enable_compilation_cache
+
+    _enable_compilation_cache()
     service = RenderService(args.hrtf_dir, chunk_blocks=args.chunk_blocks,
                             devices=args.devices)
     print(f"jefferson-serve: listening on {args.socket}", file=sys.stderr)

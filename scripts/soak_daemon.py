@@ -78,9 +78,30 @@ def main() -> int:
     counts = {"render": 0, "scene": 0, "stream": 0, "move": 0, "status": 0,
               "expected_errors": 0}
     failures: list[str] = []
+
+    # warmup OUTSIDE the soak accounting: the first compile of each program
+    # class has a heavy tail (90 s - 10+ min observed for the 256-block
+    # chunk on XLA CPU), which is cold-start cost, not serving behavior
+    out_warm = os.path.join(td, "warm.wav")
+    scene_spec = {"sources": [{"input": wav, "trajectory": "orbit:period=2"}] * 4}
+    for tag, req_w in (
+        ("render", {"cmd": "render", "input": wav, "output": out_warm,
+                    "trajectory": "orbit:period=1", "blocks": 128}),
+        ("scene", {"cmd": "scene", "scene": scene_spec, "output": out_warm,
+                   "blocks": 64, "chunk_blocks": 64}),
+    ):
+        t0 = time.time()
+        r = request(sock, req_w, timeout=1800)
+        print(f"warmup {tag}: {time.time()-t0:.1f}s ok={r.get('ok')}", file=sys.stderr)
+        if not r.get("ok"):
+            print(json.dumps({"soak": "daemon", "ok": False,
+                              "failures": [f"warmup {tag}: {r}"]}))
+            return 1
+
     rss0 = rss_mib()
     rss_peak = rss0
     print(f"soak start: RSS {rss0:.0f} MiB, {args.minutes:.0f} min", file=sys.stderr)
+    deadline = time.time() + args.minutes * 60
 
     def check(resp, ok=True, tag=""):
         if bool(resp.get("ok")) != ok:
