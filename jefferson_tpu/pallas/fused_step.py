@@ -88,6 +88,7 @@ def _onehot_kernel(
     p_rows: int,
     u_pad: int,
     single_blend: bool = True,
+    mstack_tail: bool = False,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
@@ -195,11 +196,38 @@ def _onehot_kernel(
     a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
     b = jnp.where(xf > 0, fn, f32(1.0))
 
-    def tail(g, off_r, off_i):
+    def q_planes(g, off_r, off_i):
         gr = g[:, off_r : off_r + bins]
         gi = g[:, off_i : off_i + bins]
-        qr = xdr * gr - xdi * gi
-        qi = xdr * gi + xdi * gr
+        return xdr * gr - xdi * gi, xdr * gi + xdi * gr
+
+    if mstack_tail:
+        # M-stack the four tail-IDFT pairs into ONE pair of
+        # (4*TB, bins) @ (bins, fpb) matmuls: per-row contractions are
+        # unchanged (bit-identical), the IDFT bases stay MXU-resident
+        # across all four logical products, and six matmul launches
+        # disappear.  Costs ~4 MB of stacked q-plane stack — gate at
+        # u_pad <= 128 geometries (the u_pad=256 forms already sit near
+        # the 16 MB scoped-VMEM edge).
+        qs = [q_planes(g, 2 * c * bins, (2 * c + 1) * bins)
+              for c in range(2) for g in (g_old, g_new)]
+        big_qr = jnp.concatenate([q[0] for q in qs], axis=0)
+        big_qi = jnp.concatenate([q[1] for q in qs], axis=0)
+        y = jax.lax.dot_general(
+            big_qr, icr_ref[:], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        ) + jax.lax.dot_general(
+            big_qi, ici_ref[:], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        )
+        for c in range(2):
+            y_old = y[(2 * c) * tb : (2 * c + 1) * tb]
+            y_new = y[(2 * c + 1) * tb : (2 * c + 2) * tb]
+            out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
+        return
+
+    def tail(g, off_r, off_i):
+        qr, qi = q_planes(g, off_r, off_i)
         return jax.lax.dot_general(
             qr, icr_ref[:], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
@@ -406,7 +434,7 @@ def fused_step_stream_onehot_grouped_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
-                     "interpret", "single_blend"),
+                     "interpret", "single_blend", "mstack_tail"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -427,6 +455,7 @@ def fused_step_onehot_xfade(
     group_tiles: int | None = None,
     interpret: bool | None = None,
     single_blend: bool = True,
+    mstack_tail: bool | None = None,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -474,9 +503,17 @@ def fused_step_onehot_xfade(
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
     icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
 
+    if mstack_tail is None:
+        # measured dead end (PERF.md): on chip the M-stacked tails are
+        # BIT-IDENTICAL (max diff 0.0 — MXU K-accumulation is M-invariant)
+        # but throughput-neutral (1.636 vs 1.650 ms at 256x64/U=128):
+        # Mosaic's pipeline already hides the per-matmul launch overhead,
+        # so the stacked q-plane copies buy nothing.  Kept measurable.
+        mstack_tail = False
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
+        mstack_tail=mstack_tail,
     )
     n_tiles = b // tb
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
