@@ -114,7 +114,19 @@ class RenderService:
         if cmd == "stats":
             return {"id": rid, "ok": True, **self.stats}
         if cmd == "shutdown":
-            return {"id": rid, "ok": True, "shutdown": True}
+            # stop live sessions first so their writers flush and no thread
+            # dies mid-C++ at interpreter teardown (observed as a noisy
+            # "FATAL: exception not rethrown" on exit)
+            stopped = []
+            for sid, s in self._streams.items():
+                s["control"].quit = True
+            for sid, s in self._streams.items():
+                s["thread"].join(timeout=10.0)
+                stopped.append(sid)
+            with self._slock:
+                self._streams = {}
+            return {"id": rid, "ok": True, "shutdown": True,
+                    "stopped_sessions": stopped}
         if cmd in ("move", "stream_status"):
             # lock-free: one copy-on-write snapshot of _streams, then only
             # the stream's own control/playout state is touched
