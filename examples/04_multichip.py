@@ -2,6 +2,11 @@
 
 Runs anywhere: if fewer than 8 devices are visible (e.g. one TPU chip), it
 self-provisions an 8-device virtual CPU mesh — no env setup needed.
+
+The same mesh is reachable from the CLI (round 4): `jefferson --scene
+scene.json --devices N` shards the source axis exactly like this example,
+and `jefferson -i in.wav --devices N` shards a single render's time-block
+axis instead ('sp'-style, GSPMD halo exchange).
 """
 
 import sys

@@ -503,10 +503,15 @@ def main(argv=None) -> int:
                         "single-source renders: time-block axis)")
     p.add_argument("--request", default=None,
                    help="client mode: send this JSON request to a running daemon")
+    p.add_argument("--timeout", type=float, default=600.0,
+                   help="client-mode response timeout, s (a COLD daemon's "
+                        "first render can take minutes: remote TPU compiles "
+                        "are 20 s - 5 min, XLA CPU first execution has a "
+                        "heavy tail — PERF.md)")
     args = p.parse_args(argv)
 
     if args.request is not None:
-        resp = request(args.socket, json.loads(args.request))
+        resp = request(args.socket, json.loads(args.request), timeout=args.timeout)
         print(json.dumps(resp))
         return 0 if resp.get("ok") else 1
 
