@@ -81,13 +81,32 @@ def main() -> int:
         else:
             head = (jnp.asarray(idx_old_np),)
             last = jnp.asarray(idx_last_np)
+        # compact distance (round 4): constant-radius workloads pass the
+        # (8,) unique-triple arrays + per-block selector (bit-identical;
+        # renderer.dedup_distance — same planning the production dispatch does)
+        from jefferson_tpu.engine.renderer import dedup_distance
+
+        dist = dedup_distance(
+            np.concatenate([p.u_hi for p in plans]),
+            np.concatenate([p.u_lo for p in plans]),
+            np.concatenate([p.inv_frac for p in plans]),
+        )
+        nd = None if dist is None else dist[4]
+        if dist is not None:
+            log(f"compact distance: {nd} unique (u_hi, u_lo, inv_frac) triples")
+            d_args = (jnp.asarray(dist[0]), jnp.asarray(dist[1]),
+                      jnp.asarray(dist[2]),
+                      jnp.asarray(dist[3].reshape(n_sources, nb)))
+        else:
+            d_args = (stack("u_hi"), stack("u_lo"), stack("inv_frac"))
         xs = (
             *head, stack("w_old"),
             last,
             jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
-            stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+            stack("xfade"), *d_args,
         )
-        step = jax.jit(batched_chunk_fn_fused(cfg, num_blocks=nb, tb=tb_f, onehot=onehot))
+        step = jax.jit(batched_chunk_fn_fused(cfg, num_blocks=nb, tb=tb_f,
+                                              onehot=onehot, n_dist=nd))
     else:
         xs = (
             stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),

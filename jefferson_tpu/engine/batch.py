@@ -137,6 +137,7 @@ def batched_chunk_fn_fused(
     tb: int,
     onehot: bool = False,
     group_tiles: int | None = None,
+    n_dist: int | None = None,
 ):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
@@ -162,7 +163,7 @@ def batched_chunk_fn_fused(
         from ..pallas.fused_step import fused_step_onehot_xfade
 
         def fn_onehot(spectra, hists, feds, uniq_ids, ridx, w_old, ridx_last,
-                      w_last, xfade, u_hi, u_lo, inv_frac):
+                      w_last, xfade, u_hi, u_lo, inv_frac, dsel=None):
             s = hists.shape[0]
             b = s * num_blocks
             streams = jnp.concatenate([hists, feds], axis=1)
@@ -170,19 +171,26 @@ def batched_chunk_fn_fused(
             flat = lambda a: a.reshape((b,) + a.shape[2:])
             col = lambda a: flat(a)[:, None]
             table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
+            if n_dist is None:
+                duh, dul, ddf, ds = col(u_hi), col(u_lo), col(inv_frac), None
+            else:  # compact distance: (8,) triples + (S, nb) selector
+                duh, dul, ddf = u_hi[:, None], u_lo[:, None], inv_frac[:, None]
+                ds = col(dsel)
             y = fused_step_onehot_xfade(
-                streams, col(u_hi), col(u_lo), col(inv_frac),
+                streams, duh, dul, ddf,
                 table, flat(ridx), flat(w_old),
                 ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
+                dsel=ds, n_dist=n_dist,
             )
             out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
             return out, new_hists
 
         return fn_onehot
 
-    def fn(spectra, hists, feds, idx_old, w_old, idx_last, w_last, xfade, u_hi, u_lo, inv_frac):
+    def fn(spectra, hists, feds, idx_old, w_old, idx_last, w_last, xfade,
+           u_hi, u_lo, inv_frac, dsel=None):
         s = hists.shape[0]
         b = s * num_blocks
         streams = jnp.concatenate([hists, feds], axis=1)
@@ -201,10 +209,16 @@ def batched_chunk_fn_fused(
             # traffic — PERF.md)
             from ..pallas.fused_step import fused_step_xfade
 
+            if n_dist is None:
+                duh, dul, ddf, ds = col(u_hi), col(u_lo), col(inv_frac), None
+            else:
+                duh, dul, ddf = u_hi[:, None], u_lo[:, None], inv_frac[:, None]
+                ds = col(dsel)
             y = fused_step_xfade(
-                streams, col(u_hi), col(u_lo), col(inv_frac), g_old, g_last, xf,
+                streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
+                dsel=ds, n_dist=n_dist,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -226,7 +240,8 @@ def batched_chunk_fn_fused(
     return fn
 
 
-def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int):
+def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
+                                 n_dist: int | None = None):
     """Dedup + fused composition for the batched/sharded form: blend only
     the unique (index, weight) rows (scene sources usually hold positions),
     broadcast with one row gather, and run the fused step kernel.  Mirrors
@@ -246,7 +261,8 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
 
-    def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade, u_hi, u_lo, inv_frac):
+    def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade,
+           u_hi, u_lo, inv_frac, dsel=None):
         s = hists.shape[0]
         b = s * num_blocks
         streams = jnp.concatenate([hists, feds], axis=1)
@@ -262,10 +278,16 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int)
         if tb % num_blocks == 0:
             from ..pallas.fused_step import fused_step_xfade
 
+            if n_dist is None:
+                duh, dul, ddf, ds = col(u_hi), col(u_lo), col(inv_frac), None
+            else:
+                duh, dul, ddf = u_hi[:, None], u_lo[:, None], inv_frac[:, None]
+                ds = col(dsel)
             y = fused_step_xfade(
-                streams, col(u_hi), col(u_lo), col(inv_frac), g_old, g_last, xf,
+                streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
+                dsel=ds, n_dist=n_dist,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -444,18 +466,26 @@ class BatchRenderer:
         return n
 
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
-                group_tiles=None):
-        key = (nb, dedup_key, fused_tb, onehot, group_tiles)
+                group_tiles=None, nd=None):
+        key = (nb, dedup_key, fused_tb, onehot, group_tiles, nd)
         if key not in self._jitted:
             if fused_tb is not None and dedup_key is not None:
                 # dedup + fused composition (the fastest measured mode when
                 # positions persist, PERF.md)
-                fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb)
+                fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb,
+                                                  n_dist=nd)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
                     src = self.mesh.axis_names[0]
-                    sh = lambda nd: P(src, *([None] * (nd - 1)))
+                    sh = lambda k: P(src, *([None] * (k - 1)))
+                    # compact distance: (8,) triples replicate, (S, nb)
+                    # selector shards by source
+                    dspecs = (
+                        (sh(2), sh(2), sh(2))
+                        if nd is None
+                        else (P(), P(), P(), sh(2))
+                    )
                     fn = shard_map(
                         fn,
                         mesh=self.mesh,
@@ -464,7 +494,8 @@ class BatchRenderer:
                             sh(2), sh(2),  # hists, feds
                             P(), P(),      # uniq_idx, uniq_w (replicated)
                             sh(2), sh(1),  # inv_old, inv_last
-                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                            sh(2),         # xfade
+                            *dspecs,       # u_hi, u_lo, inv_frac[, dsel]
                         ),
                         out_specs=(sh(4), sh(2)),
                         check_rep=False,
@@ -472,13 +503,18 @@ class BatchRenderer:
             elif fused_tb is not None:
                 fn = batched_chunk_fn_fused(
                     self.config, nb, tb=fused_tb, onehot=onehot,
-                    group_tiles=group_tiles,
+                    group_tiles=group_tiles, n_dist=nd,
                 )
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
                     src = self.mesh.axis_names[0]
-                    sh = lambda nd: P(src, *([None] * (nd - 1)))
+                    sh = lambda k: P(src, *([None] * (k - 1)))
+                    dspecs = (
+                        (sh(2), sh(2), sh(2))
+                        if nd is None
+                        else (P(), P(), P(), sh(2))
+                    )
                     if onehot:
                         in_specs = (
                             (P(), P()),    # spectra: replicated planes
@@ -489,7 +525,8 @@ class BatchRenderer:
                             sh(1) if group_tiles is not None else P(),
                             sh(3), sh(3),  # ridx, w_old
                             sh(2), sh(2),  # ridx_last, w_last
-                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                            sh(2),         # xfade
+                            *dspecs,       # u_hi, u_lo, inv_frac[, dsel]
                         )
                     else:
                         in_specs = (
@@ -498,7 +535,8 @@ class BatchRenderer:
                             sh(2),       # feds
                             sh(3), sh(3),  # idx_old, w_old
                             sh(2), sh(2),  # idx_last, w_last
-                            sh(2), sh(2), sh(2), sh(2),  # xfade, u_hi, u_lo, inv_frac
+                            sh(2),       # xfade
+                            *dspecs,     # u_hi, u_lo, inv_frac[, dsel]
                         )
                     fn = shard_map(
                         fn,
@@ -537,6 +575,29 @@ class BatchRenderer:
         positions = np.asarray(positions)
         s, b_total = positions.shape[0], positions.shape[1]
         plans = [make_plan(positions[i], cfg) for i in range(s)]
+        # compact distance (bit-identical; renderer.dedup_distance): dedup
+        # the (u_hi, u_lo, inv_frac) triples across the WHOLE batch (tiles
+        # span sources) — constant-radius scenes yield a handful of uniques
+        from .renderer import dedup_distance
+
+        dist = (
+            dedup_distance(
+                np.concatenate([p.u_hi for p in plans]),
+                np.concatenate([p.u_lo for p in plans]),
+                np.concatenate([p.inv_frac for p in plans]),
+            )
+            if b_total
+            else None
+        )
+        nd = None if dist is None else dist[4]
+        if dist is not None:
+            rep_d = (
+                jnp.asarray
+                if self.mesh is None
+                else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
+            )
+            d_triples = (rep_d(dist[0]), rep_d(dist[1]), rep_d(dist[2]))
+            dsel_all = dist[3].reshape(s, b_total)
         feds = np.stack([fed_stream(signals[i], b_total, cfg) for i in range(s)])
         hists = self._shard(np.zeros((s, cfg.history_len), np.float32))
 
@@ -622,7 +683,7 @@ class BatchRenderer:
                     reps = u_pad - uniq_idx.shape[0]
                     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
-                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f)
+                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f, nd=nd)
                 rep = (
                     jnp.asarray
                     if self.mesh is None
@@ -642,9 +703,12 @@ class BatchRenderer:
                         self._shard(np.ascontiguousarray(inv[:, :nb])),
                         self._shard(np.ascontiguousarray(inv[:, nb])),
                         sharded["xfade"],
-                        sharded["u_hi"],
-                        sharded["u_lo"],
-                        sharded["inv_frac"],
+                        *(
+                            (sharded["u_hi"], sharded["u_lo"], sharded["inv_frac"])
+                            if nd is None
+                            else (*d_triples,
+                                  self._shard(np.ascontiguousarray(dsel_all[:, sl])))
+                        ),
                     )
                     self._variant_result(("dedup_fused", nb, u_pad, tb_f), True)
                     outs.append(np.asarray(y))
@@ -655,7 +719,7 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, u_pad, tb_f, False, None), None)
+                    self._jitted.pop((nb, u_pad, tb_f, False, None, nd), None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path",
                         strikes=self._variant_result(
@@ -719,7 +783,8 @@ class BatchRenderer:
                         idx_old_np, idx_last_np, u_pad=onehot_plan[1]
                     )
                 fn = self._get_fn(
-                    nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles
+                    nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles,
+                    nd=nd,
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 rep = (
@@ -749,9 +814,12 @@ class BatchRenderer:
                         last,
                         self._shard(np.stack([p.w_new[stop - 1] for p in plans])),
                         sharded["xfade"],
-                        sharded["u_hi"],
-                        sharded["u_lo"],
-                        sharded["inv_frac"],
+                        *(
+                            (sharded["u_hi"], sharded["u_lo"], sharded["inv_frac"])
+                            if nd is None
+                            else (*d_triples,
+                                  self._shard(np.ascontiguousarray(dsel_all[:, sl])))
+                        ),
                     )
                     self._variant_result(skey, True)
                     outs.append(np.asarray(y))
@@ -762,7 +830,7 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, None, tb_f, onehot, group_tiles), None)
+                    self._jitted.pop((nb, None, tb_f, onehot, group_tiles, nd), None)
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",

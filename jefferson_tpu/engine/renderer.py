@@ -267,6 +267,41 @@ def _warn_fused_fallback(
     )
 
 
+def dedup_distance(u_hi, u_lo, inv_frac, cap: int | None = None):
+    """Compact-distance plan: (duh(8,), dul(8,), df(8,), sel(B,) int32, n)
+    when the render's (u_hi, u_lo, inv_frac) triples take at most ``cap``
+    unique values, else None.
+
+    The triple depends only on r, so constant-radius workloads (orbits,
+    sweeps, the reference benchmark) qualify — note the reference's
+    |coordinates| round trip wobbles r by an ulp on scattered blocks
+    (contract, reproduced by the oracle), so "constant r" still yields 2-4
+    unique triples; exact-match dedup handles that.  The fused kernels then
+    compute ONE ramp per unique triple and select per row — BIT-IDENTICAL
+    (each row's ramp comes from its exact triple) while removing ~2*B*bins
+    VPU cos/sin per step, the largest non-MXU term (PERF.md Roofline:
+    measured 0.21 ms = 1.15x at the bench operating point)."""
+    from ..pallas.fused_step import MAX_DIST_UNIQ
+
+    cap = MAX_DIST_UNIQ if cap is None else cap
+    if len(u_hi) == 0:
+        return None
+    trip = np.stack([u_hi, u_lo, inv_frac], axis=1)
+    uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+    n = len(uniq)
+    if n > cap:
+        return None
+    if n < 8:  # pad the triple rows to the kernel's fixed (8, 1) operand
+        uniq = np.concatenate([uniq, np.repeat(uniq[-1:], 8 - n, axis=0)])
+    return (
+        uniq[:, 0].astype(np.float32),
+        uniq[:, 1].astype(np.float32),
+        uniq[:, 2].astype(np.float32),
+        inv.astype(np.int32),
+        n,
+    )
+
+
 def pick_fused_tile(b: int, seg: int, max_tb: int = 256) -> int | None:
     """Largest fused-kernel tile <= max_tb compatible with (B, seg), or None.
 
@@ -300,12 +335,17 @@ def _fd_complex_chunk_fused(
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
+    dsel: jax.Array | None = None,
     *,
     config: EngineConfig,
     num_blocks: int,
     tb: int,
+    n_dist: int | None = None,
 ):
     """Fused-kernel variant of the interpolating FD chunk (TPU only).
+    ``n_dist``: compact-distance mode — u_hi/u_lo/inv_frac arrive as the
+    (8,) unique-triple arrays and ``dsel`` (B,) selects per block (see
+    renderer.dedup_distance).
 
     The blend runs on OLD-aligned rows (idx_old[b] == idx_new[b-1] by plan
     construction) plus the single last-new row; the kernel derives new rows
@@ -322,7 +362,8 @@ def _fd_complex_chunk_fused(
     g_last = blend_cat(cat, idx_last, w_last)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
-        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
+        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
+        dsel=dsel, n_dist=n_dist,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -340,10 +381,12 @@ def _fd_complex_chunk_onehot(
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
+    dsel: jax.Array | None = None,
     *,
     config: EngineConfig,
     num_blocks: int,
     tb: int,
+    n_dist: int | None = None,
 ):
     """One-hot compact-table chunk for one stream: the unique-filter table
     stays VMEM-resident and the blend runs on the MXU — zero filter
@@ -360,6 +403,7 @@ def _fd_complex_chunk_onehot(
         table, ridx, w_old, ridx_last, w_last,
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
+        dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -377,12 +421,14 @@ def _fd_complex_chunk_onehot_grouped(
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
+    dsel: jax.Array | None = None,
     *,
     config: EngineConfig,
     num_blocks: int,
     tb: int,
     group_tiles: int,
     u_pad: int,
+    n_dist: int | None = None,
 ):
     """Grouped one-hot chunk for wide movers: chunks touching more unique
     filters than one compact table's VMEM gate split into per-group tables
@@ -400,12 +446,14 @@ def _fd_complex_chunk_onehot_grouped(
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         group_tiles=group_tiles, u_pad=u_pad,
+        dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
 def _apply_maybe_full_fuse(
-    full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
+    full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
+    dsel=None, n_dist: int | None = None,
 ):
     """Run the fused step: forward DFT + distance in-kernel when the
     geometry is aligned (history a whole number of blocks), else XLA
@@ -419,7 +467,9 @@ def _apply_maybe_full_fuse(
             full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
             g_old, g_last, xf,
             pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
+            dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
         )
+    assert n_dist is None, "compact distance needs the aligned geometry"
     xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     xdr, xdi = cmul(xr, xi, dr, di)
@@ -443,10 +493,12 @@ def _fd_complex_chunk_dedup_fused(
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
+    dsel: jax.Array | None = None,
     *,
     config: EngineConfig,
     num_blocks: int,
     tb: int,
+    n_dist: int | None = None,
 ):
     """Dedup + fused composition: blend only the unique rows, broadcast with
     one padded-row gather, and run the fused apply kernel.  Covers the
@@ -460,7 +512,8 @@ def _fd_complex_chunk_dedup_fused(
     g_last = jnp.take(g_u, inv_last, axis=0)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
-        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb
+        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
+        dsel=dsel, n_dist=n_dist,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -728,21 +781,24 @@ class Renderer:
             _fd_complex_chunk_dedup, config=cfg, num_blocks=nb, with_xfade=xf
         )
         self._fd_fused = {}
-        self._mk_fd_fused = lambda nb, tb: jit_chunk(
-            _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb
+        self._mk_fd_fused = lambda nb, tb, nd=None: jit_chunk(
+            _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb,
+            n_dist=nd,
         )
         self._fd_dedup_fused = {}
-        self._mk_fd_dedup_fused = lambda nb, tb: jit_chunk(
-            _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb
+        self._mk_fd_dedup_fused = lambda nb, tb, nd=None: jit_chunk(
+            _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb,
+            n_dist=nd,
         )
         self._fd_onehot = {}
-        self._mk_fd_onehot = lambda nb, tb: jit_chunk(
-            _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb
+        self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
+            _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb,
+            n_dist=nd,
         )
         self._fd_onehot_grp = {}
-        self._mk_fd_onehot_grp = lambda nb, tb, gt, up: jit_chunk(
+        self._mk_fd_onehot_grp = lambda nb, tb, gt, up, nd=None: jit_chunk(
             _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
-            tb=tb, group_tiles=gt, u_pad=up,
+            tb=tb, group_tiles=gt, u_pad=up, n_dist=nd,
         )
         # consecutive cross-render failure counts per fused variant; a
         # variant at _MAX_FUSED_STRIKES stops being attempted (see
@@ -839,11 +895,34 @@ class Renderer:
         # 20 s - 5 min); a fresh render retries them.  Program bugs propagate
         # (_is_fused_fallback_error).
         fused_off: set[str] = set()
+        # compact distance (bit-identical; see dedup_distance): few-unique-
+        # triple renders pass the (8,) triple arrays + a per-block selector
+        # to the fused kernels — a per-render static property (n_dist joins
+        # every fused program's cache key)
+        dist = dedup_distance(plan.u_hi, plan.u_lo, plan.inv_frac)
+        nd = None if dist is None else dist[4]
 
         def pad(a, nb):
             if nb == cb:
                 return dev(a)
             return dev(np.concatenate([a, np.repeat(a[-1:], cb - nb, axis=0)]))
+
+        if dist is not None:
+            _duh = dev(dist[0], shard=False)
+            _dul = dev(dist[1], shard=False)
+            _ddf = dev(dist[2], shard=False)
+            _dsel_all = dist[3]
+
+            def dist_args(sl_, nb_):
+                """(u_hi, u_lo, inv_frac, dsel) operands for a fused call."""
+                return (_duh, _dul, _ddf, pad(_dsel_all[sl_], nb_))
+        else:
+            def dist_args(sl_, nb_):
+                return (
+                    pad(plan.u_hi[sl_], nb_),
+                    pad(plan.u_lo[sl_], nb_),
+                    pad(plan.inv_frac[sl_], nb_),
+                )
 
         # static-segment dedup: one pass over the chunks to find the unique
         # blend rows per chunk; one Upad bucket per render (single compiled
@@ -933,9 +1012,7 @@ class Renderer:
                         wo_np = np.concatenate([wo_np, np.repeat(last_w, cb - nb, 0)])
                     tail_args = (
                         pad(plan.xfade[sl], nb),
-                        pad(plan.u_hi[sl], nb),
-                        pad(plan.u_lo[sl], nb),
-                        pad(plan.inv_frac[sl], nb),
+                        *dist_args(sl, nb),
                     )
                 if tb_o is not None and onehot_group < cb:
                     # wide mover: per-group compact tables, one dispatch
@@ -945,10 +1022,10 @@ class Renderer:
                         io_np, last_i, onehot_group, tb_o, onehot_u_pad
                     )
                     wbnd = np.concatenate([wo_np[tb_o::tb_o], last_w])
-                    key = (cb, tb_o, onehot_group, onehot_u_pad)
+                    key = (cb, tb_o, onehot_group, onehot_u_pad, nd)
                     if key not in self._fd_onehot_grp:
                         self._fd_onehot_grp[key] = self._mk_fd_onehot_grp(
-                            cb, tb_o, onehot_group // tb_o, onehot_u_pad
+                            cb, tb_o, onehot_group // tb_o, onehot_u_pad, nd
                         )
                     try:
                         y, hist = self._fd_onehot_grp[key](
@@ -980,9 +1057,9 @@ class Renderer:
                     uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
                         io_np, last_i, u_pad=onehot_u_pad
                     )
-                    key = (cb, tb_o)
+                    key = (cb, tb_o, nd)
                     if key not in self._fd_onehot:
-                        self._fd_onehot[key] = self._mk_fd_onehot(cb, tb_o)
+                        self._fd_onehot[key] = self._mk_fd_onehot(cb, tb_o, nd)
                     try:
                         y, hist = self._fd_onehot[key](
                             self._spectra,
@@ -1031,9 +1108,9 @@ class Renderer:
                             np.concatenate([a, np.repeat(nxt, cb - nb, axis=0)])
                         )
 
-                    key = (cb, tb_f)
+                    key = (cb, tb_f, nd)
                     if key not in self._fd_fused:
-                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f)
+                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f, nd)
                     try:
                         y, hist = self._fd_fused[key](
                             self._spectra,
@@ -1044,9 +1121,7 @@ class Renderer:
                             jnp.asarray(last_i),
                             jnp.asarray(last_w),
                             pad(plan.xfade[sl], nb),
-                            pad(plan.u_hi[sl], nb),
-                            pad(plan.u_lo[sl], nb),
-                            pad(plan.inv_frac[sl], nb),
+                            *dist_args(sl, nb),
                         )
                         self._variant_result(gkey, True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
@@ -1077,9 +1152,9 @@ class Renderer:
                         if not self._variant_ok(dkey):
                             tb_df = None
                     if tb_df is not None:  # dedup + fused composition
-                        key = (cb, u_pad, tb_df)
+                        key = (cb, u_pad, tb_df, nd)
                         if key not in self._fd_dedup_fused:
-                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df)
+                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df, nd)
                         try:
                             y, hist = self._fd_dedup_fused[key](
                                 self._spectra,
@@ -1090,9 +1165,7 @@ class Renderer:
                                 jnp.asarray(inv[:cb]),
                                 jnp.asarray(inv[cb : cb + 1]),
                                 pad(plan.xfade[sl], nb),
-                                pad(plan.u_hi[sl], nb),
-                                pad(plan.u_lo[sl], nb),
-                                pad(plan.inv_frac[sl], nb),
+                                *dist_args(sl, nb),
                             )
                             self._variant_result(dkey, True)
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]

@@ -50,6 +50,15 @@ def _round_up(x: int, m: int) -> int:
 # (measured); 256 compiles and runs on both variants.
 MAX_ONEHOT_U = 256
 
+# Compact-distance capacity: renders whose (u_hi, u_lo, inv_frac) triples
+# take at most this many unique values (constant-radius workloads — the
+# triple depends only on r, though the reference's |coordinates| round trip
+# wobbles it by an ulp on scattered blocks, so "constant r" still yields
+# 2-4 uniques) compute the distance ramps ONCE per unique triple and select
+# per row — bit-identical, and it removes ~2*B*bins VPU cos/sin per step
+# (measured 0.21 ms = 1.15x at the bench point, PERF.md Roofline).
+MAX_DIST_UNIQ = 8
+
 
 def _distance_planes(uh_ref, ul_ref, f_ref, rows: int, bins: int):
     """In-kernel distance factor: (rows,1) phase-split scalars -> (rows,bins)
@@ -67,9 +76,10 @@ def _distance_planes(uh_ref, ul_ref, f_ref, rows: int, bins: int):
 
 def _onehot_kernel(
     subs_ref,   # (G*rows_pad, sub)
-    uh_ref,     # (TB, 1) distance phase split, head
+    uh_ref,     # (TB, 1) distance phase split, head; (8, 1) when n_dist
     ul_ref,     # (TB, 1) tail
     f_ref,      # (TB, 1) 1/(1+fsvs r^2)
+    dsel_ref,   # (TB, 1) int32 unique-triple selector (dummy when n_dist None)
     ridx_ref,   # (TB, 4) int32 — filter ids remapped into the compact table
     w_ref,      # (TB, 4) float32
     rlast_ref,  # (P_pad, 4) int32 — per-segment last-new filter ids
@@ -89,6 +99,7 @@ def _onehot_kernel(
     u_pad: int,
     single_blend: bool = True,
     mstack_tail: bool = False,
+    n_dist: int | None = None,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
@@ -134,7 +145,22 @@ def _onehot_kernel(
     parts = [source_planes(s) for s in range(g_sources)]
     xr = jnp.concatenate([p[0] for p in parts], axis=0)
     xi = jnp.concatenate([p[1] for p in parts], axis=0)
-    dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    if n_dist is not None:
+        # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
+        # triples (constant-radius workloads), selected per row — each row
+        # receives the ramp computed from ITS exact triple, so this is
+        # BIT-IDENTICAL to the per-row form while removing ~tb*2*bins
+        # cos/sin evaluations per tile (PERF.md Roofline)
+        drk, dik = _distance_planes(uh_ref, ul_ref, f_ref, 8, bins)
+        sel = dsel_ref[:]
+        dr = jnp.broadcast_to(drk[0:1], (tb, bins))
+        di = jnp.broadcast_to(dik[0:1], (tb, bins))
+        for j in range(1, n_dist):
+            m = sel == j
+            dr = jnp.where(m, drk[j : j + 1], dr)
+            di = jnp.where(m, dik[j : j + 1], di)
+    else:
+        dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -245,7 +271,8 @@ def _onehot_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend"),
+    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend",
+                     "n_dist"),
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -264,13 +291,20 @@ def fused_step_stream_onehot_xfade(
     tb: int = 256,
     interpret: bool | None = None,
     single_blend: bool = True,
+    dsel: jax.Array | None = None,
+    n_dist: int | None = None,
 ) -> jax.Array:
     """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
-    boundary one-hot row (next tile's first old row; last tile = g_last)."""
+    boundary one-hot row (next tile's first old row; last tile = g_last).
+
+    ``n_dist``: compact-distance mode — uh/ul/fr become the (8, 1) padded
+    unique-triple arrays and ``dsel`` (B, 1) int32 selects per block (see
+    MAX_DIST_UNIQ)."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = uh.shape[0]
+    b = dsel.shape[0] if n_dist is not None else uh.shape[0]
+    dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     assert stream.shape[0] == b * fpb + (q - 1) * fpb
     assert b % tb == 0
     n_tiles = b // tb
@@ -303,15 +337,19 @@ def fused_step_stream_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
+        n_dist=n_dist,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = (lambda: tile(1)) if n_dist is None else full
+    sspec = full if n_dist is None else (lambda: tile(1))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(1), tile(1), tile(1),
+            dspec(), dspec(), dspec(),
+            sspec(),
             tile(4),
             tile(4),
             tile(4, r=8),
@@ -326,7 +364,7 @@ def fused_step_stream_onehot_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, ridx, w, rbnd, wbnd, xf, table,
+        subs, uh, ul, fr, dsel_arr, ridx, w, rbnd, wbnd, xf, table,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -336,7 +374,7 @@ def fused_step_stream_onehot_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad",
-                     "single_blend"),
+                     "single_blend", "n_dist"),
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -356,6 +394,8 @@ def fused_step_stream_onehot_grouped_xfade(
     group_tiles: int,     # tiles per table group (group_blocks // tb)
     u_pad: int,
     single_blend: bool = True,
+    dsel: jax.Array | None = None,
+    n_dist: int | None = None,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -366,7 +406,8 @@ def fused_step_stream_onehot_grouped_xfade(
     identical to the ungrouped form; only the table BlockSpec differs."""
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = uh.shape[0]
+    b = dsel.shape[0] if n_dist is not None else uh.shape[0]
+    dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     assert stream.shape[0] == b * fpb + (q - 1) * fpb
     assert b % tb == 0
     n_tiles = b // tb
@@ -396,9 +437,12 @@ def fused_step_stream_onehot_grouped_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
+        n_dist=n_dist,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = (lambda: tile(1)) if n_dist is None else full
+    sspec = full if n_dist is None else (lambda: tile(1))
     # per-group table slice: tile i reads rows [g*U_pad, (g+1)*U_pad) with
     # g = i // group_tiles — the kernel sees a (U_pad, 4*bins) ref as usual
     table_spec = pl.BlockSpec(
@@ -409,7 +453,8 @@ def fused_step_stream_onehot_grouped_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(1), tile(1), tile(1),
+            dspec(), dspec(), dspec(),
+            sspec(),
             tile(4),
             tile(4),
             tile(4, r=8),
@@ -424,7 +469,7 @@ def fused_step_stream_onehot_grouped_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, ridx, w, rbnd_p, wbnd_p, xf, tables,
+        subs, uh, ul, fr, dsel_arr, ridx, w, rbnd_p, wbnd_p, xf, tables,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -434,7 +479,7 @@ def fused_step_stream_onehot_grouped_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
-                     "interpret", "single_blend", "mstack_tail"),
+                     "interpret", "single_blend", "mstack_tail", "n_dist"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -456,6 +501,8 @@ def fused_step_onehot_xfade(
     interpret: bool | None = None,
     single_blend: bool = True,
     mstack_tail: bool | None = None,
+    dsel: jax.Array | None = None,
+    n_dist: int | None = None,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -513,11 +560,14 @@ def fused_step_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
-        mstack_tail=mstack_tail,
+        mstack_tail=mstack_tail, n_dist=n_dist,
     )
+    dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = (lambda: tile(1)) if n_dist is None else full
+    sspec = full if n_dist is None else (lambda: tile(1))
     if group_tiles is None:
         table_spec = full()  # one compact table resident across the grid
     else:  # per-group slice: tile i reads rows [g*U_pad, (g+1)*U_pad)
@@ -530,7 +580,8 @@ def fused_step_onehot_xfade(
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=g_sources * rows_pad),
-            tile(1), tile(1), tile(1),
+            dspec(), dspec(), dspec(),
+            sspec(),
             tile(4),
             tile(4),
             tile(4, r=p_pad),
@@ -545,7 +596,7 @@ def fused_step_onehot_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, ridx, w, ridx_last, w_last, xf, table,
+        subs, uh, ul, fr, dsel_arr, ridx, w, ridx_last, w_last, xf, table,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -554,9 +605,10 @@ def fused_step_onehot_xfade(
 
 def _kernel(
     subs_ref,   # (G*rows_pad, sub) — per-source sub-block sample rows
-    uh_ref,     # (TB, 1) distance phase split, head
+    uh_ref,     # (TB, 1) distance phase split, head; (8, 1) when n_dist
     ul_ref,     # (TB, 1) tail
     f_ref,      # (TB, 1) rolloff
+    dsel_ref,   # (TB, 1) int32 unique-triple selector (dummy when n_dist None)
     g_ref,      # (TB, 4*bins) old-filter blend rows (packed planes)
     patch_ref,  # (P_pad, 4*bins) segment-end new rows
     xf_ref,     # (TB, 1)
@@ -575,6 +627,7 @@ def _kernel(
     bins: int,
     fpb: int,
     p_rows: int,
+    n_dist: int | None = None,
 ):
     f32 = jnp.float32
     g_sources = tb // nb
@@ -611,7 +664,22 @@ def _kernel(
     xr = jnp.concatenate([p[0] for p in parts], axis=0)  # (TB, bins)
     xi = jnp.concatenate([p[1] for p in parts], axis=0)
 
-    dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    if n_dist is not None:
+        # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
+        # triples (constant-radius workloads), selected per row — each row
+        # receives the ramp computed from ITS exact triple, so this is
+        # BIT-IDENTICAL to the per-row form while removing ~tb*2*bins
+        # cos/sin evaluations per tile (see _onehot_kernel)
+        drk, dik = _distance_planes(uh_ref, ul_ref, f_ref, 8, bins)
+        sel = dsel_ref[:]
+        dr = jnp.broadcast_to(drk[0:1], (tb, bins))
+        di = jnp.broadcast_to(dik[0:1], (tb, bins))
+        for j in range(1, n_dist):
+            m = sel == j
+            dr = jnp.where(m, drk[j : j + 1], dr)
+            di = jnp.where(m, dik[j : j + 1], di)
+    else:
+        dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -657,7 +725,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pad_len", "bins", "fpb", "tb", "interpret")
+    jax.jit,
+    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist"),
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
@@ -672,6 +741,8 @@ def fused_step_stream_xfade(
     fpb: int,
     tb: int = 256,
     interpret: bool | None = None,
+    dsel: jax.Array | None = None,
+    n_dist: int | None = None,
 ) -> jax.Array:
     """Single-stream form: tiles of tb blocks over one stream; each tile's
     sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
@@ -679,7 +750,8 @@ def fused_step_stream_xfade(
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
-    b = uh.shape[0]
+    b = dsel.shape[0] if n_dist is not None else uh.shape[0]
+    dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     assert stream.shape[0] == b * fpb + (q - 1) * fpb, "aligned geometry only"
     assert b % tb == 0
     n_tiles = b // tb
@@ -707,16 +779,19 @@ def fused_step_stream_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=1,
+        p_rows=1, n_dist=n_dist,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = (lambda: tile(1)) if n_dist is None else full
+    sspec = full if n_dist is None else (lambda: tile(1))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=rows_pad),
-            tile(1), tile(1), tile(1),
+            dspec(), dspec(), dspec(),
+            sspec(),
             tile(c4),
             tile(c4, r=8),
             tile(1),
@@ -728,7 +803,7 @@ def fused_step_stream_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, g_old, patch, xf,
+        subs, uh, ul, fr, dsel_arr, g_old, patch, xf,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -736,7 +811,9 @@ def fused_step_stream_xfade(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret")
+    jax.jit,
+    static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret",
+                     "n_dist"),
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
@@ -752,6 +829,8 @@ def fused_step_xfade(
     fpb: int,
     tb: int = 256,
     interpret: bool | None = None,
+    dsel: jax.Array | None = None,
+    n_dist: int | None = None,
 ) -> jax.Array:
     """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
 
@@ -793,17 +872,21 @@ def fused_step_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=p_rows,
+        p_rows=p_rows, n_dist=n_dist,
     )
+    dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dspec = (lambda: tile(1)) if n_dist is None else full
+    sspec = full if n_dist is None else (lambda: tile(1))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             tile(fpb, r=g_sources * rows_pad),  # subs rows per tile
-            tile(1), tile(1), tile(1),
+            dspec(), dspec(), dspec(),
+            sspec(),
             tile(c4),
             tile(c4, r=p_pad),
             tile(1),
@@ -815,7 +898,7 @@ def fused_step_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, g_old, patch, xf,
+        subs, uh, ul, fr, dsel_arr, g_old, patch, xf,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),

@@ -420,8 +420,8 @@ def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
     real_factory = batch_mod.batched_chunk_fn_fused
     calls = {"bad": 0}
 
-    def factory(config_, nb, tb, onehot=False, group_tiles=None):
-        fn = real_factory(config_, nb, tb, onehot=onehot, group_tiles=group_tiles)
+    def factory(config_, nb, tb, onehot=False, group_tiles=None, **kw):
+        fn = real_factory(config_, nb, tb, onehot=onehot, group_tiles=group_tiles, **kw)
         if nb == 8:  # the partial-final-chunk program fails deterministically
             def bad(*a, **k):
                 calls["bad"] += 1

@@ -181,3 +181,38 @@ def test_td_gain_semantics(renderer, db, config, castanets):
 def test_empty_signal_rejected(renderer, config):
     with pytest.raises(ValueError, match="empty"):
         renderer.render(np.zeros(0, np.float32), StaticPosition().sample(4, config))
+
+
+def test_compact_distance_bit_identical(db, config, castanets):
+    """Round-4 roofline attack #2: few-unique-triple renders (constant
+    radius, modulo the reference's ulp wobble from the |coordinates| round
+    trip) compute one distance ramp per unique triple and select per row —
+    the engine output must be BIT-IDENTICAL to the per-row form, and
+    varying-radius renders must fall back to it."""
+    import jefferson_tpu.engine.renderer as rmod
+    from jefferson_tpu.engine.plan import make_plan
+    from jefferson_tpu.engine.renderer import Renderer, dedup_distance
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit, LinearPath
+
+    pos = CircularOrbit(period_s=0.3, ele=5, r=1.0).sample(64, config)
+    plan = make_plan(pos, config)
+    d = dedup_distance(plan.u_hi, plan.u_lo, plan.inv_frac)
+    assert d is not None and 1 <= d[4] <= 4  # constant r -> few uniques
+    np.testing.assert_array_equal(  # selector reproduces the triples
+        d[0][d[3]], plan.u_hi
+    )
+
+    got = Renderer(db, config, chunk_blocks=32, fused=True).render(castanets, pos)
+    orig = rmod.dedup_distance
+    rmod.dedup_distance = lambda *a, **k: None  # force the per-row programs
+    try:
+        want = Renderer(db, config, chunk_blocks=32, fused=True).render(castanets, pos)
+    finally:
+        rmod.dedup_distance = orig
+    assert np.array_equal(got, want), "compact distance changed bits"
+
+    # varying radius exceeds the unique cap -> per-row path
+    posv = LinearPath((0.2, 0.0, -0.4), (1.5, 0.3, 1.2),
+                      64 * config.block_duration).sample(64, config)
+    planv = make_plan(posv, config)
+    assert dedup_distance(planv.u_hi, planv.u_lo, planv.inv_frac) is None
