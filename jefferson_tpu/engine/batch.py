@@ -683,7 +683,7 @@ class BatchRenderer:
                     reps = u_pad - uniq_idx.shape[0]
                     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
-                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f, nd=nd)
+                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f)
                 rep = (
                     jnp.asarray
                     if self.mesh is None
@@ -703,12 +703,9 @@ class BatchRenderer:
                         self._shard(np.ascontiguousarray(inv[:, :nb])),
                         self._shard(np.ascontiguousarray(inv[:, nb])),
                         sharded["xfade"],
-                        *(
-                            (sharded["u_hi"], sharded["u_lo"], sharded["inv_frac"])
-                            if nd is None
-                            else (*d_triples,
-                                  self._shard(np.ascontiguousarray(dsel_all[:, sl])))
-                        ),
+                        sharded["u_hi"],
+                        sharded["u_lo"],
+                        sharded["inv_frac"],
                     )
                     self._variant_result(("dedup_fused", nb, u_pad, tb_f), True)
                     outs.append(np.asarray(y))
@@ -719,7 +716,7 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, u_pad, tb_f, False, None, nd), None)
+                    self._jitted.pop((nb, u_pad, tb_f, False, None, None), None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path",
                         strikes=self._variant_result(
@@ -784,7 +781,7 @@ class BatchRenderer:
                     )
                 fn = self._get_fn(
                     nb, fused_tb=tb_f, onehot=onehot, group_tiles=group_tiles,
-                    nd=nd,
+                    nd=nd if onehot else None,
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 rep = (
@@ -816,7 +813,7 @@ class BatchRenderer:
                         sharded["xfade"],
                         *(
                             (sharded["u_hi"], sharded["u_lo"], sharded["inv_frac"])
-                            if nd is None
+                            if nd is None or not onehot
                             else (*d_triples,
                                   self._shard(np.ascontiguousarray(dsel_all[:, sl])))
                         ),
@@ -830,7 +827,9 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, None, tb_f, onehot, group_tiles, nd), None)
+                    self._jitted.pop(
+                        (nb, None, tb_f, onehot, group_tiles,
+                         nd if onehot else None), None)
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",

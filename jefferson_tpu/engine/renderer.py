@@ -897,8 +897,12 @@ class Renderer:
         fused_off: set[str] = set()
         # compact distance (bit-identical; see dedup_distance): few-unique-
         # triple renders pass the (8,) triple arrays + a per-block selector
-        # to the fused kernels — a per-render static property (n_dist joins
-        # every fused program's cache key)
+        # to the ONE-HOT kernels — a per-render static property (n_dist
+        # joins their program cache keys).  The gather-form kernels
+        # (_kernel: gather-fused, dedup+fused) keep per-row ramps: a
+        # same-session A/B on the reference workload measured the compact
+        # form 0.92x THERE (scripts/bench_dedup.py) while the one-hot
+        # forms gain 1.15x (PERF.md) — dispatch follows the measurements.
         dist = dedup_distance(plan.u_hi, plan.u_lo, plan.inv_frac)
         nd = None if dist is None else dist[4]
 
@@ -1108,9 +1112,9 @@ class Renderer:
                             np.concatenate([a, np.repeat(nxt, cb - nb, axis=0)])
                         )
 
-                    key = (cb, tb_f, nd)
+                    key = (cb, tb_f)
                     if key not in self._fd_fused:
-                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f, nd)
+                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f)
                     try:
                         y, hist = self._fd_fused[key](
                             self._spectra,
@@ -1121,7 +1125,9 @@ class Renderer:
                             jnp.asarray(last_i),
                             jnp.asarray(last_w),
                             pad(plan.xfade[sl], nb),
-                            *dist_args(sl, nb),
+                            pad(plan.u_hi[sl], nb),
+                            pad(plan.u_lo[sl], nb),
+                            pad(plan.inv_frac[sl], nb),
                         )
                         self._variant_result(gkey, True)
                         out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
@@ -1152,9 +1158,9 @@ class Renderer:
                         if not self._variant_ok(dkey):
                             tb_df = None
                     if tb_df is not None:  # dedup + fused composition
-                        key = (cb, u_pad, tb_df, nd)
+                        key = (cb, u_pad, tb_df)
                         if key not in self._fd_dedup_fused:
-                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df, nd)
+                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df)
                         try:
                             y, hist = self._fd_dedup_fused[key](
                                 self._spectra,
@@ -1165,7 +1171,9 @@ class Renderer:
                                 jnp.asarray(inv[:cb]),
                                 jnp.asarray(inv[cb : cb + 1]),
                                 pad(plan.xfade[sl], nb),
-                                *dist_args(sl, nb),
+                                pad(plan.u_hi[sl], nb),
+                                pad(plan.u_lo[sl], nb),
+                                pad(plan.inv_frac[sl], nb),
                             )
                             self._variant_result(dkey, True)
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]

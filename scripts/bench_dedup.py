@@ -110,6 +110,33 @@ def main() -> int:
         print(f"dedup+fused vs direct: max|diff|={d:.3e}; "
               f"{t_direct/t_df:.2f}x vs direct, {t_dedup/t_df:.2f}x vs dedup",
               file=sys.stderr)
+
+        # + compact distance (round 4): what the production Renderer runs
+        from jefferson_tpu.engine.renderer import dedup_distance
+
+        dist = dedup_distance(plan.u_hi, plan.u_lo, plan.inv_frac)
+        if dist is not None:
+            nd = dist[4]
+            print(f"compact distance: {nd} unique triples", file=sys.stderr)
+            dfused_cd = jax.jit(functools.partial(
+                _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb,
+                tb=tb_f, n_dist=nd))
+            saved_tail = tail
+
+            def bench_cd():
+                nonlocal tail
+                tail = (jnp.asarray(plan.xfade), jnp.asarray(dist[0]),
+                        jnp.asarray(dist[1]), jnp.asarray(dist[2]),
+                        jnp.asarray(dist[3]))
+                try:
+                    return bench(dfused_cd, args_df, "dedup+fused+cd")
+                finally:
+                    tail = saved_tail
+
+            t_cd, out_cd = bench_cd()
+            print(f"compact-distance vs dedup+fused: {t_df/t_cd:.2f}x, "
+                  f"bit-identical: {np.array_equal(out_cd, out_df)}",
+                  file=sys.stderr)
     return 0 if same else 1
 
 
