@@ -201,6 +201,12 @@ def scene_mesh(num_sources: int, devices: int | None, quiet: bool = True):
     return make_mesh(n, ("src",)) if n > 1 else None
 
 
+# Bound on the daemon-side scene-renderer cache (see render_scene_spec):
+# each entry retains a BatchRenderer and its jit programs, so the cache must
+# stay small; 8 covers every realistic (chunk, mesh) working set.
+_SCENE_RENDERER_CACHE_MAX = 8
+
+
 def render_scene_spec(
     scene: dict,
     db,
@@ -249,11 +255,20 @@ def render_scene_spec(
     mesh = scene_mesh(len(sources), devices, quiet=quiet)
     key = (cb, None if mesh is None else mesh.size)
     if renderer_cache is not None and key in renderer_cache:
-        br = renderer_cache[key]
+        # LRU: move to the back so eviction drops the coldest key
+        br = renderer_cache.pop(key)
+        renderer_cache[key] = br
     else:
         br = BatchRenderer(db, config, chunk_blocks=cb, mix=True, mesh=mesh)
         if renderer_cache is not None:
             renderer_cache[key] = br
+            # bound the daemon-side cache: clients varying chunk_blocks per
+            # request would otherwise mint an unbounded set of persistent
+            # BatchRenderers (+ retained jit programs) — the round-4 soak's
+            # RSS-leak class (round-4 advisor).  dict preserves insertion
+            # order, so this evicts least-recently-used.
+            while len(renderer_cache) > _SCENE_RENDERER_CACHE_MAX:
+                renderer_cache.pop(next(iter(renderer_cache)))
     return br.render(feds, positions).reshape(-1, 2), num_blocks
 
 

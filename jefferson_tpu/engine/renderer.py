@@ -284,6 +284,9 @@ def dedup_distance(u_hi, u_lo, inv_frac, cap: int | None = None):
     from ..pallas.fused_step import MAX_DIST_UNIQ
 
     cap = MAX_DIST_UNIQ if cap is None else cap
+    # the kernels hardcode an (8, 1) unique-triple operand; a larger cap
+    # would silently ship an (n, 1) operand into a kernel reading 8 rows
+    assert cap <= 8, f"compact-distance cap {cap} exceeds the kernel's 8 rows"
     if len(u_hi) == 0:
         return None
     trip = np.stack([u_hi, u_lo, inv_frac], axis=1)
@@ -1003,7 +1006,10 @@ class Renderer:
                 if tb_o is not None:
                     # strike keys carry the program geometry so failures of
                     # one shape don't get reset by successes of another
-                    okey = ("onehot", cb, tb_o, onehot_group, onehot_u_pad)
+                    # (incl. nd: the compact-distance program and the per-row
+                    # nd=None program of the same geometry are distinct
+                    # compiles and must accumulate strikes independently)
+                    okey = ("onehot", cb, tb_o, onehot_group, onehot_u_pad, nd)
                     if not self._variant_ok(okey):
                         tb_o = None
                 if tb_o is not None:

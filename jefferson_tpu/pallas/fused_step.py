@@ -557,6 +557,12 @@ def fused_step_onehot_xfade(
         # Mosaic's pipeline already hides the per-matmul launch overhead,
         # so the stacked q-plane copies buy nothing.  Kept measurable.
         mstack_tail = False
+    elif mstack_tail and u_pad > 128:
+        # enforce the documented gate: the stacked q-planes cost ~4 MB of
+        # kernel stack and the u_pad=256 forms already sit near the 16 MB
+        # scoped-VMEM edge — ignore the bench-only flag there rather than
+        # rely on the strike machinery to absorb the compile failure
+        mstack_tail = False
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,

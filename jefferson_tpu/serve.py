@@ -105,6 +105,10 @@ class RenderService:
         self._streams: dict[str, dict] = {}  # active live stream sessions
         self._stream_seq = 0
         self.max_streams = 8
+        # set under _slock by shutdown; _stream_start's registration (also
+        # under _slock) rejects once it is up, so no session can slip in
+        # between shutdown's snapshot and the join pass (round-4 advisor)
+        self._shutting_down = False
 
     def handle(self, req: dict) -> dict:
         cmd = req.get("cmd", "render")
@@ -118,9 +122,16 @@ class RenderService:
             # dies mid-C++ at interpreter teardown (observed as a noisy
             # "FATAL: exception not rethrown" on exit)
             stopped = []
-            for sid, s in self._streams.items():
+            with self._slock:
+                # one snapshot + flag under the lock: registrations racing
+                # shutdown either land before the snapshot (and get quit +
+                # joined below) or see the flag and are rejected — never
+                # joined-without-quit or dropped with an unflushed writer
+                self._shutting_down = True
+                snapshot = self._streams
+            for sid, s in snapshot.items():
                 s["control"].quit = True
-            for sid, s in self._streams.items():
+            for sid, s in snapshot.items():
                 s["thread"].join(timeout=10.0)
                 stopped.append(sid)
             with self._slock:
@@ -266,6 +277,9 @@ class RenderService:
 
         t = threading.Thread(target=run, daemon=True)
         with self._slock:
+            if self._shutting_down:
+                writer.close()
+                return {"ok": False, "error": "daemon is shutting down"}
             live = {k: v for k, v in self._streams.items() if v["thread"].is_alive()}
             if len(live) >= self.max_streams:
                 writer.close()
