@@ -138,6 +138,7 @@ def batched_chunk_fn_fused(
     onehot: bool = False,
     group_tiles: int | None = None,
     n_dist: int | None = None,
+    lane512: bool | None = None,
 ):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
@@ -158,9 +159,15 @@ def batched_chunk_fn_fused(
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
+    from .renderer import _resolve_lane512
+
+    lane512 = _resolve_lane512(lane512, config, gather=not onehot)
+    # the fully-fused step needs tb | num_blocks; the fused_apply fallback
+    # keeps the classic layout
+    lane512 = lane512 and tb % num_blocks == 0
 
     if onehot:
-        from ..pallas.fused_step import fused_step_onehot_xfade
+        from ..pallas.fused_step import fused_step_onehot_xfade, to_lane512
 
         def fn_onehot(spectra, hists, feds, uniq_ids, ridx, w_old, ridx_last,
                       w_last, xfade, u_hi, u_lo, inv_frac, dsel=None):
@@ -171,6 +178,8 @@ def batched_chunk_fn_fused(
             flat = lambda a: a.reshape((b,) + a.shape[2:])
             col = lambda a: flat(a)[:, None]
             table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
+            if lane512:
+                table = to_lane512(table, config.num_bins)
             if n_dist is None:
                 duh, dul, ddf, ds = col(u_hi), col(u_lo), col(inv_frac), None
             else:  # compact distance: (8,) triples + (S, nb) selector
@@ -182,7 +191,7 @@ def batched_chunk_fn_fused(
                 ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
-                dsel=ds, n_dist=n_dist,
+                dsel=ds, n_dist=n_dist, lane512=lane512,
             )
             out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
             return out, new_hists
@@ -200,6 +209,10 @@ def batched_chunk_fn_fused(
         # packed rows: 20% less blend traffic than a stride-padded table
         # (Mosaic slices the unaligned plane offsets fine — PERF.md)
         cat = cat_table(spectra)
+        if lane512:
+            from ..pallas.fused_step import to_lane512
+
+            cat = to_lane512(cat, config.num_bins)
         g_old = blend_cat(cat, flat(idx_old), flat(w_old))
         g_last = blend_cat(cat, idx_last, w_last)
         xf = flat(xfade).astype(jnp.float32)[:, None]
@@ -218,7 +231,7 @@ def batched_chunk_fn_fused(
                 streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
-                dsel=ds, n_dist=n_dist,
+                dsel=ds, n_dist=n_dist, lane512=lane512,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -241,7 +254,8 @@ def batched_chunk_fn_fused(
 
 
 def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
-                                 n_dist: int | None = None):
+                                 n_dist: int | None = None,
+                                 lane512: bool | None = None):
     """Dedup + fused composition for the batched/sharded form: blend only
     the unique (index, weight) rows (scene sources usually hold positions),
     broadcast with one row gather, and run the fused step kernel.  Mirrors
@@ -260,6 +274,10 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
+    from .renderer import _resolve_lane512
+
+    lane512 = _resolve_lane512(lane512, config, gather=True)
+    lane512 = lane512 and tb % num_blocks == 0
 
     def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade,
            u_hi, u_lo, inv_frac, dsel=None):
@@ -271,7 +289,12 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
         col = lambda a: flat(a)[:, None]
         # the unique-row blend is tiny (U rows) and replicated across the
         # mesh; the per-block broadcast is one padded-row gather
-        g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)  # (U, 4*bins)
+        cat = cat_table(spectra)
+        if lane512:
+            from ..pallas.fused_step import to_lane512
+
+            cat = to_lane512(cat, config.num_bins)
+        g_u = blend_cat(cat, uniq_idx, uniq_w)                 # (U, 4*bins)
         g_old = jnp.take(g_u, inv_old.reshape(-1), axis=0)     # (S*nb, 4*bins)
         g_last = jnp.take(g_u, inv_last, axis=0)               # (S, 4*bins)
         xf = flat(xfade).astype(jnp.float32)[:, None]
@@ -287,7 +310,7 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
-                dsel=ds, n_dist=n_dist,
+                dsel=ds, n_dist=n_dist, lane512=lane512,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -427,6 +450,7 @@ class BatchRenderer:
         mix: bool = False,
         dedup: bool = True,
         fused: bool | None = None,
+        lane512: bool | None = None,
     ):
         from .renderer import fused_supported
 
@@ -435,6 +459,8 @@ class BatchRenderer:
         self.chunk_blocks = chunk_blocks
         self.mesh = mesh
         self.mix = mix
+        # lane-aligned 512-bin kernel layout (None = module defaults)
+        self.lane512 = lane512
         aligned = self.config.history_len % self.config.frames_per_buffer == 0
         self.dedup = dedup and aligned
         if fused is None:
@@ -473,7 +499,8 @@ class BatchRenderer:
                 # dedup + fused composition (the fastest measured mode when
                 # positions persist, PERF.md)
                 fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb,
-                                                  n_dist=nd)
+                                                  n_dist=nd,
+                                                  lane512=self.lane512)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
@@ -503,7 +530,7 @@ class BatchRenderer:
             elif fused_tb is not None:
                 fn = batched_chunk_fn_fused(
                     self.config, nb, tb=fused_tb, onehot=onehot,
-                    group_tiles=group_tiles, n_dist=nd,
+                    group_tiles=group_tiles, n_dist=nd, lane512=self.lane512,
                 )
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map

@@ -344,6 +344,7 @@ def _fd_complex_chunk_fused(
     num_blocks: int,
     tb: int,
     n_dist: int | None = None,
+    lane512: bool | None = None,
 ):
     """Fused-kernel variant of the interpolating FD chunk (TPU only).
     ``n_dist``: compact-distance mode — u_hi/u_lo/inv_frac arrive as the
@@ -361,14 +362,32 @@ def _fd_complex_chunk_fused(
     # slices, and skipping the pad zeros cuts blend traffic 20% (measured
     # 1.72 vs 2.06 ms full step on v5e, bit-identical)
     cat = cat_table(spectra)
+    lane512 = _resolve_lane512(lane512, config, gather=True)
+    if lane512:
+        from ..pallas.fused_step import to_lane512
+
+        cat = to_lane512(cat, config.num_bins)
     g_old = blend_cat(cat, idx_old, w_old)
     g_last = blend_cat(cat, idx_last, w_last)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
         full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
-        dsel=dsel, n_dist=n_dist,
+        dsel=dsel, n_dist=n_dist, lane512=lane512,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
+def _resolve_lane512(lane512, config, gather: bool = False) -> bool:
+    """Resolve a chunk function's lane512 flag (None = module default; the
+    layout needs the aligned geometry — the fused_apply fallback keeps the
+    classic 4*bins rows)."""
+    from ..pallas.fused_step import LANE512_DEFAULT, LANE512_GATHER_DEFAULT
+
+    if lane512 is None:
+        lane512 = LANE512_GATHER_DEFAULT if gather else LANE512_DEFAULT
+    return bool(lane512) and (
+        config.history_len % config.frames_per_buffer == 0
+    )
 
 
 def _fd_complex_chunk_onehot(
@@ -390,6 +409,7 @@ def _fd_complex_chunk_onehot(
     num_blocks: int,
     tb: int,
     n_dist: int | None = None,
+    lane512: bool | None = None,
 ):
     """One-hot compact-table chunk for one stream: the unique-filter table
     stays VMEM-resident and the blend runs on the MXU — zero filter
@@ -401,12 +421,18 @@ def _fd_complex_chunk_onehot(
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
     table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
+    lane512 = _resolve_lane512(lane512, config)
+    if lane512:
+        from ..pallas.fused_step import to_lane512
+
+        table = to_lane512(table, config.num_bins)
     y = fused_step_stream_onehot_xfade(
         full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
         table, ridx, w_old, ridx_last, w_last,
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
+        lane512=lane512,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -432,6 +458,7 @@ def _fd_complex_chunk_onehot_grouped(
     group_tiles: int,
     u_pad: int,
     n_dist: int | None = None,
+    lane512: bool | None = None,
 ):
     """Grouped one-hot chunk for wide movers: chunks touching more unique
     filters than one compact table's VMEM gate split into per-group tables
@@ -443,6 +470,11 @@ def _fd_complex_chunk_onehot_grouped(
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
     tables = jnp.take(cat_table(spectra), uniq_ids, axis=0)  # (G*U_pad, 4*bins)
+    lane512 = _resolve_lane512(lane512, config)
+    if lane512:
+        from ..pallas.fused_step import to_lane512
+
+        tables = to_lane512(tables, config.num_bins)
     y = fused_step_stream_onehot_grouped_xfade(
         full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
         tables, ridx, w_old, rbnd, wbnd,
@@ -450,13 +482,14 @@ def _fd_complex_chunk_onehot_grouped(
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         group_tiles=group_tiles, u_pad=u_pad,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
+        lane512=lane512,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
 def _apply_maybe_full_fuse(
     full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
-    dsel=None, n_dist: int | None = None,
+    dsel=None, n_dist: int | None = None, lane512: bool = False,
 ):
     """Run the fused step: forward DFT + distance in-kernel when the
     geometry is aligned (history a whole number of blocks), else XLA
@@ -471,8 +504,10 @@ def _apply_maybe_full_fuse(
             g_old, g_last, xf,
             pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
             dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
+            lane512=lane512,
         )
     assert n_dist is None, "compact distance needs the aligned geometry"
+    assert not lane512, "lane512 needs the aligned geometry (see _resolve_lane512)"
     xr, xi = _forward_split(full, num_blocks, config)
     dr, di = distance_factors_split(u_hi, u_lo, inv_frac, config.num_bins)
     xdr, xdi = cmul(xr, xi, dr, di)
@@ -502,6 +537,7 @@ def _fd_complex_chunk_dedup_fused(
     num_blocks: int,
     tb: int,
     n_dist: int | None = None,
+    lane512: bool | None = None,
 ):
     """Dedup + fused composition: blend only the unique rows, broadcast with
     one padded-row gather, and run the fused apply kernel.  Covers the
@@ -510,13 +546,19 @@ def _fd_complex_chunk_dedup_fused(
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    g_u = blend_cat(cat_table(spectra), uniq_idx, uniq_w)
+    cat = cat_table(spectra)
+    lane512 = _resolve_lane512(lane512, config, gather=True)
+    if lane512:
+        from ..pallas.fused_step import to_lane512
+
+        cat = to_lane512(cat, config.num_bins)
+    g_u = blend_cat(cat, uniq_idx, uniq_w)
     g_old = jnp.take(g_u, inv_old, axis=0)
     g_last = jnp.take(g_u, inv_last, axis=0)
     xf = xfade.astype(jnp.float32)[:, None]
     y = _apply_maybe_full_fuse(
         full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
-        dsel=dsel, n_dist=n_dist,
+        dsel=dsel, n_dist=n_dist, lane512=lane512,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -728,6 +770,7 @@ class Renderer:
         dedup: bool = True,
         fused: bool | None = None,
         mesh=None,
+        lane512: bool | None = None,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
@@ -747,6 +790,9 @@ class Renderer:
         self.chunk_blocks = chunk_blocks
         self.backend = backend
         self.mesh = mesh
+        # lane-aligned 512-bin kernel layout (None = module defaults,
+        # pallas.fused_step.LANE512_DEFAULT / LANE512_GATHER_DEFAULT)
+        self.lane512 = lane512
         if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError("Renderer mesh must be 1-D (block axis)")
@@ -786,22 +832,23 @@ class Renderer:
         self._fd_fused = {}
         self._mk_fd_fused = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd,
+            n_dist=nd, lane512=self.lane512,
         )
         self._fd_dedup_fused = {}
         self._mk_fd_dedup_fused = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd,
+            n_dist=nd, lane512=self.lane512,
         )
         self._fd_onehot = {}
         self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd,
+            n_dist=nd, lane512=self.lane512,
         )
         self._fd_onehot_grp = {}
         self._mk_fd_onehot_grp = lambda nb, tb, gt, up, nd=None: jit_chunk(
             _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
             tb=tb, group_tiles=gt, u_pad=up, n_dist=nd,
+            lane512=self.lane512,
         )
         # consecutive cross-render failure counts per fused variant; a
         # variant at _MAX_FUSED_STRIKES stops being attempted (see

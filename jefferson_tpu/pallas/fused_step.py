@@ -50,6 +50,59 @@ def _round_up(x: int, m: int) -> int:
 # (measured); 256 compiles and runs on both variants.
 MAX_ONEHOT_U = 256
 
+# Round-5 lane-aligned layout (the PERF.md "bins=513 lane tax" lever): when
+# ``lane512`` is on, the combined-plane tables/blend rows carry the four
+# 512-bin planes lane-aligned [rL|iL|rR|iR] (offsets 0/512/1024/1536 — all
+# multiples of the 128-lane vreg) followed by one 128-lane block holding the
+# four Nyquist-bin (k = 512) columns.  Total width 4*512 + 128 = 2176 — the
+# SAME physical width the padded 4*513 = 2052 layout already occupied, so
+# blend MACs and VMEM footprint are unchanged, but
+#   * every plane slice is lane-aligned (no Mosaic lane-rotation relayouts
+#     on the 8 q-plane slices per tile), and
+#   * the tail-IDFT matmuls contract K = 512 (4 MXU K-tiles) instead of
+#     K = 513 padded to 640 (5 tiles) — a 20% MAC cut on the largest
+#     matmul family (PERF.md Roofline: tails are 8.6 of 19.6 GMAC).
+# The Nyquist bin's tail contribution becomes two VPU rank-1 terms
+# (q_nyq_re * icr[512] + q_nyq_im * ici[512]); everything else is the same
+# arithmetic on the same values (the forward DFT, twiddle accumulation,
+# distance factors, blend and crossfade are column-permutation-identical).
+# Numerics: only the tail contraction's association changes (the Nyquist
+# product moves from the MXU's 5th K-tile to a VPU fma) — measured on chip
+# before flipping the default (see PERF.md round-5 section).
+LANE512_DEFAULT = False
+
+# Separate default for the GATHER-form paths (_kernel: gather-fused and
+# dedup+fused): their blend rows come from XLA row gathers, and the lane512
+# layout widens each gathered row 2052 -> 2176 (the Nyquist pad block), a
+# ~6% HBM-traffic tax on the stage those paths are bound by — so the two
+# families get independent measured defaults (compact distance had the same
+# split verdict: 1.15x on one-hot, 0.92x on gather — PERF.md).
+LANE512_GATHER_DEFAULT = False
+
+
+def lane512_width(bins: int) -> int:
+    """Table/blend-row width of the lane-aligned layout."""
+    return 4 * (bins - 1) + 128
+
+
+def to_lane512(table: jax.Array, bins: int) -> jax.Array:
+    """Repack a combined-plane table (N, 4*bins) [rL|iL|rR|iR] into the
+    lane-aligned layout (N, 4*(bins-1) + 128): the four planes truncated to
+    bins-1 columns, then a 128-lane block whose first four columns are the
+    planes' Nyquist bins (rL[512], iL[512], rR[512], iR[512]).
+
+    Pure column permutation + zero fill — blending commutes with it, so
+    ``blend_cat(to_lane512(T), i, w) == to_lane512(blend_cat(T, i, w))``
+    column-for-column."""
+    b1 = bins - 1
+    planes = [table[..., k * bins : k * bins + b1] for k in range(4)]
+    nyq = jnp.concatenate(
+        [table[..., k * bins + b1 : (k + 1) * bins] for k in range(4)], axis=-1
+    )
+    pad = jnp.zeros(table.shape[:-1] + (128 - 4,), table.dtype)
+    return jnp.concatenate([*planes, nyq, pad], axis=-1)
+
+
 # Compact-distance capacity: renders whose (u_hi, u_lo, inv_frac) triples
 # take at most this many unique values (constant-radius workloads — the
 # triple depends only on r, though the reference's |coordinates| round trip
@@ -100,6 +153,7 @@ def _onehot_kernel(
     single_blend: bool = True,
     mstack_tail: bool = False,
     n_dist: int | None = None,
+    lane512: bool = False,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
@@ -161,6 +215,19 @@ def _onehot_kernel(
             di = jnp.where(m, dik[j : j + 1], di)
     else:
         dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    if lane512:
+        # split the Nyquist bin out so every remaining plane is 512 lanes
+        # (see LANE512_DEFAULT); elementwise ops are per-column, so the
+        # split products equal the unsplit ones bit-for-bit
+        eb = bins - 1
+        xn_r, xn_i = xr[:, eb:bins], xi[:, eb:bins]
+        dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
+        xr, xi = xr[:, :eb], xi[:, :eb]
+        dr, di = dr[:, :eb], di[:, :eb]
+        xdn_r = xn_r * dn_r - xn_i * dn_i
+        xdn_i = xn_r * dn_i + xn_i * dn_r
+    else:
+        eb = bins
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -180,12 +247,12 @@ def _onehot_kernel(
     w_patch = onehot(rlast_ref, wlast_ref, rlast_ref.shape[0])
     g_old = jax.lax.dot_general(w_old, table_ref[:], (((1,), (0,)), ((), ())),
                                 precision=hp, preferred_element_type=f32)
+    c4 = (4 * (bins - 1) + 128) if lane512 else 4 * bins
     if single_blend:
         # g_new = roll(g_old) + boundary patches: bit-identical to blending
         # rolled weights (row permutation commutes with the per-row dot),
         # one MXU blend pass instead of two; patches blend via a tiny
         # (P_pad, U_pad) matmul
-        c4 = 4 * bins
         g_patch = jax.lax.dot_general(
             w_patch, table_ref[:], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
@@ -223,8 +290,8 @@ def _onehot_kernel(
     b = jnp.where(xf > 0, fn, f32(1.0))
 
     def q_planes(g, off_r, off_i):
-        gr = g[:, off_r : off_r + bins]
-        gi = g[:, off_i : off_i + bins]
+        gr = g[:, off_r : off_r + eb]
+        gi = g[:, off_i : off_i + eb]
         return xdr * gr - xdi * gi, xdr * gi + xdi * gr
 
     if mstack_tail:
@@ -235,8 +302,8 @@ def _onehot_kernel(
         # disappear.  Costs ~4 MB of stacked q-plane stack — gate at
         # u_pad <= 128 geometries (the u_pad=256 forms already sit near
         # the 16 MB scoped-VMEM edge).
-        qs = [q_planes(g, 2 * c * bins, (2 * c + 1) * bins)
-              for c in range(2) for g in (g_old, g_new)]
+        qs = [q_planes(g, 2 * c * eb, (2 * c + 1) * eb)
+              for c in range(2) for g in (g_old, g_new)]  # lane512 gated off
         big_qr = jnp.concatenate([q[0] for q in qs], axis=0)
         big_qi = jnp.concatenate([q[1] for q in qs], axis=0)
         y = jax.lax.dot_general(
@@ -252,27 +319,37 @@ def _onehot_kernel(
             out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
         return
 
-    def tail(g, off_r, off_i):
+    def tail(g, c):
+        off_r, off_i = 2 * c * eb, (2 * c + 1) * eb
         qr, qi = q_planes(g, off_r, off_i)
-        return jax.lax.dot_general(
-            qr, icr_ref[:], (((1,), (0,)), ((), ())),
+        y = jax.lax.dot_general(
+            qr, icr_ref[0:eb], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
         ) + jax.lax.dot_general(
-            qi, ici_ref[:], (((1,), (0,)), ((), ())),
+            qi, ici_ref[0:eb], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
         )
+        if lane512:
+            # Nyquist-bin contribution as two VPU rank-1 terms: the blended
+            # Nyquist columns live at 4*eb + [2c, 2c+1] of the lane512 row
+            ny = 4 * eb + 2 * c
+            gnr = g[:, ny : ny + 1]
+            gni = g[:, ny + 1 : ny + 2]
+            qnr = xdn_r * gnr - xdn_i * gni
+            qni = xdn_r * gni + xdn_i * gnr
+            y = y + qnr * icr_ref[eb : eb + 1, :] + qni * ici_ref[eb : eb + 1, :]
+        return y
 
     for c in range(2):
-        off_r, off_i = 2 * c * bins, (2 * c + 1) * bins
-        y_old = tail(g_old, off_r, off_i)
-        y_new = tail(g_new, off_r, off_i)
+        y_old = tail(g_old, c)
+        y_new = tail(g_new, c)
         out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend",
-                     "n_dist"),
+                     "n_dist", "lane512"),
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -293,6 +370,7 @@ def fused_step_stream_onehot_xfade(
     single_blend: bool = True,
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
+    lane512: bool = False,
 ) -> jax.Array:
     """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
     boundary one-hot row (next tile's first old row; last tile = g_last).
@@ -310,6 +388,8 @@ def fused_step_stream_onehot_xfade(
     n_tiles = b // tb
     u_pad = table.shape[0]
     c4 = table.shape[1]
+    assert c4 == (lane512_width(bins) if lane512 else 4 * bins), \
+        "table layout does not match lane512 flag"
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
@@ -337,7 +417,7 @@ def fused_step_stream_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist,
+        n_dist=n_dist, lane512=lane512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -374,7 +454,7 @@ def fused_step_stream_onehot_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad",
-                     "single_blend", "n_dist"),
+                     "single_blend", "n_dist", "lane512"),
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -396,6 +476,7 @@ def fused_step_stream_onehot_grouped_xfade(
     single_blend: bool = True,
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
+    lane512: bool = False,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -414,6 +495,8 @@ def fused_step_stream_onehot_grouped_xfade(
     assert n_tiles % group_tiles == 0
     assert tables.shape[0] == (n_tiles // group_tiles) * u_pad
     c4 = tables.shape[1]
+    assert c4 == (lane512_width(bins) if lane512 else 4 * bins), \
+        "tables layout does not match lane512 flag"
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
@@ -437,7 +520,7 @@ def fused_step_stream_onehot_grouped_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist,
+        n_dist=n_dist, lane512=lane512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -479,7 +562,8 @@ def fused_step_stream_onehot_grouped_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
-                     "interpret", "single_blend", "mstack_tail", "n_dist"),
+                     "interpret", "single_blend", "mstack_tail", "n_dist",
+                     "lane512"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -503,6 +587,7 @@ def fused_step_onehot_xfade(
     mstack_tail: bool | None = None,
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
+    lane512: bool = False,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -529,6 +614,8 @@ def fused_step_onehot_xfade(
         assert table.shape[0] % n_groups == 0
         u_pad = table.shape[0] // n_groups
     c4 = table.shape[1]
+    assert c4 == (lane512_width(bins) if lane512 else 4 * bins), \
+        "table layout does not match lane512 flag"
 
     subs = streams.reshape(s, rows, fpb)
     subs = jnp.pad(subs, ((0, 0), (0, rows_pad - rows), (0, 0)))
@@ -557,7 +644,7 @@ def fused_step_onehot_xfade(
         # Mosaic's pipeline already hides the per-matmul launch overhead,
         # so the stacked q-plane copies buy nothing.  Kept measurable.
         mstack_tail = False
-    elif mstack_tail and u_pad > 128:
+    elif mstack_tail and (u_pad > 128 or lane512):
         # enforce the documented gate: the stacked q-planes cost ~4 MB of
         # kernel stack and the u_pad=256 forms already sit near the 16 MB
         # scoped-VMEM edge — ignore the bench-only flag there rather than
@@ -566,7 +653,7 @@ def fused_step_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
-        mstack_tail=mstack_tail, n_dist=n_dist,
+        mstack_tail=mstack_tail, n_dist=n_dist, lane512=lane512,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
@@ -634,6 +721,7 @@ def _kernel(
     fpb: int,
     p_rows: int,
     n_dist: int | None = None,
+    lane512: bool = False,
 ):
     f32 = jnp.float32
     g_sources = tb // nb
@@ -686,11 +774,22 @@ def _kernel(
             di = jnp.where(m, dik[j : j + 1], di)
     else:
         dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    if lane512:
+        # Nyquist split — see LANE512_DEFAULT / _onehot_kernel
+        eb = bins - 1
+        xn_r, xn_i = xr[:, eb:bins], xi[:, eb:bins]
+        dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
+        xr, xi = xr[:, :eb], xi[:, :eb]
+        dr, di = dr[:, :eb], di[:, :eb]
+        xdn_r = xn_r * dn_r - xn_i * dn_i
+        xdn_i = xn_r * dn_i + xn_i * dn_r
+    else:
+        eb = bins
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
     # --- identical to fused_apply from here on -----------------------------
-    c4 = 4 * bins
+    c4 = (4 * (bins - 1) + 128) if lane512 else 4 * bins
     go = g_ref[:]
     rolled = pltpu.roll(go, shift=tb - 1, axis=0)
     local = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
@@ -710,29 +809,38 @@ def _kernel(
     a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
     b = jnp.where(xf > 0, fn, f32(1.0))
 
-    def tail(g, off_r, off_i):
-        gr = g[:, off_r : off_r + bins]
-        gi = g[:, off_i : off_i + bins]
+    def tail(g, c):
+        off_r, off_i = 2 * c * eb, (2 * c + 1) * eb
+        gr = g[:, off_r : off_r + eb]
+        gi = g[:, off_i : off_i + eb]
         qr = xdr * gr - xdi * gi
         qi = xdr * gi + xdi * gr
-        return jax.lax.dot_general(
-            qr, icr_ref[:], (((1,), (0,)), ((), ())),
+        y = jax.lax.dot_general(
+            qr, icr_ref[0:eb], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
         ) + jax.lax.dot_general(
-            qi, ici_ref[:], (((1,), (0,)), ((), ())),
+            qi, ici_ref[0:eb], (((1,), (0,)), ((), ())),
             precision=hp, preferred_element_type=f32,
         )
+        if lane512:
+            ny = 4 * eb + 2 * c
+            gnr = g[:, ny : ny + 1]
+            gni = g[:, ny + 1 : ny + 2]
+            qnr = xdn_r * gnr - xdn_i * gni
+            qni = xdn_r * gni + xdn_i * gnr
+            y = y + qnr * icr_ref[eb : eb + 1, :] + qni * ici_ref[eb : eb + 1, :]
+        return y
 
     for c in range(2):
-        off_r, off_i = 2 * c * bins, (2 * c + 1) * bins
-        y_old = tail(go, off_r, off_i)
-        y_new = tail(gn, off_r, off_i)
+        y_old = tail(go, c)
+        y_new = tail(gn, c)
         out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist"),
+    static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist",
+                     "lane512"),
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
@@ -749,6 +857,7 @@ def fused_step_stream_xfade(
     interpret: bool | None = None,
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
+    lane512: bool = False,
 ) -> jax.Array:
     """Single-stream form: tiles of tb blocks over one stream; each tile's
     sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
@@ -762,6 +871,8 @@ def fused_step_stream_xfade(
     assert b % tb == 0
     n_tiles = b // tb
     c4 = g_old.shape[1]
+    assert c4 == (lane512_width(bins) if lane512 else 4 * bins), \
+        "blend-row layout does not match lane512 flag"
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
@@ -785,7 +896,7 @@ def fused_step_stream_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=1, n_dist=n_dist,
+        p_rows=1, n_dist=n_dist, lane512=lane512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -819,7 +930,7 @@ def fused_step_stream_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret",
-                     "n_dist"),
+                     "n_dist", "lane512"),
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
@@ -837,6 +948,7 @@ def fused_step_xfade(
     interpret: bool | None = None,
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
+    lane512: bool = False,
 ) -> jax.Array:
     """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
 
@@ -854,6 +966,8 @@ def fused_step_xfade(
     rows = nb + q - 1
     rows_pad = _round_up(rows, 8)
     c4 = g_old.shape[1]
+    assert c4 == (lane512_width(bins) if lane512 else 4 * bins), \
+        "blend-row layout does not match lane512 flag"
 
     # per-source sub-block rows, padded to a sublane multiple
     subs = streams.reshape(s, rows, fpb)
@@ -878,7 +992,7 @@ def fused_step_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=p_rows, n_dist=n_dist,
+        p_rows=p_rows, n_dist=n_dist, lane512=lane512,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
