@@ -148,13 +148,20 @@ def main() -> int:
         return time.time() - t0
 
     run(4)  # warm
+    # median of repeated slope estimates: single-estimate numbers moved
+    # ~1.5% between driver sessions (round-4 verdict weak #3 — the repo
+    # headline must be the reproducible capture, not the best session)
     k_short, k_long = 4, 84
-    t_short, t_long = run(k_short), run(k_long)
-    per_step = (t_long - t_short) / (k_long - k_short)
+    estimates = []
+    for _ in range(3):
+        t_short, t_long = run(k_short), run(k_long)
+        estimates.append((t_long - t_short) / (k_long - k_short))
+    per_step = float(np.median(estimates))
     bps = n_sources * nb / per_step
     rt = bps * cfg.frames_per_buffer / cfg.sample_rate
     log(
         f"steady state: {per_step*1e3:.2f} ms per {n_sources}x{nb}-block step "
+        f"(median of {[f'{e*1e3:.2f}' for e in estimates]} ms) "
         f"-> {bps:,.0f} blocks/s/chip = {rt:,.0f}x real time"
     )
 
