@@ -433,14 +433,17 @@ def main(argv=None) -> int:
     if args.viz:
         from ..viz.html import scene_html
         from ..viz.scene import scene_svg, waveform_svg
+        from ..viz.scene3d import scene3d_html
 
         scene_svg(positions, f"{args.output}.scene.svg", config=config)
         waveform_svg(out, f"{args.output}.wave.svg")
         scene_html(positions, out, f"{args.output}.html", config=config,
                    title=f"jefferson_tpu — {Path(args.output).name}")
+        scene3d_html(positions, out, f"{args.output}.3d.html", config=config,
+                     title=f"jefferson_tpu — {Path(args.output).name} (3-D)")
         if not args.quiet:
             print(f"viz: {args.output}.scene.svg, {args.output}.wave.svg, "
-                  f"{args.output}.html", file=sys.stderr)
+                  f"{args.output}.html, {args.output}.3d.html", file=sys.stderr)
     if not args.quiet:
         audio_s = num_blocks * config.block_duration
         print(

@@ -68,15 +68,19 @@ MAX_ONEHOT_U = 256
 # distance factors, blend and crossfade are column-permutation-identical).
 # Numerics: only the tail contraction's association changes (the Nyquist
 # product moves from the MXU's 5th K-tile to a VPU fma) — measured on chip
-# before flipping the default (see PERF.md round-5 section).
-LANE512_DEFAULT = False
+# at 7.45e-9 max|diff| across all three kernel families, and the full
+# 7-scenario sweep gate re-run green (PERF.md round-5 section).
+# Measured defaults (scripts/bench_lane512.py, same-session A/Bs on chip):
+# ONE-HOT forms 1.12x at the 256x64 headline point and 1.68x on the
+# grouped wide-mover render -> ON.
+LANE512_DEFAULT = True
 
 # Separate default for the GATHER-form paths (_kernel: gather-fused and
 # dedup+fused): their blend rows come from XLA row gathers, and the lane512
 # layout widens each gathered row 2052 -> 2176 (the Nyquist pad block), a
-# ~6% HBM-traffic tax on the stage those paths are bound by — so the two
-# families get independent measured defaults (compact distance had the same
-# split verdict: 1.15x on one-hot, 0.92x on gather — PERF.md).
+# ~6% HBM-traffic tax on the stage those paths are bound by — measured
+# 0.89x on the scene_hold dedup+fused shape -> OFF.  (Compact distance had
+# the same split verdict: 1.15x on one-hot, 0.92x on gather — PERF.md.)
 LANE512_GATHER_DEFAULT = False
 
 

@@ -102,13 +102,20 @@ def watch(
     max_polls: int | None = None,
     trail_len: int = 120,
     write_html: bool = True,
+    three_d: bool = False,
 ) -> dict:
     """Poll a daemon's stream_status and rewrite ``out_svg`` until the
     stream ends (or ``max_polls``).  Returns the final status reply.
 
+    ``three_d``: additionally rewrite ``<out>.json`` each poll and write
+    the perspective canvas page ``<out>.3d.html`` once (mouse-orbit/zoom
+    with the reference's camera semantics — viz.scene3d).
+
     Writes are atomic (tmp + replace) so a browser refreshing mid-write
     never sees a truncated file.
     """
+    import json as _json
+
     from ..serve import request
 
     out_svg = Path(out_svg)
@@ -116,7 +123,15 @@ def watch(
         out_svg.with_suffix(".html").write_text(
             live_html(out_svg, interval_ms=max(int(interval_s * 1000), 50))
         )
+    out_json = out_svg.with_suffix(".json")
+    if three_d:
+        from .scene3d import live3d_html
+
+        out_svg.with_suffix(".3d.html").write_text(
+            live3d_html(out_json, interval_ms=max(int(interval_s * 1000), 50))
+        )
     trail: list[tuple[float, float]] = []
+    trail3: list[list[float]] = []
     status: dict = {}
     polls = 0
     while max_polls is None or polls < max_polls:
@@ -132,6 +147,15 @@ def watch(
         tmp = out_svg.with_suffix(".svg.tmp")
         tmp.write_text(live_scene_svg(status, trail))
         tmp.replace(out_svg)
+        if three_d:
+            from .scene3d import live3d_state
+
+            trail3.append([float(status["x"]), float(status.get("y", 0.0)),
+                           float(status["z"])])
+            del trail3[:-trail_len]
+            tmpj = out_json.with_suffix(".json.tmp")
+            tmpj.write_text(_json.dumps(live3d_state(status, trail3)))
+            tmpj.replace(out_json)
         if not status.get("alive", False):
             break
         time.sleep(interval_s)
@@ -151,10 +175,15 @@ def main(argv=None) -> int:
     p.add_argument("--interval", type=float, default=0.05, help="poll period, s")
     p.add_argument("--no-html", action="store_true",
                    help="skip the self-refreshing HTML wrapper")
+    p.add_argument("--3d", dest="three_d", action="store_true",
+                   help="also write a perspective 3-D canvas view "
+                        "(<out>.3d.html polling <out>.json; mouse-orbit + "
+                        "wheel zoom, the reference's camera semantics)")
     args = p.parse_args(argv)
     status = watch(
         args.socket, args.output, session=args.session,
         interval_s=args.interval, write_html=not args.no_html,
+        three_d=args.three_d,
     )
     if not status.get("ok"):
         print(f"stream_status error: {status.get('error')}")

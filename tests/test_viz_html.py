@@ -36,3 +36,55 @@ def test_scene_html_self_contained(config, tmp_path):
     assert abs(dur - n / config.sample_rate) < 1e-3
     for el in ['id="src"', 'id="au"', 'id="ph"', "requestAnimationFrame"]:
         assert el in h
+
+
+def test_scene3d_html_self_contained(config, tmp_path):
+    """3-D player (round 5): embedded audio, world-space keyframes, and the
+    reference's camera interaction constants (graphics.cu:559-601)."""
+    from jefferson_tpu.viz.scene3d import scene3d_html
+
+    nb = 48
+    pos = CircularOrbit(period_s=0.5, ele=10, r=1.2).sample(nb, config)
+    n = nb * config.frames_per_buffer
+    samples = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / config.sample_rate)
+               ).astype(np.float32)[:, None].repeat(2, 1)
+    out = tmp_path / "scene.3d.html"
+    scene3d_html(pos, samples, out, config=config)
+    h = out.read_text()
+
+    wav = base64.b64decode(re.search(r'base64,([A-Za-z0-9+/=]+)"', h).group(1))
+    w = wave.open(io.BytesIO(wav))
+    assert w.getnchannels() == 2 and w.getnframes() == n
+
+    frames = json.loads(re.search(r"const F = (\[\[.*?\]\]);", h).group(1))
+    assert len(frames) == nb
+    # keyframes carry (x, y, z, azi, ele, r); angles match the trajectory
+    assert all(f[4] == 10.0 and f[5] == 1.2 for f in frames)
+    # world y is constant for a constant-elevation orbit; x/z trace a circle
+    ys = {f[1] for f in frames}
+    assert len(ys) == 1
+    rad = [np.hypot(f[0], f[2]) for f in frames]
+    assert max(rad) - min(rad) < 1e-2
+    # the reference's exact camera gains: rotate 0.2 deg/px, right-drag
+    # dolly 0.01/px, wheel 0.1/notch, 'r' reset to translate_z = -3
+    for token in ["* 0.2", "* 0.01", "0.1 : -0.1", "cam.tz = -3",
+                  "getContext('2d')", "requestAnimationFrame"]:
+        assert token in h, token
+    # self-contained: no external fetches in the offline player
+    assert "http://" not in h and "https://" not in h
+
+
+def test_live3d_state_and_page(tmp_path):
+    """live3d_state maps a stream_status reply; the live page polls JSON."""
+    from jefferson_tpu.viz.scene3d import live3d_html, live3d_state
+
+    st = live3d_state(
+        {"ok": True, "x": 0.3, "y": 0.1, "z": -0.4, "azi": 37.0, "ele": 12.0,
+         "r": 0.5, "blocks": 50, "total_blocks": 100, "alive": True,
+         "clipping": False},
+        trail=[[0.0, 0.0, -0.5]],
+    )
+    assert st["x"] == 0.3 and st["frac"] == 0.5 and st["alive"]
+    assert "azi 37" in st["label"]
+    page = live3d_html(tmp_path / "live.json", interval_ms=100)
+    assert "live.json" in page and "fetch(" in page and "JT3D.draw" in page
