@@ -131,6 +131,76 @@ def _distance_planes(uh_ref, ul_ref, f_ref, rows: int, bins: int):
     return jnp.cos(arg) * f_ref[:], -jnp.sin(arg) * f_ref[:]
 
 
+def _forward_planes(subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref, *,
+                    tb: int, nb: int, q: int, rows_pad: int, bins: int,
+                    lane512: bool, fwd512: bool):
+    """Shared in-kernel forward: sub-block DFT matmuls + sliding twiddle
+    accumulation.  Returns (xr, xi, xn_r, xn_i, eb) where xr/xi are the
+    (TB, eb) planes and xn_* the Nyquist columns (None unless lane512).
+
+    ``fwd512`` (round-5 follow-up, lane512 only): the DFT bases arrive
+    truncated to (sub, 512) — the matmuls emit N=512 (4 MXU lane-tiles,
+    no 513->640 padding) and the whole twiddle accumulation runs 4
+    vreg-columns wide instead of 5.  The Nyquist forward column is exact
+    on the VPU: cf[n, 512] = cos(pi n) = +-1 exactly in float32, and the
+    k=512 sliding twiddles are 1.0f (e^{-2pi i 64 m}), so
+    X_ny[b] = sum_m P_{b+m}[512] with P[512] = sum_n (-1)^n subs[n] — a
+    lane reduction + q-1 sublane rolls.  Numerics: the nyq column drops
+    the ~1e-13 imaginary-part crumbs (float rounding of sin(pi n)) the
+    padded matmul carried; absolute output contribution ~1e-13 * signal."""
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    g_sources = tb // nb
+
+    pr = jax.lax.dot_general(subs_ref[:], cfr_ref[:], (((1,), (0,)), ((), ())),
+                             precision=hp, preferred_element_type=f32)
+    pi = jax.lax.dot_general(subs_ref[:], cfi_ref[:], (((1,), (0,)), ((), ())),
+                             precision=hp, preferred_element_type=f32)
+    if fwd512:
+        assert lane512, "fwd512 requires the lane512 layout"
+        sub = subs_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (subs_ref.shape[0], sub), 1)
+        alt = jnp.where(lane % 2 == 0, f32(1.0), f32(-1.0))
+        pn = jnp.sum(subs_ref[:] * alt, axis=1, keepdims=True)
+
+    def source_planes(s):
+        base = s * rows_pad
+        blk_r = pr[base : base + rows_pad]
+        blk_i = pi[base : base + rows_pad]
+        xr = blk_r[:nb]
+        xi = blk_i[:nb]
+        for m in range(1, q):
+            a = twr_ref[m : m + 1, :]
+            b = twi_ref[m : m + 1, :]
+            prm = pltpu.roll(blk_r, shift=rows_pad - m, axis=0)[:nb]
+            pim = pltpu.roll(blk_i, shift=rows_pad - m, axis=0)[:nb]
+            xr = xr + (a * prm - b * pim)
+            xi = xi + (a * pim + b * prm)
+        return xr, xi
+
+    parts = [source_planes(s) for s in range(g_sources)]
+    xr = jnp.concatenate([p[0] for p in parts], axis=0)
+    xi = jnp.concatenate([p[1] for p in parts], axis=0)
+
+    if not lane512:
+        return xr, xi, None, None, bins
+    eb = bins - 1
+    if fwd512:
+        def source_nyq(s):
+            base = s * rows_pad
+            blk = pn[base : base + rows_pad]
+            xn = blk[:nb]
+            for m in range(1, q):
+                xn = xn + pltpu.roll(blk, shift=rows_pad - m, axis=0)[:nb]
+            return xn
+
+        xn_r = jnp.concatenate([source_nyq(s) for s in range(g_sources)], axis=0)
+        xn_i = jnp.zeros_like(xn_r)
+        return xr, xi, xn_r, xn_i, eb
+    xn_r, xn_i = xr[:, eb:bins], xi[:, eb:bins]
+    return xr[:, :eb], xi[:, :eb], xn_r, xn_i, eb
+
+
 def _onehot_kernel(
     subs_ref,   # (G*rows_pad, sub)
     uh_ref,     # (TB, 1) distance phase split, head; (8, 1) when n_dist
@@ -158,6 +228,7 @@ def _onehot_kernel(
     mstack_tail: bool = False,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
@@ -179,30 +250,11 @@ def _onehot_kernel(
     hp = jax.lax.Precision.HIGHEST
     g_sources = tb // nb
 
-    # forward DFT planes (identical to _kernel)
-    pr = jax.lax.dot_general(subs_ref[:], cfr_ref[:], (((1,), (0,)), ((), ())),
-                             precision=hp, preferred_element_type=f32)
-    pi = jax.lax.dot_general(subs_ref[:], cfi_ref[:], (((1,), (0,)), ((), ())),
-                             precision=hp, preferred_element_type=f32)
-
-    def source_planes(s):
-        base = s * rows_pad
-        blk_r = pr[base : base + rows_pad]
-        blk_i = pi[base : base + rows_pad]
-        xr = blk_r[:nb]
-        xi = blk_i[:nb]
-        for m in range(1, q):
-            a = twr_ref[m : m + 1, :]
-            b = twi_ref[m : m + 1, :]
-            prm = pltpu.roll(blk_r, shift=rows_pad - m, axis=0)[:nb]
-            pim = pltpu.roll(blk_i, shift=rows_pad - m, axis=0)[:nb]
-            xr = xr + (a * prm - b * pim)
-            xi = xi + (a * pim + b * prm)
-        return xr, xi
-
-    parts = [source_planes(s) for s in range(g_sources)]
-    xr = jnp.concatenate([p[0] for p in parts], axis=0)
-    xi = jnp.concatenate([p[1] for p in parts], axis=0)
+    xr, xi, xn_r, xn_i, eb = _forward_planes(
+        subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref,
+        tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
+        lane512=lane512, fwd512=fwd512,
+    )
     if n_dist is not None:
         # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
         # triples (constant-radius workloads), selected per row — each row
@@ -220,18 +272,10 @@ def _onehot_kernel(
     else:
         dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
     if lane512:
-        # split the Nyquist bin out so every remaining plane is 512 lanes
-        # (see LANE512_DEFAULT); elementwise ops are per-column, so the
-        # split products equal the unsplit ones bit-for-bit
-        eb = bins - 1
-        xn_r, xn_i = xr[:, eb:bins], xi[:, eb:bins]
         dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
-        xr, xi = xr[:, :eb], xi[:, :eb]
         dr, di = dr[:, :eb], di[:, :eb]
         xdn_r = xn_r * dn_r - xn_i * dn_i
         xdn_i = xn_r * dn_i + xn_i * dn_r
-    else:
-        eb = bins
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -353,7 +397,7 @@ def _onehot_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend",
-                     "n_dist", "lane512"),
+                     "n_dist", "lane512", "fwd512"),
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -375,6 +419,7 @@ def fused_step_stream_onehot_xfade(
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ) -> jax.Array:
     """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
     boundary one-hot row (next tile's first old row; last tile = g_last).
@@ -413,6 +458,10 @@ def fused_step_stream_onehot_xfade(
 
     cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
     twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
+        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
     q_pad = _round_up(q, 8)
     twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
@@ -421,7 +470,7 @@ def fused_step_stream_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist, lane512=lane512,
+        n_dist=n_dist, lane512=lane512, fwd512=fwd512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -458,7 +507,7 @@ def fused_step_stream_onehot_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad",
-                     "single_blend", "n_dist", "lane512"),
+                     "single_blend", "n_dist", "lane512", "fwd512"),
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -481,6 +530,7 @@ def fused_step_stream_onehot_grouped_xfade(
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -516,6 +566,10 @@ def fused_step_stream_onehot_grouped_xfade(
 
     cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
     twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
+        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
     q_pad = _round_up(q, 8)
     twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
@@ -524,7 +578,7 @@ def fused_step_stream_onehot_grouped_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist, lane512=lane512,
+        n_dist=n_dist, lane512=lane512, fwd512=fwd512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -567,7 +621,7 @@ def fused_step_stream_onehot_grouped_xfade(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
                      "interpret", "single_blend", "mstack_tail", "n_dist",
-                     "lane512"),
+                     "lane512", "fwd512"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -592,6 +646,7 @@ def fused_step_onehot_xfade(
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -636,6 +691,10 @@ def fused_step_onehot_xfade(
 
     cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
     twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
+        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
     q_pad = _round_up(q, 8)
     twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
@@ -657,7 +716,7 @@ def fused_step_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
-        mstack_tail=mstack_tail, n_dist=n_dist, lane512=lane512,
+        mstack_tail=mstack_tail, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
@@ -726,41 +785,17 @@ def _kernel(
     p_rows: int,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ):
     f32 = jnp.float32
     g_sources = tb // nb
 
-    # one MXU pass for every sub-block DFT in the tile
     hp = jax.lax.Precision.HIGHEST
-    pr = jax.lax.dot_general(
-        subs_ref[:], cfr_ref[:], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=f32,
-    )  # (G*rows_pad, bins)
-    pi = jax.lax.dot_general(
-        subs_ref[:], cfi_ref[:], (((1,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=f32,
+    xr, xi, xn_r, xn_i, eb = _forward_planes(
+        subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref,
+        tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
+        lane512=lane512, fwd512=fwd512,
     )
-
-    # sliding-window twiddle accumulation, per source (identical op order to
-    # ops/fft.rfft_sliding_split_batched)
-    def source_planes(s):
-        base = s * rows_pad
-        blk_r = pr[base : base + rows_pad]
-        blk_i = pi[base : base + rows_pad]
-        xr = blk_r[:nb]
-        xi = blk_i[:nb]
-        for m in range(1, q):
-            a = twr_ref[m : m + 1, :]
-            b = twi_ref[m : m + 1, :]
-            prm = pltpu.roll(blk_r, shift=rows_pad - m, axis=0)[:nb]
-            pim = pltpu.roll(blk_i, shift=rows_pad - m, axis=0)[:nb]
-            xr = xr + (a * prm - b * pim)
-            xi = xi + (a * pim + b * prm)
-        return xr, xi
-
-    parts = [source_planes(s) for s in range(g_sources)]
-    xr = jnp.concatenate([p[0] for p in parts], axis=0)  # (TB, bins)
-    xi = jnp.concatenate([p[1] for p in parts], axis=0)
 
     if n_dist is not None:
         # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
@@ -780,15 +815,10 @@ def _kernel(
         dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
     if lane512:
         # Nyquist split — see LANE512_DEFAULT / _onehot_kernel
-        eb = bins - 1
-        xn_r, xn_i = xr[:, eb:bins], xi[:, eb:bins]
         dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
-        xr, xi = xr[:, :eb], xi[:, :eb]
         dr, di = dr[:, :eb], di[:, :eb]
         xdn_r = xn_r * dn_r - xn_i * dn_i
         xdn_i = xn_r * dn_i + xn_i * dn_r
-    else:
-        eb = bins
     xdr = xr * dr - xi * di
     xdi = xr * di + xi * dr
 
@@ -844,7 +874,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist",
-                     "lane512"),
+                     "lane512", "fwd512"),
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
@@ -862,6 +892,7 @@ def fused_step_stream_xfade(
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ) -> jax.Array:
     """Single-stream form: tiles of tb blocks over one stream; each tile's
     sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
@@ -893,6 +924,10 @@ def fused_step_stream_xfade(
 
     cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
     twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
+        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
     q_pad = _round_up(q, 8)
     twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
@@ -900,7 +935,7 @@ def fused_step_stream_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=1, n_dist=n_dist, lane512=lane512,
+        p_rows=1, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -934,7 +969,7 @@ def fused_step_stream_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret",
-                     "n_dist", "lane512"),
+                     "n_dist", "lane512", "fwd512"),
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
@@ -953,6 +988,7 @@ def fused_step_xfade(
     dsel: jax.Array | None = None,
     n_dist: int | None = None,
     lane512: bool = False,
+    fwd512: bool = False,
 ) -> jax.Array:
     """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
 
@@ -980,6 +1016,10 @@ def fused_step_xfade(
 
     cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
     twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
+        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
     q_pad = _round_up(q, 8)
     twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
     twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
@@ -996,7 +1036,7 @@ def fused_step_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=p_rows, n_dist=n_dist, lane512=lane512,
+        p_rows=p_rows, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb

@@ -217,6 +217,87 @@ def bench_gather():
             "speedup": results[False] / results[True], "max_diff": d}
 
 
+def bench_fwd512():
+    """lane512 on + fwd512 off/on: truncated (sub, 512) DFT bases (N=512
+    forward matmuls) with the exact VPU Nyquist forward column."""
+    import jax
+    import jax.numpy as jnp
+
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+    from jefferson_tpu.engine.plan import compact_filter_ids, make_plan
+    from jefferson_tpu.engine.renderer import cat_table, dedup_distance, pick_fused_tile
+    from jefferson_tpu.pallas.fused_step import fused_step_onehot_xfade, to_lane512
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+    n_sources, nb = 256, 64
+    fpb = cfg.frames_per_buffer
+    rng = np.random.default_rng(0)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    plans = [
+        make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
+        for i in range(n_sources)
+    ]
+    hist = (q := cfg.pad_len // fpb - 1) * fpb
+    streams = jnp.asarray(
+        rng.standard_normal((n_sources, nb * fpb + hist)).astype(np.float32) * 0.2
+    )
+    tb = pick_fused_tile(n_sources * nb, nb)
+    idx_old_np = np.stack([p.idx_old for p in plans])
+    idx_last_np = np.stack([p.idx_new[-1] for p in plans])
+    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(idx_old_np, idx_last_np)
+    dist = dedup_distance(
+        np.concatenate([p.u_hi for p in plans]),
+        np.concatenate([p.u_lo for p in plans]),
+        np.concatenate([p.inv_frac for p in plans]),
+    )
+    nd = dist[4]
+    b = n_sources * nb
+    table = to_lane512(jnp.take(cat_table(spectra), jnp.asarray(uniq_ids), axis=0),
+                       cfg.num_bins)
+    w_old = jnp.asarray(np.concatenate([p.w_old for p in plans]))
+    w_last = jnp.asarray(np.stack([p.w_new[-1] for p in plans]))
+    xf = jnp.asarray(np.concatenate([p.xfade for p in plans]).astype(np.float32)[:, None])
+    duh, dul, ddf = (jnp.asarray(dist[i][:, None]) for i in range(3))
+    dsel = jnp.asarray(dist[3].astype(np.int32)[:, None])
+    kw = dict(nb=nb, pad_len=cfg.pad_len, bins=cfg.num_bins, fpb=fpb, tb=tb,
+              n_dist=nd, lane512=True)
+    probe = jax.jit(lambda o: jnp.sum(o))
+    results, outs = {}, {}
+    for fwd512 in (False, True):
+        def call(fwd512=fwd512):
+            return fused_step_onehot_xfade(
+                streams, duh, dul, ddf, table,
+                jnp.asarray(ridx.reshape(b, 4)), w_old,
+                jnp.asarray(ridx_last), w_last, xf, dsel=dsel,
+                fwd512=fwd512, **kw)
+        t0 = time.time()
+        y = call()
+        float(probe(y))
+        log(f"[fwd512] fwd512={fwd512}: compile+first {time.time()-t0:.1f}s")
+        outs[fwd512] = np.asarray(y)
+
+        def run(k):
+            t0 = time.time()
+            for _ in range(k):
+                y = call()
+            float(probe(y))
+            return time.time() - t0
+
+        per = slope(run)
+        results[fwd512] = per
+        log(f"[fwd512] fwd512={fwd512}: {per*1e3:.3f} ms/step "
+            f"({n_sources*nb/per:,.0f} blocks/s)")
+    d = float(np.abs(outs[True] - outs[False]).max())
+    log(f"[fwd512] speedup {results[False]/results[True]:.3f}x, max|diff| {d:.3e}")
+    return {"ms_off": results[False] * 1e3, "ms_on": results[True] * 1e3,
+            "speedup": results[False] / results[True], "max_diff": d}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="onehot,grouped,gather")
@@ -229,7 +310,7 @@ def main() -> int:
     out = {}
     for name in args.which.split(","):
         fn = {"onehot": bench_onehot, "grouped": bench_grouped,
-              "gather": bench_gather}[name.strip()]
+              "gather": bench_gather, "fwd512": bench_fwd512}[name.strip()]
         out[name.strip()] = fn()
     print(json.dumps(out))
     return 0
