@@ -35,10 +35,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _start_daemon(sock: str, env: dict) -> subprocess.Popen:
+def _start_daemon(sock: str, env: dict, blocks: int = 512) -> subprocess.Popen:
     p = subprocess.Popen(
         [sys.executable, "-m", "jefferson_tpu.serve", "--socket", sock,
-         "--chunk-blocks", "512"],
+         "--chunk-blocks", str(blocks)],
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
     )
     from jefferson_tpu.serve import request
@@ -56,6 +56,12 @@ def _start_daemon(sock: str, env: dict) -> subprocess.Popen:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=512)
+    args = ap.parse_args()
+
     from jefferson_tpu import DEFAULT_CONFIG
     from jefferson_tpu.io.wavio import write_wav
     from jefferson_tpu.serve import request
@@ -64,7 +70,7 @@ def main() -> int:
     td = tempfile.mkdtemp(prefix="jt_restart_")
     wav = os.path.join(td, "in.wav")
     rng = np.random.default_rng(0)
-    sig = (rng.standard_normal(512 * cfg.frames_per_buffer) * 0.2).astype(np.float32)
+    sig = (rng.standard_normal(args.blocks * cfg.frames_per_buffer) * 0.2).astype(np.float32)
     write_wav(wav, np.stack([sig, sig], 1), cfg.sample_rate)
 
     env = dict(os.environ)
@@ -79,14 +85,14 @@ def main() -> int:
         r = request(sock, {
             "cmd": "render", "input": wav,
             "output": os.path.join(td, f"{tag}.wav"),
-            "trajectory": "orbit:period=0.7", "blocks": 512,
+            "trajectory": "orbit:period=0.7", "blocks": args.blocks,
         }, timeout=1800)
         dt = time.time() - t0
         assert r.get("ok"), r
         log(f"{tag}: {dt:.1f}s")
         return dt
 
-    p1 = _start_daemon(sock, env)
+    p1 = _start_daemon(sock, env, args.blocks)
     try:
         cold = render("cold")
         warm = render("warm")
@@ -94,7 +100,7 @@ def main() -> int:
     finally:
         p1.wait(timeout=30)
 
-    p2 = _start_daemon(sock, env)
+    p2 = _start_daemon(sock, env, args.blocks)
     try:
         restart = render("restart")
         request(sock, {"cmd": "shutdown"})
