@@ -39,4 +39,13 @@ out = Renderer(db, cfg).render(sig, positions)
 jt.write_wav("orbit.wav", out, sr)  # 24-bit PCM like the reference
 scene_svg(positions, "orbit.scene.svg", config=cfg)
 waveform_svg(out, "orbit.wave.svg")
-print(f"rendered {out.shape[0]/sr:.1f}s -> orbit.wav (+ .scene.svg, .wave.svg)")
+
+# self-contained players: 2-D synced scene + the 3-D perspective view
+# (mouse-orbit/zoom with the reference GL window's camera semantics)
+from jefferson_tpu.viz.html import scene_html
+from jefferson_tpu.viz.scene3d import scene3d_html
+
+scene_html(positions, out, "orbit.html", config=cfg)
+scene3d_html(positions, out, "orbit.3d.html", config=cfg)
+print(f"rendered {out.shape[0]/sr:.1f}s -> orbit.wav "
+      f"(+ .scene.svg, .wave.svg, .html, .3d.html)")
