@@ -118,3 +118,56 @@ def test_lane512_oracle_parity(db, config, castanets):
                    lane512=True).render(sig, pos)
     want = render_oracle(sig, db, pos, config)
     assert np.abs(got - want).max() < 5e-7
+
+
+def test_fwd512_matches_lane512(db, config):
+    """fwd512 (truncated 512-wide DFT bases + exact VPU Nyquist forward)
+    matches the lane512 baseline within reassociation tolerance on real
+    filter spectra (the Nyquist forward moves from a padded MXU column to
+    an exact +-1 lane reduction)."""
+    import jax.numpy as jnp
+
+    from jefferson_tpu.engine.plan import compact_filter_ids, make_plan
+    from jefferson_tpu.engine.renderer import cat_table, pick_fused_tile
+    from jefferson_tpu.pallas.fused_step import fused_step_onehot_xfade, to_lane512
+
+    rng = np.random.default_rng(5)
+    cfg = config
+    fpb = cfg.frames_per_buffer
+    s, nb = 4, 8
+    plans = [
+        make_plan(CircularOrbit(period_s=0.3 + 0.1 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
+        for i in range(s)
+    ]
+    hist = (cfg.pad_len // fpb - 1) * fpb
+    streams = jnp.asarray(
+        (rng.standard_normal((s, nb * fpb + hist)) * 0.2).astype(np.float32)
+    )
+    tb = pick_fused_tile(s * nb, nb)
+    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+        np.stack([p.idx_old for p in plans]),
+        np.stack([p.idx_new[-1] for p in plans]),
+    )
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    table = to_lane512(
+        jnp.take(cat_table(spectra), jnp.asarray(uniq_ids), axis=0), cfg.num_bins
+    )
+    b = s * nb
+    col = lambda a: jnp.asarray(np.concatenate(a).astype(np.float32)[:, None])
+    args = (
+        streams,
+        col([p.u_hi for p in plans]), col([p.u_lo for p in plans]),
+        col([p.inv_frac for p in plans]),
+        table, jnp.asarray(ridx.reshape(b, 4)),
+        jnp.asarray(np.concatenate([p.w_old for p in plans])),
+        jnp.asarray(ridx_last), jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+        col([p.xfade for p in plans]),
+    )
+    kw = dict(nb=nb, pad_len=cfg.pad_len, bins=cfg.num_bins, fpb=fpb, tb=tb,
+              lane512=True, interpret=True)
+    y0 = fused_step_onehot_xfade(*args, **kw)
+    y1 = fused_step_onehot_xfade(*args, fwd512=True, **kw)
+    assert np.abs(np.asarray(y0) - np.asarray(y1)).max() < 4e-7
