@@ -139,6 +139,7 @@ def batched_chunk_fn_fused(
     group_tiles: int | None = None,
     n_dist: int | None = None,
     lane512: bool | None = None,
+    fwd512: bool | None = None,
 ):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
@@ -159,12 +160,13 @@ def batched_chunk_fn_fused(
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
-    from .renderer import _resolve_lane512
+    from .renderer import _resolve_fwd512, _resolve_lane512
 
     lane512 = _resolve_lane512(lane512, config, gather=not onehot)
     # the fully-fused step needs tb | num_blocks; the fused_apply fallback
     # keeps the classic layout
     lane512 = lane512 and tb % num_blocks == 0
+    fwd512 = _resolve_fwd512(fwd512, lane512) and onehot
 
     if onehot:
         from ..pallas.fused_step import fused_step_onehot_xfade, to_lane512
@@ -191,7 +193,7 @@ def batched_chunk_fn_fused(
                 ridx_last, w_last, flat(xfade).astype(jnp.float32)[:, None],
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
-                dsel=ds, n_dist=n_dist, lane512=lane512,
+                dsel=ds, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
             )
             out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
             return out, new_hists
@@ -451,6 +453,7 @@ class BatchRenderer:
         dedup: bool = True,
         fused: bool | None = None,
         lane512: bool | None = None,
+        fwd512: bool | None = None,
     ):
         from .renderer import fused_supported
 
@@ -461,6 +464,7 @@ class BatchRenderer:
         self.mix = mix
         # lane-aligned 512-bin kernel layout (None = module defaults)
         self.lane512 = lane512
+        self.fwd512 = fwd512
         aligned = self.config.history_len % self.config.frames_per_buffer == 0
         self.dedup = dedup and aligned
         if fused is None:
@@ -531,6 +535,7 @@ class BatchRenderer:
                 fn = batched_chunk_fn_fused(
                     self.config, nb, tb=fused_tb, onehot=onehot,
                     group_tiles=group_tiles, n_dist=nd, lane512=self.lane512,
+                    fwd512=self.fwd512,
                 )
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map

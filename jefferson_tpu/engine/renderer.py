@@ -377,6 +377,16 @@ def _fd_complex_chunk_fused(
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
+def _resolve_fwd512(fwd512, lane512: bool) -> bool:
+    """Resolve a chunk function's fwd512 flag (None = module default);
+    only meaningful on the lane512 one-hot forms."""
+    from ..pallas.fused_step import FWD512_DEFAULT
+
+    if fwd512 is None:
+        fwd512 = FWD512_DEFAULT
+    return bool(fwd512) and lane512
+
+
 def _resolve_lane512(lane512, config, gather: bool = False) -> bool:
     """Resolve a chunk function's lane512 flag (None = module default; the
     layout needs the aligned geometry — the fused_apply fallback keeps the
@@ -410,6 +420,7 @@ def _fd_complex_chunk_onehot(
     tb: int,
     n_dist: int | None = None,
     lane512: bool | None = None,
+    fwd512: bool | None = None,
 ):
     """One-hot compact-table chunk for one stream: the unique-filter table
     stays VMEM-resident and the blend runs on the MXU — zero filter
@@ -432,7 +443,7 @@ def _fd_complex_chunk_onehot(
         xfade.astype(jnp.float32)[:, None],
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
-        lane512=lane512,
+        lane512=lane512, fwd512=_resolve_fwd512(fwd512, lane512),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -459,6 +470,7 @@ def _fd_complex_chunk_onehot_grouped(
     u_pad: int,
     n_dist: int | None = None,
     lane512: bool | None = None,
+    fwd512: bool | None = None,
 ):
     """Grouped one-hot chunk for wide movers: chunks touching more unique
     filters than one compact table's VMEM gate split into per-group tables
@@ -482,7 +494,7 @@ def _fd_complex_chunk_onehot_grouped(
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         group_tiles=group_tiles, u_pad=u_pad,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
-        lane512=lane512,
+        lane512=lane512, fwd512=_resolve_fwd512(fwd512, lane512),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -771,6 +783,7 @@ class Renderer:
         fused: bool | None = None,
         mesh=None,
         lane512: bool | None = None,
+        fwd512: bool | None = None,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
@@ -793,6 +806,7 @@ class Renderer:
         # lane-aligned 512-bin kernel layout (None = module defaults,
         # pallas.fused_step.LANE512_DEFAULT / LANE512_GATHER_DEFAULT)
         self.lane512 = lane512
+        self.fwd512 = fwd512  # truncated-base forward (one-hot forms)
         if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError("Renderer mesh must be 1-D (block axis)")
@@ -842,13 +856,13 @@ class Renderer:
         self._fd_onehot = {}
         self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd, lane512=self.lane512,
+            n_dist=nd, lane512=self.lane512, fwd512=self.fwd512,
         )
         self._fd_onehot_grp = {}
         self._mk_fd_onehot_grp = lambda nb, tb, gt, up, nd=None: jit_chunk(
             _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
             tb=tb, group_tiles=gt, u_pad=up, n_dist=nd,
-            lane512=self.lane512,
+            lane512=self.lane512, fwd512=self.fwd512,
         )
         # consecutive cross-render failure counts per fused variant; a
         # variant at _MAX_FUSED_STRIKES stops being attempted (see

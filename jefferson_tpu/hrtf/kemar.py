@@ -218,12 +218,19 @@ def load_compact(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRT
 
 def load_database(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRTFDatabase:
     """Auto-detect the database format: a SOFA file, or a full/compact
-    KEMAR WAV tree under ``root``."""
+    KEMAR WAV tree under ``root``.
+
+    SOFA grid mapping defaults to "auto" (nearest for dense sets,
+    delay-aligned 3-nearest interpolation for sparse ones — hrtf/sofa.py);
+    override with $JEFFERSON_SOFA_MAPPING=nearest|interp3|auto."""
+    import os
+
     root = Path(root)
     if root.is_file() and root.suffix.lower() == ".sofa":
         from .sofa import load_sofa
 
-        return load_sofa(root, config)
+        mapping = os.environ.get("JEFFERSON_SOFA_MAPPING", "auto")
+        return load_sofa(root, config, mapping=mapping)
     if (root / "elev0" / "L0e000a.wav").exists():
         return load_full(root, config)
     if (root / "elev0" / "H0e000a.wav").exists():

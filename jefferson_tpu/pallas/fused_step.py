@@ -83,6 +83,13 @@ LANE512_DEFAULT = True
 # the same split verdict: 1.15x on one-hot, 0.92x on gather — PERF.md.)
 LANE512_GATHER_DEFAULT = False
 
+# fwd512 (round-5 follow-up, one-hot forms, requires lane512): truncated
+# (sub, 512) DFT bases + exact VPU Nyquist forward — raw-wrapper A/B on
+# chip measured 1.256x with max|diff| 3.7e-9 (scripts/bench_lane512.py
+# --which fwd512); production default follows the production-path A/B +
+# sweep-gate re-run recorded in PERF.md round 5.
+FWD512_DEFAULT = False
+
 
 def lane512_width(bins: int) -> int:
     """Table/blend-row width of the lane-aligned layout."""

@@ -298,6 +298,85 @@ def bench_fwd512():
             "speedup": results[False] / results[True], "max_diff": d}
 
 
+def bench_fwd512_prod():
+    """Production-path fwd512 A/B: the bench.py workload through
+    batched_chunk_fn_fused(onehot, lane512 default on) with fwd512 off/on."""
+    import jax
+    import jax.numpy as jnp
+
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+    from jefferson_tpu.engine.batch import batched_chunk_fn_fused
+    from jefferson_tpu.engine.plan import compact_filter_ids, make_plan
+    from jefferson_tpu.engine.renderer import dedup_distance, pick_fused_tile
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+    n_sources, nb = 256, 64
+    rng = np.random.default_rng(0)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    hists = jnp.zeros((n_sources, cfg.history_len), jnp.float32)
+    feds = jnp.asarray(
+        rng.standard_normal((n_sources, nb * cfg.frames_per_buffer)).astype(np.float32) * 0.2
+    )
+    plans = [
+        make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
+        for i in range(n_sources)
+    ]
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    tb_f = pick_fused_tile(n_sources * nb, nb)
+    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+        np.stack([p.idx_old for p in plans]),
+        np.stack([p.idx_new[-1] for p in plans]),
+    )
+    dist = dedup_distance(
+        np.concatenate([p.u_hi for p in plans]),
+        np.concatenate([p.u_lo for p in plans]),
+        np.concatenate([p.inv_frac for p in plans]),
+    )
+    nd = dist[4]
+    d_args = (jnp.asarray(dist[0]), jnp.asarray(dist[1]), jnp.asarray(dist[2]),
+              jnp.asarray(dist[3].reshape(n_sources, nb)))
+    xs = (
+        jnp.asarray(uniq_ids), jnp.asarray(ridx), stack("w_old"),
+        jnp.asarray(ridx_last),
+        jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+        stack("xfade"), *d_args,
+    )
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+    results, outs = {}, {}
+    for fwd512 in (False, True):
+        step = jax.jit(batched_chunk_fn_fused(
+            cfg, num_blocks=nb, tb=tb_f, onehot=True, n_dist=nd,
+            lane512=True, fwd512=fwd512,
+        ))
+        t0 = time.time()
+        out, h2 = step(spectra, hists, feds, *xs)
+        float(probe(out, h2))
+        log(f"[fwdprod] fwd512={fwd512}: compile+first {time.time()-t0:.1f}s")
+        outs[fwd512] = np.asarray(out)
+
+        def run(k, step=step):
+            h2 = hists
+            t0 = time.time()
+            for _ in range(k):
+                out, h2 = step(spectra, h2, feds, *xs)
+            float(probe(out, h2))
+            return time.time() - t0
+
+        per = slope(run)
+        results[fwd512] = per
+        log(f"[fwdprod] fwd512={fwd512}: {per*1e3:.3f} ms/step "
+            f"({n_sources*nb/per:,.0f} blocks/s)")
+    d = float(np.abs(outs[True] - outs[False]).max())
+    log(f"[fwdprod] speedup {results[False]/results[True]:.3f}x, max|diff| {d:.3e}")
+    return {"ms_off": results[False] * 1e3, "ms_on": results[True] * 1e3,
+            "speedup": results[False] / results[True], "max_diff": d}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="onehot,grouped,gather")
@@ -310,7 +389,8 @@ def main() -> int:
     out = {}
     for name in args.which.split(","):
         fn = {"onehot": bench_onehot, "grouped": bench_grouped,
-              "gather": bench_gather, "fwd512": bench_fwd512}[name.strip()]
+              "gather": bench_gather, "fwd512": bench_fwd512,
+              "fwdprod": bench_fwd512_prod}[name.strip()]
         out[name.strip()] = fn()
     print(json.dumps(out))
     return 0
