@@ -84,10 +84,13 @@ LANE512_DEFAULT = True
 LANE512_GATHER_DEFAULT = False
 
 # fwd512 (round-5 follow-up, one-hot forms, requires lane512): truncated
-# (sub, 512) DFT bases + exact VPU Nyquist forward — raw-wrapper A/B on
-# chip measured 1.256x with max|diff| 3.7e-9 (scripts/bench_lane512.py
-# --which fwd512); production default follows the production-path A/B +
-# sweep-gate re-run recorded in PERF.md round 5.
+# (sub, 512) DFT bases + exact VPU Nyquist forward.  Measured DEAD END on
+# the production path: 0.466x (1.352 -> 2.901 ms/step at the bench point,
+# max|diff| 3.7e-9) — the VPU cross-lane Nyquist reduction + per-source
+# (rows_pad, 1) rolls cost more than the 513->640 forward padding they
+# remove.  (A raw-wrapper A/B had read 1.256x the other way — only
+# production-call-pattern A/Bs decide dispatch; PERF.md round 5.)
+# Kept as a measurable flag, default OFF.
 FWD512_DEFAULT = False
 
 
