@@ -39,6 +39,7 @@ python -m jefferson_tpu.cli.main -i "$IN" -r "$IR" --reverb-mode reference \
     --trajectory "orbit:period=3,ele=10,r=1.5" --blocks 512 --chunk-blocks 512 \
     -o "$WORK/orbit.wav" --viz
 test -s "$WORK/orbit.wav.scene.svg"
+test -s "$WORK/orbit.wav.3d.html"
 
 echo "== 3. engine-vs-oracle WAV gate"
 python -m jefferson_tpu.cli.main -i "$IN" -t 0 --blocks 300 --chunk-blocks 512 \
