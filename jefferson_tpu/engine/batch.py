@@ -169,7 +169,7 @@ def batched_chunk_fn_fused(
     fwd512 = _resolve_fwd512(fwd512, lane512) and onehot
 
     if onehot:
-        from ..pallas.fused_step import fused_step_onehot_xfade, to_lane512
+        from ..pallas.fused_step import fused_step_onehot_xfade, maybe_lane512
 
         def fn_onehot(spectra, hists, feds, uniq_ids, ridx, w_old, ridx_last,
                       w_last, xfade, u_hi, u_lo, inv_frac, dsel=None):
@@ -180,8 +180,7 @@ def batched_chunk_fn_fused(
             flat = lambda a: a.reshape((b,) + a.shape[2:])
             col = lambda a: flat(a)[:, None]
             table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
-            if lane512:
-                table = to_lane512(table, config.num_bins)
+            table = maybe_lane512(table, lane512, config.num_bins)
             if n_dist is None:
                 duh, dul, ddf, ds = col(u_hi), col(u_lo), col(inv_frac), None
             else:  # compact distance: (8,) triples + (S, nb) selector
@@ -211,10 +210,7 @@ def batched_chunk_fn_fused(
         # packed rows: 20% less blend traffic than a stride-padded table
         # (Mosaic slices the unaligned plane offsets fine — PERF.md)
         cat = cat_table(spectra)
-        if lane512:
-            from ..pallas.fused_step import to_lane512
-
-            cat = to_lane512(cat, config.num_bins)
+        cat = maybe_lane512(cat, lane512, config.num_bins)
         g_old = blend_cat(cat, flat(idx_old), flat(w_old))
         g_last = blend_cat(cat, idx_last, w_last)
         xf = flat(xfade).astype(jnp.float32)[:, None]
@@ -292,10 +288,7 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
         # the unique-row blend is tiny (U rows) and replicated across the
         # mesh; the per-block broadcast is one padded-row gather
         cat = cat_table(spectra)
-        if lane512:
-            from ..pallas.fused_step import to_lane512
-
-            cat = to_lane512(cat, config.num_bins)
+        cat = maybe_lane512(cat, lane512, config.num_bins)
         g_u = blend_cat(cat, uniq_idx, uniq_w)                 # (U, 4*bins)
         g_old = jnp.take(g_u, inv_old.reshape(-1), axis=0)     # (S*nb, 4*bins)
         g_last = jnp.take(g_u, inv_last, axis=0)               # (S, 4*bins)

@@ -363,10 +363,9 @@ def _fd_complex_chunk_fused(
     # 1.72 vs 2.06 ms full step on v5e, bit-identical)
     cat = cat_table(spectra)
     lane512 = _resolve_lane512(lane512, config, gather=True)
-    if lane512:
-        from ..pallas.fused_step import to_lane512
+    from ..pallas.fused_step import maybe_lane512
 
-        cat = to_lane512(cat, config.num_bins)
+    cat = maybe_lane512(cat, lane512, config.num_bins)
     g_old = blend_cat(cat, idx_old, w_old)
     g_last = blend_cat(cat, idx_last, w_last)
     xf = xfade.astype(jnp.float32)[:, None]
@@ -433,10 +432,9 @@ def _fd_complex_chunk_onehot(
     new_hist = full[num_blocks * fpb :]
     table = jnp.take(cat_table(spectra), uniq_ids, axis=0)
     lane512 = _resolve_lane512(lane512, config)
-    if lane512:
-        from ..pallas.fused_step import to_lane512
+    from ..pallas.fused_step import maybe_lane512
 
-        table = to_lane512(table, config.num_bins)
+    table = maybe_lane512(table, lane512, config.num_bins)
     y = fused_step_stream_onehot_xfade(
         full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
         table, ridx, w_old, ridx_last, w_last,
@@ -483,10 +481,9 @@ def _fd_complex_chunk_onehot_grouped(
     new_hist = full[num_blocks * fpb :]
     tables = jnp.take(cat_table(spectra), uniq_ids, axis=0)  # (G*U_pad, 4*bins)
     lane512 = _resolve_lane512(lane512, config)
-    if lane512:
-        from ..pallas.fused_step import to_lane512
+    from ..pallas.fused_step import maybe_lane512
 
-        tables = to_lane512(tables, config.num_bins)
+    tables = maybe_lane512(tables, lane512, config.num_bins)
     y = fused_step_stream_onehot_grouped_xfade(
         full, u_hi[:, None], u_lo[:, None], inv_frac[:, None],
         tables, ridx, w_old, rbnd, wbnd,
@@ -560,10 +557,9 @@ def _fd_complex_chunk_dedup_fused(
     new_hist = full[num_blocks * fpb :]
     cat = cat_table(spectra)
     lane512 = _resolve_lane512(lane512, config, gather=True)
-    if lane512:
-        from ..pallas.fused_step import to_lane512
+    from ..pallas.fused_step import maybe_lane512
 
-        cat = to_lane512(cat, config.num_bins)
+    cat = maybe_lane512(cat, lane512, config.num_bins)
     g_u = blend_cat(cat, uniq_idx, uniq_w)
     g_old = jnp.take(g_u, inv_old, axis=0)
     g_last = jnp.take(g_u, inv_last, axis=0)

@@ -45,6 +45,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _kernel_bases(pad_len: int, fpb: int, bins: int, q: int,
+                  lane512: bool, fwd512: bool):
+    """Shared wrapper-side constants: sub-block DFT bases, q-padded sliding
+    twiddles, tail-IDFT bases — the fwd512 truncation applied in ONE place
+    (the five kernel wrappers previously copy-pasted this block)."""
+    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
+    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
+    if fwd512:
+        assert lane512, "fwd512 requires lane512"
+        b1 = bins - 1
+        cfr, cfi, twr, twi = cfr[:, :b1], cfi[:, :b1], twr[:, :b1], twi[:, :b1]
+    q_pad = _round_up(q, 8)
+    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
+    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
+    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    return cfr, cfi, twr, twi, icr, ici
+
+
+def maybe_lane512(table: jax.Array, lane512: bool, bins: int) -> jax.Array:
+    """Repack a combined-plane table/blend rows iff lane512 (the renderer/
+    batch chunk fns share this one conditional)."""
+    return to_lane512(table, bins) if lane512 else table
+
+
 # Largest compact-table width the one-hot kernel fits in VMEM with its
 # double-buffered tiles: U_pad=512 OOMs the 16 MB scoped limit by 13 MB
 # (measured); 256 compiles and runs on both variants.
@@ -466,16 +490,9 @@ def fused_step_stream_onehot_xfade(
     w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
     rbnd, wbnd = r3.reshape(-1, 4), w3.reshape(-1, 4)
 
-    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
-    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
-    if fwd512:
-        assert lane512, "fwd512 requires lane512"
-        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
-        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
-    q_pad = _round_up(q, 8)
-    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
-    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
-    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    cfr, cfi, twr, twi, icr, ici = _kernel_bases(
+        pad_len, fpb, bins, q, lane512, fwd512
+    )
 
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
@@ -574,16 +591,9 @@ def fused_step_stream_onehot_grouped_xfade(
     w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
     rbnd_p, wbnd_p = r3.reshape(-1, 4), w3.reshape(-1, 4)
 
-    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
-    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
-    if fwd512:
-        assert lane512, "fwd512 requires lane512"
-        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
-        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
-    q_pad = _round_up(q, 8)
-    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
-    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
-    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    cfr, cfi, twr, twi, icr, ici = _kernel_bases(
+        pad_len, fpb, bins, q, lane512, fwd512
+    )
 
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
@@ -699,16 +709,9 @@ def fused_step_onehot_xfade(
         w3 = jnp.pad(w3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
         ridx_last, w_last = r3.reshape(-1, 4), w3.reshape(-1, 4)
 
-    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
-    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
-    if fwd512:
-        assert lane512, "fwd512 requires lane512"
-        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
-        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
-    q_pad = _round_up(q, 8)
-    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
-    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
-    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    cfr, cfi, twr, twi, icr, ici = _kernel_bases(
+        pad_len, fpb, bins, q, lane512, fwd512
+    )
 
     if mstack_tail is None:
         # measured dead end (PERF.md): on chip the M-stacked tails are
@@ -932,16 +935,9 @@ def fused_step_stream_xfade(
     p3 = jnp.pad(patch[:, None, :], ((0, 0), (0, 7), (0, 0)))
     patch = p3.reshape(n_tiles * 8, c4)
 
-    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
-    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
-    if fwd512:
-        assert lane512, "fwd512 requires lane512"
-        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
-        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
-    q_pad = _round_up(q, 8)
-    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
-    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
-    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    cfr, cfi, twr, twi, icr, ici = _kernel_bases(
+        pad_len, fpb, bins, q, lane512, fwd512
+    )
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
@@ -1024,16 +1020,9 @@ def fused_step_xfade(
     subs = jnp.pad(subs, ((0, 0), (0, rows_pad - rows), (0, 0)))
     subs = subs.reshape(s * rows_pad, fpb)
 
-    cfr, cfi = fft_ops._subblock_dft_matrices(pad_len, fpb)
-    twr, twi = fft_ops._sliding_twiddles(pad_len, fpb)
-    if fwd512:
-        assert lane512, "fwd512 requires lane512"
-        cfr, cfi = cfr[:, : bins - 1], cfi[:, : bins - 1]
-        twr, twi = twr[:, : bins - 1], twi[:, : bins - 1]
-    q_pad = _round_up(q, 8)
-    twr = np.pad(twr, ((0, q_pad - q), (0, 0)))
-    twi = np.pad(twi, ((0, q_pad - q), (0, 0)))
-    icr, ici = fft_ops._idft_tail_matrices(pad_len, fpb)
+    cfr, cfi, twr, twi, icr, ici = _kernel_bases(
+        pad_len, fpb, bins, q, lane512, fwd512
+    )
 
     p_rows = g_sources
     p_pad = _round_up(p_rows, 8)

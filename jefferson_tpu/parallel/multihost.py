@@ -55,6 +55,11 @@ def run_multiprocess_dryrun(
         if "xla_force_host_platform_device_count" not in f
     )
     env["JAX_PLATFORMS"] = "cpu"
+    # the package is repo-rooted, not pip-installed: `-m jefferson_tpu...`
+    # in the children needs the repo root on PYTHONPATH regardless of the
+    # caller's cwd (round-5 review: reproduced failure from examples/)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [
@@ -80,6 +85,8 @@ def run_multiprocess_dryrun(
             p.kill()
             out, _ = p.communicate()
             failed.append((i, "timeout"))
+            outs.append(out)
+            continue  # don't double-report the kill's returncode
         outs.append(out)
         if p.returncode != 0:
             failed.append((i, p.returncode))

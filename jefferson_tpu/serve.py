@@ -292,7 +292,13 @@ class RenderService:
                 "thread": t, "control": control, "play": play, "spat": spat,
                 "output": req["output"], "blocks": num_blocks,
             }}
-        t.start()
+            # start INSIDE the registration lock: every thread visible in
+            # _streams has started, so shutdown's join can never hit an
+            # unstarted thread (join-before-start raises RuntimeError and
+            # would wedge the daemon half-shut-down — round-5 review).
+            # Starting a thread is microseconds; only JOINs are forbidden
+            # under locks (see the locking discipline in __init__).
+            t.start()
         resp = {"ok": True, "session": sid, "output": req["output"],
                 "blocks": num_blocks, "paced": paced}
         import jax
