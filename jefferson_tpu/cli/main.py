@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas apply kernel (XLA numerics)")
     p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--device", choices=["native", "cpu"], default="native",
+                   help="'cpu' forces the host CPU platform (the only "
+                        "reliable way where a site preload pins the booted "
+                        "platform — env vars are applied before user code "
+                        "runs, so JAX_PLATFORMS=cpu alone can be too late)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the render over N chips of a jax.sharding.Mesh: "
                         "--scene shards the SOURCE axis (data-parallel streams, "
@@ -311,6 +316,10 @@ def render_scene(args, config) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _enable_compilation_cache()
     from ..config import DEFAULT_CONFIG, ProcessType
     from ..io.wavio import read_wav_mono, write_wav

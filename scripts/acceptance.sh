@@ -34,18 +34,23 @@ fi
 echo "== 1. test suite"
 python -m pytest tests/ -q
 
-echo "== 2. render with reverb + trajectory + viz (TPU engine)"
+# JEFFERSON_ACCEPT_DEVICE=cpu runs the CLI steps on the host CPU (useful
+# where the ambient platform is a remote-compile-queued TPU; the full-scale
+# TPU gate is bench/sweep.py)
+DEV="${JEFFERSON_ACCEPT_DEVICE:-native}"
+
+echo "== 2. render with reverb + trajectory + viz (engine on $DEV)"
 python -m jefferson_tpu.cli.main -i "$IN" -r "$IR" --reverb-mode reference \
     --trajectory "orbit:period=3,ele=10,r=1.5" --blocks 512 --chunk-blocks 512 \
-    -o "$WORK/orbit.wav" --viz
+    -o "$WORK/orbit.wav" --viz --device "$DEV"
 test -s "$WORK/orbit.wav.scene.svg"
 test -s "$WORK/orbit.wav.3d.html"
 
 echo "== 3. engine-vs-oracle WAV gate"
 python -m jefferson_tpu.cli.main -i "$IN" -t 0 --blocks 300 --chunk-blocks 512 \
-    --trajectory "sweep:start=0,step=5,blocks=12,steps=24" -o "$WORK/tpu.wav" --quiet
+    --trajectory "sweep:start=0,step=5,blocks=12,steps=24" -o "$WORK/tpu.wav" --quiet --device "$DEV"
 python -m jefferson_tpu.cli.main -i "$IN" -t 3 --blocks 300 \
-    --trajectory "sweep:start=0,step=5,blocks=12,steps=24" -o "$WORK/cpu.wav" --quiet
+    --trajectory "sweep:start=0,step=5,blocks=12,steps=24" -o "$WORK/cpu.wav" --quiet --device "$DEV"
 python -m jefferson_tpu.cli.check "$WORK/tpu.wav" "$WORK/cpu.wav" --eps 5e-7
 
 echo "== 4. graft entry (single chip) "
