@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import EngineConfig
+from ..pallas.fused_step import maybe_lane512
 from ..hrtf.kemar import HRTFDatabase
 from .plan import compact_filter_ids, fed_stream, make_plan
 from .renderer import _fd_complex_chunk
@@ -169,7 +170,7 @@ def batched_chunk_fn_fused(
     fwd512 = _resolve_fwd512(fwd512, lane512) and onehot
 
     if onehot:
-        from ..pallas.fused_step import fused_step_onehot_xfade, maybe_lane512
+        from ..pallas.fused_step import fused_step_onehot_xfade
 
         def fn_onehot(spectra, hists, feds, uniq_ids, ridx, w_old, ridx_last,
                       w_last, xfade, u_hi, u_lo, inv_frac, dsel=None):
