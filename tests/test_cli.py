@@ -112,3 +112,17 @@ def test_selftest_flag(tmp_path, wav_in):
                "--selftest", "--quiet"])
     assert rc == 0
     assert out.exists()
+
+
+def test_device_cpu_flag(tmp_path, wav_in):
+    """--device cpu renders successfully and forces the CPU platform (the
+    only reliable override where a site preload pins the booted platform)."""
+    import jax
+
+    out = tmp_path / "dev.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 8, "--device", "cpu",
+               "--trajectory", "orbit:period=1,r=1", "--quiet"])
+    assert rc == 0
+    assert jax.devices()[0].platform == "cpu"
+    y, _ = read_wav(out)
+    assert y.shape[0] == 8 * 128 and np.isfinite(y).all()
