@@ -30,6 +30,7 @@ serialization and the 2x(B, bins) HBM round trip.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import numpy as np
 
@@ -193,6 +194,10 @@ def _forward_planes(subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref, *,
     if fwd512:
         assert lane512, "fwd512 requires the lane512 layout"
         sub = subs_ref.shape[1]
+        # the exact-Nyquist identities below need the k=bins-1 sliding
+        # twiddle e^{-i*pi*m*sub} to be +1 exactly, i.e. an even sub-block
+        # hop (default 128); an odd hop would silently sign-flip odd-m terms
+        assert sub % 2 == 0, f"fwd512 requires an even sub-block size, got {sub}"
         lane = jax.lax.broadcasted_iota(jnp.int32, (subs_ref.shape[0], sub), 1)
         alt = jnp.where(lane % 2 == 0, f32(1.0), f32(-1.0))
         pn = jnp.sum(subs_ref[:] * alt, axis=1, keepdims=True)
@@ -724,7 +729,15 @@ def fused_step_onehot_xfade(
         # enforce the documented gate: the stacked q-planes cost ~4 MB of
         # kernel stack and the u_pad=256 forms already sit near the 16 MB
         # scoped-VMEM edge — ignore the bench-only flag there rather than
-        # rely on the strike machinery to absorb the compile failure
+        # rely on the strike machinery to absorb the compile failure.
+        # Warn loudly: a silent drop would make an A/B of the flag at these
+        # geometries compare two identical programs and read a fake 1.00x.
+        warnings.warn(
+            f"mstack_tail=True ignored (u_pad={u_pad}, lane512={lane512}): "
+            "the stacked form is gated to u_pad<=128 non-lane512 geometries "
+            "(scoped-VMEM edge, PERF.md) — this A/B arm runs the UNstacked kernel",
+            stacklevel=2,
+        )
         mstack_tail = False
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,

@@ -30,6 +30,8 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
+import time
 
 import numpy as np
 
@@ -60,6 +62,12 @@ def run_multiprocess_dryrun(
     # caller's cwd (round-5 review: reproduced failure from examples/)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # stdout goes to unbuffered temp FILES, not pipes: a child emitting a
+    # large traceback can never block on a full pipe, and the parent can
+    # poll ALL children against one shared deadline instead of waiting on
+    # them sequentially (one dead worker used to stall the dryrun for the
+    # full per-child timeout before the next child was even looked at)
+    logs = [tempfile.TemporaryFile(mode="w+") for _ in range(num_processes)]
     procs = [
         subprocess.Popen(
             [
@@ -70,26 +78,38 @@ def run_multiprocess_dryrun(
                 "--coordinator", f"localhost:{port}",
             ],
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=logs[i],
             stderr=subprocess.STDOUT,
             text=True,
         )
         for i in range(num_processes)
     ]
-    outs = []
+    deadline = time.monotonic() + timeout
     failed = []
-    for i, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
+    while True:
+        codes = [p.poll() for p in procs]
+        failed = [(i, c) for i, c in enumerate(codes) if c not in (None, 0)]
+        if failed or all(c is not None for c in codes):
+            break  # fail fast: a dead worker strands the rest in a collective
+        if time.monotonic() > deadline:
+            failed.extend(
+                (i, "timeout") for i, c in enumerate(codes) if c is None
+            )
+            break
+        time.sleep(0.25)
+    for p in procs:  # reap survivors of a failure (or everything on success)
+        if p.poll() is None:
             p.kill()
-            out, _ = p.communicate()
-            failed.append((i, "timeout"))
-            outs.append(out)
-            continue  # don't double-report the kill's returncode
-        outs.append(out)
-        if p.returncode != 0:
-            failed.append((i, p.returncode))
+            p.wait()
+
+    def read(i: int) -> str:
+        logs[i].flush()
+        logs[i].seek(0)
+        out = logs[i].read()
+        logs[i].close()
+        return out
+
+    outs = [read(i) for i in range(num_processes)]
     if failed:
         raise RuntimeError(
             f"multi-process dryrun failed: {failed}\n" + "\n".join(outs)

@@ -92,20 +92,31 @@ def main() -> int:
         log(f"{tag}: {dt:.1f}s")
         return dt
 
+    def stop(p: subprocess.Popen):
+        # teardown must not mask the try-body's error: if the shutdown
+        # request was never sent (a render assert fired first), the daemon
+        # is still up — kill it rather than raise TimeoutExpired and leak
+        # a process holding the socket and the device client
+        try:
+            p.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+
     p1 = _start_daemon(sock, env, args.blocks)
     try:
         cold = render("cold")
         warm = render("warm")
         request(sock, {"cmd": "shutdown"})
     finally:
-        p1.wait(timeout=30)
+        stop(p1)
 
     p2 = _start_daemon(sock, env, args.blocks)
     try:
         restart = render("restart")
         request(sock, {"cmd": "shutdown"})
     finally:
-        p2.wait(timeout=30)
+        stop(p2)
 
     ncache = sum(len(fs) for _, _, fs in os.walk(env["JEFFERSON_COMPILE_CACHE"]))
     print(json.dumps({

@@ -114,15 +114,49 @@ def test_selftest_flag(tmp_path, wav_in):
     assert out.exists()
 
 
-def test_device_cpu_flag(tmp_path, wav_in):
-    """--device cpu renders successfully and forces the CPU platform (the
-    only reliable override where a site preload pins the booted platform)."""
+def test_device_cpu_flag(tmp_path, wav_in, monkeypatch):
+    """--device cpu applies the jax_platforms=cpu config override BEFORE
+    rendering (the only reliable override where a site preload pins the
+    booted platform — env vars are too late by CLI entry).
+
+    The suite's conftest already forces CPU session-wide, so asserting the
+    resulting platform alone could never fail; instead record the config
+    call the flag exists to make."""
     import jax
 
+    calls = []
+    orig_update = jax.config.update
+
+    def recording_update(name, value):
+        calls.append((name, value))
+        return orig_update(name, value)
+
+    monkeypatch.setattr(jax.config, "update", recording_update)
     out = tmp_path / "dev.wav"
     rc = _run(["-i", wav_in, "-o", out, "--blocks", 8, "--device", "cpu",
                "--trajectory", "orbit:period=1,r=1", "--quiet"])
     assert rc == 0
+    assert ("jax_platforms", "cpu") in calls, calls
     assert jax.devices()[0].platform == "cpu"
     y, _ = read_wav(out)
     assert y.shape[0] == 8 * 128 and np.isfinite(y).all()
+
+
+def test_device_native_flag_leaves_platform_alone(tmp_path, wav_in, monkeypatch):
+    """--device native (the default) must NOT touch jax_platforms — on a
+    direct-attached accelerator the booted platform is the right one."""
+    import jax
+
+    calls = []
+    orig_update = jax.config.update
+
+    def recording_update(name, value):
+        calls.append((name, value))
+        return orig_update(name, value)
+
+    monkeypatch.setattr(jax.config, "update", recording_update)
+    out = tmp_path / "devn.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 8, "--device", "native",
+               "--trajectory", "orbit:period=1,r=1", "--quiet"])
+    assert rc == 0
+    assert ("jax_platforms", "cpu") not in calls, calls
