@@ -266,6 +266,10 @@ def main(argv=None) -> int:
                    help="also write each scenario's engine render as a WAV "
                         "(the reference's waveFileTesting, "
                         "precision_test.cu:2203-2250)")
+    p.add_argument("--hrtf-dir", default=None,
+                   help="compact KEMAR directory (same as the main CLI's "
+                        "flag; default: $JEFFERSON_HRTF_DIR, else the "
+                        "synthetic test set)")
     args = p.parse_args(argv)
 
     config = DEFAULT_CONFIG
@@ -277,7 +281,7 @@ def main(argv=None) -> int:
         signal = (np.random.default_rng(0).standard_normal(131072) * 0.2).astype(np.float32)
     from ..cli.main import load_hrtf
 
-    db = load_hrtf(None, config, quiet=False)
+    db = load_hrtf(args.hrtf_dir, config, quiet=False)
     t0 = time.time()
     reports = run_benchmark_sweep(
         signal, db, config, blocks_per_step=args.blocks, num_steps=args.steps, eps=args.eps
