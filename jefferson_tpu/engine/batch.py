@@ -141,6 +141,7 @@ def batched_chunk_fn_fused(
     n_dist: int | None = None,
     lane512: bool | None = None,
     fwd512: bool | None = None,
+    tail_tree: bool | None = None,
 ):
     """Fused-kernel variant of batched_chunk_fn (TPU only; crossfade form).
 
@@ -161,13 +162,14 @@ def batched_chunk_fn_fused(
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
-    from .renderer import _resolve_fwd512, _resolve_lane512
+    from .renderer import _resolve_fwd512, _resolve_lane512, _resolve_tail_tree
 
     lane512 = _resolve_lane512(lane512, config, gather=not onehot)
     # the fully-fused step needs tb | num_blocks; the fused_apply fallback
     # keeps the classic layout
     lane512 = lane512 and tb % num_blocks == 0
     fwd512 = _resolve_fwd512(fwd512, lane512) and onehot
+    tail_tree = _resolve_tail_tree(tail_tree)
 
     if onehot:
         from ..pallas.fused_step import fused_step_onehot_xfade
@@ -194,6 +196,7 @@ def batched_chunk_fn_fused(
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb, group_tiles=group_tiles,
                 dsel=ds, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+                tail_tree=tail_tree,
             )
             out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
             return out, new_hists
@@ -230,7 +233,7 @@ def batched_chunk_fn_fused(
                 streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
-                dsel=ds, n_dist=n_dist, lane512=lane512,
+                dsel=ds, n_dist=n_dist, lane512=lane512, tail_tree=tail_tree,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -245,6 +248,7 @@ def batched_chunk_fn_fused(
                 xdr, xdi, g_old, g_last, xf,
                 jnp.asarray(icr), jnp.asarray(ici),
                 seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+                tail_tree=tail_tree,
             )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
@@ -254,7 +258,8 @@ def batched_chunk_fn_fused(
 
 def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                                  n_dist: int | None = None,
-                                 lane512: bool | None = None):
+                                 lane512: bool | None = None,
+                                 tail_tree: bool | None = None):
     """Dedup + fused composition for the batched/sharded form: blend only
     the unique (index, weight) rows (scene sources usually hold positions),
     broadcast with one row gather, and run the fused step kernel.  Mirrors
@@ -273,10 +278,11 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
-    from .renderer import _resolve_lane512
+    from .renderer import _resolve_lane512, _resolve_tail_tree
 
     lane512 = _resolve_lane512(lane512, config, gather=True)
     lane512 = lane512 and tb % num_blocks == 0
+    tail_tree = _resolve_tail_tree(tail_tree)
 
     def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade,
            u_hi, u_lo, inv_frac, dsel=None):
@@ -306,7 +312,7 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 streams, duh, dul, ddf, g_old, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
-                dsel=ds, n_dist=n_dist, lane512=lane512,
+                dsel=ds, n_dist=n_dist, lane512=lane512, tail_tree=tail_tree,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -321,6 +327,7 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 xdr, xdi, g_old, g_last, xf,
                 jnp.asarray(icr), jnp.asarray(ici),
                 seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+                tail_tree=tail_tree,
             )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
@@ -448,6 +455,7 @@ class BatchRenderer:
         fused: bool | None = None,
         lane512: bool | None = None,
         fwd512: bool | None = None,
+        tail_tree: bool | None = None,
     ):
         from .renderer import fused_supported
 
@@ -459,6 +467,7 @@ class BatchRenderer:
         # lane-aligned 512-bin kernel layout (None = module defaults)
         self.lane512 = lane512
         self.fwd512 = fwd512
+        self.tail_tree = tail_tree  # pairwise-tree tail-IDFT contraction
         aligned = self.config.history_len % self.config.frames_per_buffer == 0
         self.dedup = dedup and aligned
         if fused is None:
@@ -498,7 +507,8 @@ class BatchRenderer:
                 # positions persist, PERF.md)
                 fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb,
                                                   n_dist=nd,
-                                                  lane512=self.lane512)
+                                                  lane512=self.lane512,
+                                                  tail_tree=self.tail_tree)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
@@ -529,7 +539,7 @@ class BatchRenderer:
                 fn = batched_chunk_fn_fused(
                     self.config, nb, tb=fused_tb, onehot=onehot,
                     group_tiles=group_tiles, n_dist=nd, lane512=self.lane512,
-                    fwd512=self.fwd512,
+                    fwd512=self.fwd512, tail_tree=self.tail_tree,
                 )
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map

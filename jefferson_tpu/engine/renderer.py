@@ -345,6 +345,7 @@ def _fd_complex_chunk_fused(
     tb: int,
     n_dist: int | None = None,
     lane512: bool | None = None,
+    tail_tree: bool | None = None,
 ):
     """Fused-kernel variant of the interpolating FD chunk (TPU only).
     ``n_dist``: compact-distance mode — u_hi/u_lo/inv_frac arrive as the
@@ -372,8 +373,17 @@ def _fd_complex_chunk_fused(
     y = _apply_maybe_full_fuse(
         full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
         dsel=dsel, n_dist=n_dist, lane512=lane512,
+        tail_tree=_resolve_tail_tree(tail_tree),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
+
+
+def _resolve_tail_tree(tail_tree) -> bool:
+    """Resolve a chunk function's tail_tree flag (None = module default —
+    the pairwise-tree tail-IDFT contraction, see fused_step.TAIL_TREE_DEFAULT)."""
+    from ..pallas.fused_step import TAIL_TREE_DEFAULT
+
+    return TAIL_TREE_DEFAULT if tail_tree is None else bool(tail_tree)
 
 
 def _resolve_fwd512(fwd512, lane512: bool) -> bool:
@@ -420,6 +430,7 @@ def _fd_complex_chunk_onehot(
     n_dist: int | None = None,
     lane512: bool | None = None,
     fwd512: bool | None = None,
+    tail_tree: bool | None = None,
 ):
     """One-hot compact-table chunk for one stream: the unique-filter table
     stays VMEM-resident and the blend runs on the MXU — zero filter
@@ -442,6 +453,7 @@ def _fd_complex_chunk_onehot(
         pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
         lane512=lane512, fwd512=_resolve_fwd512(fwd512, lane512),
+        tail_tree=_resolve_tail_tree(tail_tree),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -469,6 +481,7 @@ def _fd_complex_chunk_onehot_grouped(
     n_dist: int | None = None,
     lane512: bool | None = None,
     fwd512: bool | None = None,
+    tail_tree: bool | None = None,
 ):
     """Grouped one-hot chunk for wide movers: chunks touching more unique
     filters than one compact table's VMEM gate split into per-group tables
@@ -492,6 +505,7 @@ def _fd_complex_chunk_onehot_grouped(
         group_tiles=group_tiles, u_pad=u_pad,
         dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
         lane512=lane512, fwd512=_resolve_fwd512(fwd512, lane512),
+        tail_tree=_resolve_tail_tree(tail_tree),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -499,6 +513,7 @@ def _fd_complex_chunk_onehot_grouped(
 def _apply_maybe_full_fuse(
     full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
     dsel=None, n_dist: int | None = None, lane512: bool = False,
+    tail_tree: bool = False,
 ):
     """Run the fused step: forward DFT + distance in-kernel when the
     geometry is aligned (history a whole number of blocks), else XLA
@@ -513,7 +528,7 @@ def _apply_maybe_full_fuse(
             g_old, g_last, xf,
             pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
             dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
-            lane512=lane512,
+            lane512=lane512, tail_tree=tail_tree,
         )
     assert n_dist is None, "compact distance needs the aligned geometry"
     assert not lane512, "lane512 needs the aligned geometry (see _resolve_lane512)"
@@ -525,6 +540,7 @@ def _apply_maybe_full_fuse(
         xdr, xdi, g_old, g_last, xf,
         jnp.asarray(icr), jnp.asarray(ici),
         seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
+        tail_tree=tail_tree,
     )
 
 
@@ -547,6 +563,7 @@ def _fd_complex_chunk_dedup_fused(
     tb: int,
     n_dist: int | None = None,
     lane512: bool | None = None,
+    tail_tree: bool | None = None,
 ):
     """Dedup + fused composition: blend only the unique rows, broadcast with
     one padded-row gather, and run the fused apply kernel.  Covers the
@@ -567,6 +584,7 @@ def _fd_complex_chunk_dedup_fused(
     y = _apply_maybe_full_fuse(
         full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
         dsel=dsel, n_dist=n_dist, lane512=lane512,
+        tail_tree=_resolve_tail_tree(tail_tree),
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -780,6 +798,7 @@ class Renderer:
         mesh=None,
         lane512: bool | None = None,
         fwd512: bool | None = None,
+        tail_tree: bool | None = None,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
@@ -803,6 +822,7 @@ class Renderer:
         # pallas.fused_step.LANE512_DEFAULT / LANE512_GATHER_DEFAULT)
         self.lane512 = lane512
         self.fwd512 = fwd512  # truncated-base forward (one-hot forms)
+        self.tail_tree = tail_tree  # pairwise-tree tail-IDFT contraction
         if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError("Renderer mesh must be 1-D (block axis)")
@@ -842,23 +862,25 @@ class Renderer:
         self._fd_fused = {}
         self._mk_fd_fused = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd, lane512=self.lane512,
+            n_dist=nd, lane512=self.lane512, tail_tree=self.tail_tree,
         )
         self._fd_dedup_fused = {}
         self._mk_fd_dedup_fused = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb,
-            n_dist=nd, lane512=self.lane512,
+            n_dist=nd, lane512=self.lane512, tail_tree=self.tail_tree,
         )
         self._fd_onehot = {}
         self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
             _fd_complex_chunk_onehot, config=cfg, num_blocks=nb, tb=tb,
             n_dist=nd, lane512=self.lane512, fwd512=self.fwd512,
+            tail_tree=self.tail_tree,
         )
         self._fd_onehot_grp = {}
         self._mk_fd_onehot_grp = lambda nb, tb, gt, up, nd=None: jit_chunk(
             _fd_complex_chunk_onehot_grouped, config=cfg, num_blocks=nb,
             tb=tb, group_tiles=gt, u_pad=up, n_dist=nd,
             lane512=self.lane512, fwd512=self.fwd512,
+            tail_tree=self.tail_tree,
         )
         # consecutive cross-render failure counts per fused variant; a
         # variant at _MAX_FUSED_STRIKES stops being attempted (see

@@ -70,6 +70,7 @@ def _kernel(
     stride: int,
     fpb: int,
     p_rows: int,
+    tail_tree: bool = False,
 ):
     f32 = jnp.float32
     c4 = 4 * stride
@@ -101,17 +102,13 @@ def _kernel(
     b = jnp.where(xf > 0, fn, f32(1.0))
 
     def tail(g, off_r, off_i):
+        from .fused_step import _tail_dots
+
         gr = g[:, off_r : off_r + bins]
         gi = g[:, off_i : off_i + bins]
         qr = xdr * gr - xdi * gi
         qi = xdr * gi + xdi * gr
-        return jax.lax.dot_general(
-            qr, icr_ref[:], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            qi, ici_ref[:], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
-        )
+        return _tail_dots(qr, qi, icr_ref, ici_ref, bins, tail_tree)
 
     for c in range(2):  # L, R
         off_r, off_i = 2 * c * stride, (2 * c + 1) * stride
@@ -120,7 +117,9 @@ def _kernel(
         out_ref[:, c * fpb : (c + 1) * fpb] = y_old * a + y_new * b
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "bins", "fpb", "tb", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("seg", "bins", "fpb", "tb", "interpret", "tail_tree")
+)
 def fused_apply_xfade(
     xdr: jax.Array,     # (B, bins) forward plane x distance, real
     xdi: jax.Array,     # (B, bins)
@@ -134,6 +133,7 @@ def fused_apply_xfade(
     fpb: int,
     tb: int = 256,
     interpret: bool | None = None,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """-> (B, 2*fpb) crossfaded stereo tails [L | R] per block.
 
@@ -176,7 +176,8 @@ def fused_apply_xfade(
         patch = patch3.reshape(n_tiles * p_pad, c4)
 
     kernel = functools.partial(
-        _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb, p_rows=p_rows
+        _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb,
+        p_rows=p_rows, tail_tree=tail_tree,
     )
     tile = lambda cols, rows=tb: pl.BlockSpec(
         (rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -118,6 +118,48 @@ LANE512_GATHER_DEFAULT = False
 # Kept as a measurable flag, default OFF.
 FWD512_DEFAULT = False
 
+# tail_tree (round-5 follow-up to the error budget): contract the tail-IDFT
+# K dimension as 128-wide lane-aligned chunks summed PAIRWISE instead of one
+# sequential dot_general.  The apply-association probe
+# (scripts/apply_assoc_probe.py, on chip) showed the whole fused-vs-XLA gate
+# delta is the MXU K-accumulation schedule — the VPU products are
+# BIT-IDENTICAL between the compilers — and that the chunked tree recovers
+# the XLA chain's accuracy inside the kernel (max err vs f64 on realistic
+# operands: plain 2.83e-7, tree 1.24e-7, XLA 1.18e-7) at the same MAC
+# count.  Default set by measurement (margin + throughput A/B, PERF.md).
+TAIL_TREE_DEFAULT = False
+
+
+def _tail_dots(qr, qi, icr_ref, ici_ref, eb: int, tree: bool):
+    """The tail-IDFT contraction pair y = qr @ icr[:eb] + qi @ ici[:eb].
+
+    tree=False: one fp32-HIGHEST dot_general per plane (Mosaic's sequential
+    K accumulation).  tree=True: K split at 128-lane boundaries (plus the
+    odd final chunk when eb=513), each chunk contracted separately and the
+    partials summed pairwise — same MACs, tree-shaped rounding."""
+    hp = jax.lax.Precision.HIGHEST
+    f32 = jnp.float32
+
+    def dot(q, basis_ref, lo, hi):
+        return jax.lax.dot_general(
+            q[:, lo:hi], basis_ref[lo:hi], (((1,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=f32,
+        )
+
+    def plane(q, basis_ref):
+        if not tree:
+            return dot(q, basis_ref, 0, eb)
+        bounds = list(range(0, eb, 128)) + [eb]
+        parts = [dot(q, basis_ref, lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+        while len(parts) > 1:
+            parts = [
+                parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
+
+    return plane(qr, icr_ref) + plane(qi, ici_ref)
+
 
 def lane512_width(bins: int) -> int:
     """Table/blend-row width of the lane-aligned layout."""
@@ -268,6 +310,7 @@ def _onehot_kernel(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ):
     """One-hot-matmul blend variant: the per-chunk COMPACT filter table
     (unique filters only, U_pad <= MAX_ONEHOT_U) stays VMEM-resident and the blend
@@ -409,13 +452,7 @@ def _onehot_kernel(
     def tail(g, c):
         off_r, off_i = 2 * c * eb, (2 * c + 1) * eb
         qr, qi = q_planes(g, off_r, off_i)
-        y = jax.lax.dot_general(
-            qr, icr_ref[0:eb], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            qi, ici_ref[0:eb], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        )
+        y = _tail_dots(qr, qi, icr_ref, ici_ref, eb, tail_tree)
         if lane512:
             # Nyquist-bin contribution as two VPU rank-1 terms: the blended
             # Nyquist columns live at 4*eb + [2c, 2c+1] of the lane512 row
@@ -436,7 +473,7 @@ def _onehot_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "single_blend",
-                     "n_dist", "lane512", "fwd512"),
+                     "n_dist", "lane512", "fwd512", "tail_tree"),
 )
 def fused_step_stream_onehot_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -459,6 +496,7 @@ def fused_step_stream_onehot_xfade(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """Single-stream one-hot form: halo-tiled sub-block rows + per-tile
     boundary one-hot row (next tile's first old row; last tile = g_last).
@@ -502,7 +540,7 @@ def fused_step_stream_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+        n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -539,7 +577,7 @@ def fused_step_stream_onehot_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "group_tiles", "u_pad",
-                     "single_blend", "n_dist", "lane512", "fwd512"),
+                     "single_blend", "n_dist", "lane512", "fwd512", "tail_tree"),
 )
 def fused_step_stream_onehot_grouped_xfade(
     stream: jax.Array,    # (hist + B*fpb,) one sample stream
@@ -563,6 +601,7 @@ def fused_step_stream_onehot_grouped_xfade(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -603,7 +642,7 @@ def fused_step_stream_onehot_grouped_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=1, u_pad=u_pad, single_blend=single_blend,
-        n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+        n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -646,7 +685,7 @@ def fused_step_stream_onehot_grouped_xfade(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "group_tiles",
                      "interpret", "single_blend", "mstack_tail", "n_dist",
-                     "lane512", "fwd512"),
+                     "lane512", "fwd512", "tail_tree"),
 )
 def fused_step_onehot_xfade(
     streams: jax.Array,   # (S, hist + nb*fpb)
@@ -672,6 +711,7 @@ def fused_step_onehot_xfade(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """Batched fully-fused step with the in-kernel one-hot blend.
 
@@ -742,7 +782,7 @@ def fused_step_onehot_xfade(
     kernel = functools.partial(
         _onehot_kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         fpb=fpb, p_rows=p_rows, u_pad=u_pad, single_blend=single_blend,
-        mstack_tail=mstack_tail, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+        mstack_tail=mstack_tail, n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
@@ -812,6 +852,7 @@ def _kernel(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ):
     f32 = jnp.float32
     g_sources = tb // nb
@@ -875,13 +916,7 @@ def _kernel(
         gi = g[:, off_i : off_i + eb]
         qr = xdr * gr - xdi * gi
         qi = xdr * gi + xdi * gr
-        y = jax.lax.dot_general(
-            qr, icr_ref[0:eb], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            qi, ici_ref[0:eb], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        )
+        y = _tail_dots(qr, qi, icr_ref, ici_ref, eb, tail_tree)
         if lane512:
             ny = 4 * eb + 2 * c
             gnr = g[:, ny : ny + 1]
@@ -900,7 +935,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist",
-                     "lane512", "fwd512"),
+                     "lane512", "fwd512", "tail_tree"),
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
@@ -919,6 +954,7 @@ def fused_step_stream_xfade(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """Single-stream form: tiles of tb blocks over one stream; each tile's
     sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
@@ -954,7 +990,7 @@ def fused_step_stream_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=1, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+        p_rows=1, n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -988,7 +1024,7 @@ def fused_step_stream_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret",
-                     "n_dist", "lane512", "fwd512"),
+                     "n_dist", "lane512", "fwd512", "tail_tree"),
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
@@ -1008,6 +1044,7 @@ def fused_step_xfade(
     n_dist: int | None = None,
     lane512: bool = False,
     fwd512: bool = False,
+    tail_tree: bool = False,
 ) -> jax.Array:
     """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
 
@@ -1048,7 +1085,7 @@ def fused_step_xfade(
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
-        p_rows=p_rows, n_dist=n_dist, lane512=lane512, fwd512=fwd512,
+        p_rows=p_rows, n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb

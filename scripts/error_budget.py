@@ -133,7 +133,8 @@ def main() -> int:
     orig_dd = R.dedup_distance
 
     def apply_only(full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config_,
-                   num_blocks, tb, dsel=None, n_dist=None, lane512=False):
+                   num_blocks, tb, dsel=None, n_dist=None, lane512=False,
+                   tail_tree=False):
         from jefferson_tpu.ops import fft as fft_ops
         from jefferson_tpu.ops.filters import cmul, distance_factors_split
         from jefferson_tpu.pallas.fused_apply import fused_apply_xfade
@@ -163,6 +164,11 @@ def main() -> int:
 
     # 4. lane512 tail contraction
     run_config("lane512", R.Renderer(db, config, fused=True, lane512=True))
+
+    # 4b. pairwise-tree tail contraction at the production defaults — the
+    # probe-guided recovery path (apply_assoc_probe.py): does tree-shaped
+    # MXU accumulation pull the kernel margin back toward the XLA chain's?
+    run_config("tail_tree", R.Renderer(db, config, fused=True, tail_tree=True))
 
     # 5. micro A/B: one-hot MXU blend vs XLA gather blend on this scenario's
     # actual rows (sampled: the first 2048 blocks' old rows)
