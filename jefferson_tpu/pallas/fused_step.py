@@ -126,8 +126,17 @@ FWD512_DEFAULT = False
 # BIT-IDENTICAL between the compilers — and that the chunked tree recovers
 # the XLA chain's accuracy inside the kernel (max err vs f64 on realistic
 # operands: plain 2.83e-7, tree 1.24e-7, XLA 1.18e-7) at the same MAC
-# count.  Default set by measurement (margin + throughput A/B, PERF.md).
-TAIL_TREE_DEFAULT = False
+# count.  Default ON everywhere (measured, PERF.md "recovery path, taken"):
+# the full-scale worst margin drops 0.894 -> 0.745 (identical max AND
+# argmax to the all-XLA chain — the kernel no longer costs ANY headroom),
+# and throughput is neutral-to-faster on every dispatch once A/B ordering
+# bias is controlled (bench_tail_tree --reverse: one-hot 1.05x/1.22x,
+# grouped 1.15x with the tree arm first vs 0.95-0.99x with it second —
+# relay-session drift penalizes whichever arm runs later; gather
+# dedup+fused is 1.08x/1.56x faster in BOTH orders).  One uniform
+# numerics contract across every fused form; per-instance
+# tail_tree=False restores the plain contraction for A/Bs.
+TAIL_TREE_DEFAULT = True
 
 
 def _tail_dots(qr, qi, icr_ref, ici_ref, eb: int, tree: bool):

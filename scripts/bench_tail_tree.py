@@ -95,7 +95,7 @@ def bench_onehot():
 
     results = {}
     outs = {}
-    for tree in (False, True):
+    for tree in ARM_ORDER:
         step = jax.jit(batched_chunk_fn_fused(
             cfg, num_blocks=nb, tb=tb_f, onehot=True, n_dist=nd,
             tail_tree=tree,
@@ -207,10 +207,20 @@ def bench_gather():
             "speedup": results[False] / results[True], "max_diff": d}
 
 
+ARM_ORDER = (False, True)
+
+
 def main() -> int:
+    global ARM_ORDER
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="onehot,grouped,gather")
+    ap.add_argument("--reverse", action="store_true",
+                    help="run the tree arm FIRST (ordering-bias check: the "
+                         "relay session drifts over minutes, biasing the "
+                         "second arm)")
     args = ap.parse_args()
+    if args.reverse:
+        ARM_ORDER = (True, False)
     out = {}
     for name in args.which.split(","):
         out[name] = {"onehot": bench_onehot, "grouped": bench_grouped,
