@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_step import _tail_dots
+
 
 def plane_stride(bins: int) -> int:
     """Per-plane column stride in the padded cat layout (lane multiple)."""
@@ -102,8 +104,6 @@ def _kernel(
     b = jnp.where(xf > 0, fn, f32(1.0))
 
     def tail(g, off_r, off_i):
-        from .fused_step import _tail_dots
-
         gr = g[:, off_r : off_r + bins]
         gi = g[:, off_i : off_i + bins]
         qr = xdr * gr - xdi * gi

@@ -130,10 +130,11 @@ FWD512_DEFAULT = False
 # the full-scale worst margin drops 0.894 -> 0.745 (identical max AND
 # argmax to the all-XLA chain — the kernel no longer costs ANY headroom),
 # and throughput is neutral-to-faster on every dispatch once A/B ordering
-# bias is controlled (bench_tail_tree --reverse: one-hot 1.05x/1.22x,
-# grouped 1.15x with the tree arm first vs 0.95-0.99x with it second —
-# relay-session drift penalizes whichever arm runs later; gather
-# dedup+fused is 1.08x/1.56x faster in BOTH orders).  One uniform
+# bias is controlled (bench_tail_tree --reverse: one-hot 1.05x/1.22x with
+# the tree arm first vs 0.61-1.02x with it second — relay-session drift
+# penalizes whichever arm runs later; grouped flips sign across sessions
+# at one order, 0.95x/0.95x/1.15x; gather dedup+fused is 1.08x/1.56x
+# faster consistently).  One uniform
 # numerics contract across every fused form; per-instance
 # tail_tree=False restores the plain contraction for A/Bs.
 TAIL_TREE_DEFAULT = True

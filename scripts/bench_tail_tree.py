@@ -140,7 +140,7 @@ def bench_grouped():
     sig = (rng.standard_normal(b * cfg.frames_per_buffer) * 0.2).astype(np.float32)
 
     results, outs = {}, {}
-    for tree in (False, True):
+    for tree in ARM_ORDER:
         r = Renderer(db, cfg, chunk_blocks=b, dedup=False, fused=True,
                      tail_tree=tree)
         t0 = time.time()
@@ -181,7 +181,7 @@ def bench_gather():
     ])
 
     results, outs = {}, {}
-    for tree in (False, True):
+    for tree in ARM_ORDER:
         br = BatchRenderer(db, chunk_blocks=nb, dedup=True, fused=True,
                            tail_tree=tree)
         t0 = time.time()

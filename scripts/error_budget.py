@@ -148,22 +148,29 @@ def main() -> int:
             xdr, xdi, g_old, g_last, xf,
             jnp.asarray(icr), jnp.asarray(ici),
             seg=num_blocks, bins=config_.num_bins,
-            fpb=config_.frames_per_buffer, tb=tb,
+            fpb=config_.frames_per_buffer, tb=tb, tail_tree=tail_tree,
         )
 
+    # Stages 2-4 pin tail_tree=False: they decompose the PLAIN contraction's
+    # 0.894 margin, which is what this budget was built to explain.  (Since
+    # TAIL_TREE_DEFAULT flipped to True, omitting the flag would silently
+    # measure the tree three times and the ladder would show no deltas.)
     try:
         R._apply_maybe_full_fuse = apply_only
         R.dedup_distance = lambda *a, **k: None
-        run_config("apply_kernel", R.Renderer(db, config, fused=True, lane512=False))
+        run_config("apply_kernel", R.Renderer(db, config, fused=True,
+                                              lane512=False, tail_tree=False))
     finally:
         R._apply_maybe_full_fuse = orig_apply
         R.dedup_distance = orig_dd
 
     # 3. production dedup+fused (in-kernel forward + distance)
-    run_config("fused", R.Renderer(db, config, fused=True, lane512=False))
+    run_config("fused", R.Renderer(db, config, fused=True, lane512=False,
+                                   tail_tree=False))
 
     # 4. lane512 tail contraction
-    run_config("lane512", R.Renderer(db, config, fused=True, lane512=True))
+    run_config("lane512", R.Renderer(db, config, fused=True, lane512=True,
+                                     tail_tree=False))
 
     # 4b. pairwise-tree tail contraction at the production defaults — the
     # probe-guided recovery path (apply_assoc_probe.py): does tree-shaped

@@ -36,8 +36,10 @@ def test_tail_tree_renderer_matches_default(db, config, castanets, traj):
     got = on.render(castanets, pos)
     want = off.render(castanets, pos)
     assert np.abs(got - want).max() < 4e-7
-    assert on._fd_onehot or on._fd_dedup_fused or on._fd_fused, \
-        "no fused dispatch exercised"
+    if traj == "orbit":
+        assert on._fd_onehot, "orbit must exercise the one-hot dispatch"
+    else:
+        assert on._fd_dedup_fused, "sweep must exercise dedup+fused"
 
 
 def test_tail_tree_batched(db, config, castanets):
@@ -66,6 +68,46 @@ def test_tail_tree_oracle_parity(db, config, castanets):
                    tail_tree=True).render(sig, pos)
     want = render_oracle(sig, db, pos, config)
     assert np.abs(got - want).max() < 5e-7
+
+
+def test_tail_tree_grouped_onehot(db, castanets):
+    """The grouped one-hot (wide-mover) kernel honors the flag: tree on/off
+    agree within reassociation tolerance and the grouped dispatch runs."""
+    from jefferson_tpu.bench.sweep import mover_positions
+
+    cb = 1024
+    pos = mover_positions(cb)
+    sig = castanets[:40000]
+    on = Renderer(db, chunk_blocks=cb, fused=True, tail_tree=True)
+    off = Renderer(db, chunk_blocks=cb, fused=True, tail_tree=False)
+    got = on.render(sig, pos)
+    want = off.render(sig, pos)
+    assert on._fd_onehot_grp, "grouped one-hot path was not taken"
+    assert off._fd_onehot_grp, "grouped one-hot path was not taken (off arm)"
+    assert np.abs(got - want).max() < 4e-7
+
+
+def test_tail_tree_fused_apply_fallback(castanets):
+    """Unaligned geometry (history not a whole number of blocks) routes
+    through the fused_apply fallback; it must honor tail_tree and stay
+    inside the oracle gate both ways."""
+    from jefferson_tpu import EngineConfig, synthetic_database
+    from jefferson_tpu.oracle.reference import render_oracle
+    from jefferson_tpu.testing import precision_check
+
+    cfg = EngineConfig(frames_per_buffer=96, hrtf_len=256)  # pad 512, hist 416
+    assert cfg.history_len % cfg.frames_per_buffer != 0
+    db96 = synthetic_database(cfg, n_taps=256, seed=8)
+    pos = CircularOrbit(period_s=0.2, ele=5, r=1.0).sample(20, cfg)
+    outs = {}
+    for tree in (False, True):
+        outs[tree] = Renderer(db96, cfg, chunk_blocks=10,
+                              tail_tree=tree).render(castanets, pos)
+    assert np.abs(outs[True] - outs[False]).max() < 4e-7
+    want = render_oracle(castanets, db96, [tuple(p) for p in pos], cfg)
+    for tree, got in outs.items():
+        rep = precision_check(got, want, eps=1e-6)
+        assert rep.ok, (tree, str(rep))
 
 
 def test_tail_dots_tree_bounds():
