@@ -259,7 +259,8 @@ def batched_chunk_fn_fused(
 def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                                  n_dist: int | None = None,
                                  lane512: bool | None = None,
-                                 tail_tree: bool | None = None):
+                                 tail_tree: bool | None = None,
+                                 with_xfade: bool = True):
     """Dedup + fused composition for the batched/sharded form: blend only
     the unique (index, weight) rows (scene sources usually hold positions),
     broadcast with one row gather, and run the fused step kernel.  Mirrors
@@ -270,6 +271,11 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
     inv_old (S, nb) int32 — unique-row id of each block's OLD filters,
     inv_last (S,) int32 — id of each source's final new row, xfade, u_hi,
     u_lo, inv_frac) -> (outs (S, nb, fpb, 2), new_hists).
+
+    ``with_xfade=False`` (round 5): the chunk has no crossfading block —
+    ``inv_old`` carries the NEW-row ids, inv_last/xfade are ignored (same
+    signature, the jit drops them), and the kernel runs the no-crossfade
+    fast path (half the tail-IDFT MACs; bit-identical on such chunks).
     """
     from ..ops import fft as fft_ops
     from ..ops.filters import cmul, distance_factors_split
@@ -297,9 +303,12 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
         cat = cat_table(spectra)
         cat = maybe_lane512(cat, lane512, config.num_bins)
         g_u = blend_cat(cat, uniq_idx, uniq_w)                 # (U, 4*bins)
-        g_old = jnp.take(g_u, inv_old.reshape(-1), axis=0)     # (S*nb, 4*bins)
-        g_last = jnp.take(g_u, inv_last, axis=0)               # (S, 4*bins)
-        xf = flat(xfade).astype(jnp.float32)[:, None]
+        g_rows = jnp.take(g_u, inv_old.reshape(-1), axis=0)    # (S*nb, 4*bins)
+        if with_xfade:
+            g_last = jnp.take(g_u, inv_last, axis=0)           # (S, 4*bins)
+            xf = flat(xfade).astype(jnp.float32)[:, None]
+        else:
+            g_last, xf = None, None
         if tb % num_blocks == 0:
             from ..pallas.fused_step import fused_step_xfade
 
@@ -309,10 +318,11 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 duh, dul, ddf = u_hi[:, None], u_lo[:, None], inv_frac[:, None]
                 ds = col(dsel)
             y = fused_step_xfade(
-                streams, duh, dul, ddf, g_old, g_last, xf,
+                streams, duh, dul, ddf, g_rows, g_last, xf,
                 nb=num_blocks, pad_len=config.pad_len,
                 bins=config.num_bins, fpb=fpb, tb=tb,
                 dsel=ds, n_dist=n_dist, lane512=lane512, tail_tree=tail_tree,
+                with_xfade=with_xfade,
             )
         else:
             xr, xi = fft_ops.rfft_sliding_split_batched(
@@ -324,10 +334,10 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
             xdr, xdi = cmul(flat(xr), flat(xi), dr, di)
             icr, ici = fft_ops._idft_tail_matrices(config.pad_len, fpb)
             y = fused_apply_xfade(
-                xdr, xdi, g_old, g_last, xf,
+                xdr, xdi, g_rows, g_last, xf,
                 jnp.asarray(icr), jnp.asarray(ici),
                 seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
-                tail_tree=tail_tree,
+                tail_tree=tail_tree, with_xfade=with_xfade,
             )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
@@ -499,8 +509,11 @@ class BatchRenderer:
         return n
 
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
-                group_tiles=None, nd=None):
-        key = (nb, dedup_key, fused_tb, onehot, group_tiles, nd)
+                group_tiles=None, nd=None, xf=True):
+        # ``xf``: per-chunk crossfade variant (round 5) — crossfade-free
+        # chunks (hold scenes past chunk 0, steady-state steps) compile the
+        # no-crossfade program: half the tail-IDFT MACs, no old-side rows.
+        key = (nb, dedup_key, fused_tb, onehot, group_tiles, nd, xf)
         if key not in self._jitted:
             if fused_tb is not None and dedup_key is not None:
                 # dedup + fused composition (the fastest measured mode when
@@ -508,7 +521,8 @@ class BatchRenderer:
                 fn = batched_chunk_fn_dedup_fused(self.config, nb, tb=fused_tb,
                                                   n_dist=nd,
                                                   lane512=self.lane512,
-                                                  tail_tree=self.tail_tree)
+                                                  tail_tree=self.tail_tree,
+                                                  with_xfade=xf)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
@@ -582,9 +596,9 @@ class BatchRenderer:
                         check_rep=False,
                     )
             elif dedup_key is None:
-                fn = batched_chunk_fn(self.config, nb, with_xfade=True)
+                fn = batched_chunk_fn(self.config, nb, with_xfade=xf)
             else:
-                fn = batched_chunk_fn_dedup(self.config, nb, with_xfade=True)
+                fn = batched_chunk_fn_dedup(self.config, nb, with_xfade=xf)
             if self.mix:
                 inner = fn
 
@@ -691,6 +705,10 @@ class BatchRenderer:
                 u_lo=np.stack([p.u_lo[sl] for p in plans]),
                 inv_frac=np.stack([p.inv_frac[sl] for p in plans]),
             )
+            # per-chunk crossfade flag (round 5): crossfade-free chunks
+            # (hold scenes past chunk 0) use the no-crossfade programs —
+            # half the tail-IDFT MACs, no old-side rows, bit-identical
+            cxf = bool(args["xfade"].any())
             if self.fused and not fused_off:
                 from .renderer import pick_fused_tile
 
@@ -706,7 +724,7 @@ class BatchRenderer:
             # the cap never engages)
             if (
                 tb_f is not None and dedup_chunks is not None
-                and not self._variant_ok(("dedup_fused", nb, u_pad, tb_f))
+                and not self._variant_ok(("dedup_fused", nb, u_pad, tb_f, cxf))
             ):
                 tb_f = None
             if tb_f is not None and dedup_chunks is not None:
@@ -719,7 +737,7 @@ class BatchRenderer:
                     reps = u_pad - uniq_idx.shape[0]
                     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
-                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f)
+                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f, xf=cxf)
                 rep = (
                     jnp.asarray
                     if self.mesh is None
@@ -735,15 +753,18 @@ class BatchRenderer:
                         rep(uniq_w),
                         # ext rows are [old_start, new_0..new_{nb-1}]:
                         # [:nb] is OLD-aligned (old[b] == new[b-1]),
+                        # [1:] the NEW rows (no-crossfade program),
                         # [nb] is the final new row
-                        self._shard(np.ascontiguousarray(inv[:, :nb])),
+                        self._shard(np.ascontiguousarray(
+                            inv[:, :nb] if cxf else inv[:, 1:]
+                        )),
                         self._shard(np.ascontiguousarray(inv[:, nb])),
                         sharded["xfade"],
                         sharded["u_hi"],
                         sharded["u_lo"],
                         sharded["inv_frac"],
                     )
-                    self._variant_result(("dedup_fused", nb, u_pad, tb_f), True)
+                    self._variant_result(("dedup_fused", nb, u_pad, tb_f, cxf), True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -752,11 +773,11 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, u_pad, tb_f, False, None, None), None)
+                    self._jitted.pop((nb, u_pad, tb_f, False, None, None, cxf), None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path",
                         strikes=self._variant_result(
-                            ("dedup_fused", nb, u_pad, tb_f), False
+                            ("dedup_fused", nb, u_pad, tb_f, cxf), False
                         ),
                     )
                     # fall through to the XLA dedup dispatch for this chunk
@@ -865,7 +886,7 @@ class BatchRenderer:
                     fused_off = True
                     self._jitted.pop(
                         (nb, None, tb_f, onehot, group_tiles,
-                         nd if onehot else None), None)
+                         nd if onehot else None, True), None)
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",
@@ -878,7 +899,7 @@ class BatchRenderer:
                     reps = u_pad - uniq_idx.shape[0]
                     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
-                fn = self._get_fn(nb, dedup_key=u_pad)
+                fn = self._get_fn(nb, dedup_key=u_pad, xf=cxf)
                 rep = (
                     jnp.asarray
                     if self.mesh is None
@@ -891,7 +912,9 @@ class BatchRenderer:
                     sharded["fed"],
                     rep(uniq_idx),
                     rep(uniq_w),
-                    self._shard(inv),
+                    # extended rows for the crossfade program, NEW rows
+                    # ([:, 1:]) for the no-crossfade one
+                    self._shard(inv if cxf else np.ascontiguousarray(inv[:, 1:])),
                     sharded["xfade"],
                     sharded["u_hi"],
                     sharded["u_lo"],
@@ -899,7 +922,7 @@ class BatchRenderer:
                 )
                 outs.append(np.asarray(y))
                 continue
-            fn = self._get_fn(nb)
+            fn = self._get_fn(nb, xf=cxf)
             args.update(
                 idx_new=np.stack([p.idx_new[sl] for p in plans]),
                 w_new=np.stack([p.w_new[sl] for p in plans]),

@@ -330,11 +330,13 @@ def _fd_complex_chunk_fused(
     spectra,
     hist: jax.Array,
     fed: jax.Array,
-    idx_old: jax.Array,   # (B, 4) old-aligned rows (plan.idx_old)
+    idx_old: jax.Array,   # (B, 4) old-aligned rows (plan.idx_old); the NEW
+                          # rows (plan.idx_new) when not with_xfade
     w_old: jax.Array,
-    idx_last: jax.Array,  # (1, 4) the chunk's final new row
+    idx_last: jax.Array,  # (1, 4) the chunk's final new row (unused when
+                          # not with_xfade)
     w_last: jax.Array,
-    xfade: jax.Array,
+    xfade: jax.Array,     # (unused when not with_xfade)
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
@@ -346,6 +348,7 @@ def _fd_complex_chunk_fused(
     n_dist: int | None = None,
     lane512: bool | None = None,
     tail_tree: bool | None = None,
+    with_xfade: bool = True,
 ):
     """Fused-kernel variant of the interpolating FD chunk (TPU only).
     ``n_dist``: compact-distance mode — u_hi/u_lo/inv_frac arrive as the
@@ -355,7 +358,11 @@ def _fd_complex_chunk_fused(
     The blend runs on OLD-aligned rows (idx_old[b] == idx_new[b-1] by plan
     construction) plus the single last-new row; the kernel derives new rows
     by roll+patch and fuses cmul + tail-IDFT + crossfade (5.2x the XLA
-    apply stage on v5e — scripts/bench_fused_apply.py)."""
+    apply stage on v5e — scripts/bench_fused_apply.py).
+
+    ``with_xfade=False`` (round 5): the chunk has no crossfading block —
+    idx/w arrive as the NEW rows and the kernel skips the old-side tails
+    (bit-identical on such chunks, half the tail-IDFT MACs)."""
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
@@ -367,13 +374,16 @@ def _fd_complex_chunk_fused(
     from ..pallas.fused_step import maybe_lane512
 
     cat = maybe_lane512(cat, lane512, config.num_bins)
-    g_old = blend_cat(cat, idx_old, w_old)
-    g_last = blend_cat(cat, idx_last, w_last)
-    xf = xfade.astype(jnp.float32)[:, None]
+    g_rows = blend_cat(cat, idx_old, w_old)
+    if with_xfade:
+        g_last = blend_cat(cat, idx_last, w_last)
+        xf = xfade.astype(jnp.float32)[:, None]
+    else:
+        g_last, xf = None, None
     y = _apply_maybe_full_fuse(
-        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
+        full, u_hi, u_lo, inv_frac, g_rows, g_last, xf, config, num_blocks, tb,
         dsel=dsel, n_dist=n_dist, lane512=lane512,
-        tail_tree=_resolve_tail_tree(tail_tree),
+        tail_tree=_resolve_tail_tree(tail_tree), with_xfade=with_xfade,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -513,11 +523,15 @@ def _fd_complex_chunk_onehot_grouped(
 def _apply_maybe_full_fuse(
     full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
     dsel=None, n_dist: int | None = None, lane512: bool = False,
-    tail_tree: bool = False,
+    tail_tree: bool = False, with_xfade: bool = True,
 ):
     """Run the fused step: forward DFT + distance in-kernel when the
     geometry is aligned (history a whole number of blocks), else XLA
-    forward/distance + fused apply."""
+    forward/distance + fused apply.
+
+    ``with_xfade=False``: g_old carries the NEW rows and the kernel runs
+    the no-crossfade fast path (half the tail-IDFT MACs; bit-identical on
+    non-crossfading blocks)."""
     from ..pallas.fused_apply import fused_apply_xfade
     from ..pallas.fused_step import fused_step_stream_xfade
 
@@ -528,7 +542,7 @@ def _apply_maybe_full_fuse(
             g_old, g_last, xf,
             pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
             dsel=None if dsel is None else dsel[:, None], n_dist=n_dist,
-            lane512=lane512, tail_tree=tail_tree,
+            lane512=lane512, tail_tree=tail_tree, with_xfade=with_xfade,
         )
     assert n_dist is None, "compact distance needs the aligned geometry"
     assert not lane512, "lane512 needs the aligned geometry (see _resolve_lane512)"
@@ -540,7 +554,7 @@ def _apply_maybe_full_fuse(
         xdr, xdi, g_old, g_last, xf,
         jnp.asarray(icr), jnp.asarray(ici),
         seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
-        tail_tree=tail_tree,
+        tail_tree=tail_tree, with_xfade=with_xfade,
     )
 
 
@@ -551,8 +565,10 @@ def _fd_complex_chunk_dedup_fused(
     uniq_idx: jax.Array,  # (U, 4)
     uniq_w: jax.Array,    # (U, 4)
     inv_old: jax.Array,   # (B,) unique-row id of each block's OLD filters
+                          # (its NEW filters when not with_xfade)
     inv_last: jax.Array,  # (1,) unique-row id of the chunk's final new row
-    xfade: jax.Array,
+                          # (unused when not with_xfade)
+    xfade: jax.Array,     # (unused when not with_xfade)
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
@@ -564,11 +580,17 @@ def _fd_complex_chunk_dedup_fused(
     n_dist: int | None = None,
     lane512: bool | None = None,
     tail_tree: bool | None = None,
+    with_xfade: bool = True,
 ):
     """Dedup + fused composition: blend only the unique rows, broadcast with
     one padded-row gather, and run the fused apply kernel.  Covers the
     reference benchmark workload (positions persist for many blocks) with
-    both optimizations stacked."""
+    both optimizations stacked.
+
+    ``with_xfade=False`` (round 5): the chunk has no crossfading block, so
+    ``inv_old`` carries the NEW-row ids, the old-side gather disappears and
+    the kernel runs the no-crossfade fast path (half the tail-IDFT MACs) —
+    bit-identical to the crossfade program on such chunks."""
     fpb = config.frames_per_buffer
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
@@ -578,13 +600,16 @@ def _fd_complex_chunk_dedup_fused(
 
     cat = maybe_lane512(cat, lane512, config.num_bins)
     g_u = blend_cat(cat, uniq_idx, uniq_w)
-    g_old = jnp.take(g_u, inv_old, axis=0)
-    g_last = jnp.take(g_u, inv_last, axis=0)
-    xf = xfade.astype(jnp.float32)[:, None]
+    g_rows = jnp.take(g_u, inv_old, axis=0)
+    if with_xfade:
+        g_last = jnp.take(g_u, inv_last, axis=0)
+        xf = xfade.astype(jnp.float32)[:, None]
+    else:
+        g_last, xf = None, None
     y = _apply_maybe_full_fuse(
-        full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config, num_blocks, tb,
+        full, u_hi, u_lo, inv_frac, g_rows, g_last, xf, config, num_blocks, tb,
         dsel=dsel, n_dist=n_dist, lane512=lane512,
-        tail_tree=_resolve_tail_tree(tail_tree),
+        tail_tree=_resolve_tail_tree(tail_tree), with_xfade=with_xfade,
     )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
@@ -860,14 +885,16 @@ class Renderer:
             _fd_complex_chunk_dedup, config=cfg, num_blocks=nb, with_xfade=xf
         )
         self._fd_fused = {}
-        self._mk_fd_fused = lambda nb, tb, nd=None: jit_chunk(
+        self._mk_fd_fused = lambda nb, tb, nd=None, xf=True: jit_chunk(
             _fd_complex_chunk_fused, config=cfg, num_blocks=nb, tb=tb,
             n_dist=nd, lane512=self.lane512, tail_tree=self.tail_tree,
+            with_xfade=xf,
         )
         self._fd_dedup_fused = {}
-        self._mk_fd_dedup_fused = lambda nb, tb, nd=None: jit_chunk(
+        self._mk_fd_dedup_fused = lambda nb, tb, nd=None, xf=True: jit_chunk(
             _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb,
             n_dist=nd, lane512=self.lane512, tail_tree=self.tail_tree,
+            with_xfade=xf,
         )
         self._fd_onehot = {}
         self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
@@ -968,9 +995,12 @@ class Renderer:
                 return jnp.asarray(a)
         hist = dev(np.zeros(cfg.history_len, dtype=np.float32), shard=False)
         out = np.empty((b_total * fpb, 2), dtype=np.float32)
-        # one compiled program per render: fixed chunk size (last partial
-        # chunk padded and trimmed) and one global xfade variant — XLA
-        # compiles are expensive, especially via remote TPU compile services
+        # program-count discipline: fixed chunk size (last partial chunk
+        # padded and trimmed) and AT MOST TWO xfade variants per path —
+        # chunks with no crossfading block use the no-crossfade programs
+        # (round 5: half the tail-IDFT MACs; hold renders spend all but
+        # chunk 0 there), all others share one crossfade program.  XLA
+        # compiles are expensive, especially via remote TPU compile services.
         with_xfade = bool(plan.xfade.any())
         # fused-kernel variants disabled for THE REST OF THIS RENDER after a
         # compile/runtime-stack failure (each remote compile retry costs
@@ -1026,12 +1056,12 @@ class Renderer:
             for start in range(0, b_total, cb):
                 stop = min(start + cb, b_total)
                 sl = slice(start, stop)
-                if with_xfade:
-                    ext_idx = np.concatenate([plan.idx_old[start : start + 1], plan.idx_new[sl]])
-                    ext_w = np.concatenate([plan.w_old[start : start + 1], plan.w_new[sl]])
-                else:
-                    ext_idx, ext_w = plan.idx_new[sl], plan.w_new[sl]
-                rows = cb + 1 if with_xfade else cb
+                # always the extended (cb+1) rows: [old_start, new_0..new_cb-1]
+                # serves BOTH chunk variants — [:cb] is the old-aligned set,
+                # [1:] the new set (old[b] == new[b-1] by plan construction)
+                ext_idx = np.concatenate([plan.idx_old[start : start + 1], plan.idx_new[sl]])
+                ext_w = np.concatenate([plan.w_old[start : start + 1], plan.w_new[sl]])
+                rows = cb + 1
                 if ext_idx.shape[0] < rows:  # final partial chunk
                     reps = rows - ext_idx.shape[0]
                     ext_idx = np.concatenate([ext_idx, np.repeat(ext_idx[-1:], reps, axis=0)])
@@ -1069,6 +1099,12 @@ class Renderer:
             if nb < cb:
                 fed_np = np.concatenate([fed_np, np.zeros((cb - nb) * fpb, np.float32)])
             fed = dev(fed_np)
+            # per-chunk crossfade flag (round 5): crossfade-free chunks of a
+            # crossfading render (hold workloads crossfade only at block 0)
+            # dispatch to the no-crossfade program variants — half the
+            # tail-IDFT MACs and no old-side blend rows, bit-identical on
+            # such chunks.  At most TWO programs per render per path.
+            cxf = bool(plan.xfade[sl].any())
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
                 # movers path: one-hot compact-table kernel (zero filter
                 # gathers) — needs aligned geometry, the crossfade form, and
@@ -1175,10 +1211,11 @@ class Renderer:
                         )
                 if (
                     dedup_chunks is None and "gather" not in fused_off
-                    and self.fused and with_xfade
+                    and self.fused
                 ):
+                    gxf = cxf
                     tb_f = pick_fused_tile(cb, cb)
-                    gkey = ("gather", cb, tb_f)
+                    gkey = ("gather", cb, tb_f, gxf)
                     if tb_f is not None and not self._variant_ok(gkey):
                         tb_f = None
                 else:
@@ -1186,7 +1223,9 @@ class Renderer:
                 if tb_f is not None:
                     # old-aligned rows; the padded region's first row must be
                     # the final real block's NEW row (the kernel's roll reads
-                    # old[nb] as block nb-1's new filter)
+                    # old[nb] as block nb-1's new filter).  The no-crossfade
+                    # program takes the NEW rows directly (same values by
+                    # plan construction).
                     last_i = plan.idx_new[stop - 1 : stop]
                     last_w = plan.w_new[stop - 1 : stop]
 
@@ -1197,16 +1236,18 @@ class Renderer:
                             np.concatenate([a, np.repeat(nxt, cb - nb, axis=0)])
                         )
 
-                    key = (cb, tb_f)
+                    key = (cb, tb_f, gxf)
                     if key not in self._fd_fused:
-                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f)
+                        self._fd_fused[key] = self._mk_fd_fused(cb, tb_f, xf=gxf)
+                    rows_i = plan.idx_old[sl] if gxf else plan.idx_new[sl]
+                    rows_w = plan.w_old[sl] if gxf else plan.w_new[sl]
                     try:
                         y, hist = self._fd_fused[key](
                             self._spectra,
                             hist,
                             fed,
-                            pad_next(plan.idx_old[sl], last_i),
-                            pad_next(plan.w_old[sl], last_w),
+                            pad_next(rows_i, last_i),
+                            pad_next(rows_w, last_w),
                             jnp.asarray(last_i),
                             jnp.asarray(last_w),
                             pad(plan.xfade[sl], nb),
@@ -1233,19 +1274,23 @@ class Renderer:
                         reps = u_pad - uniq_idx.shape[0]
                         uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, axis=0)])
                         uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, axis=0)])
+                    # crossfade-free chunks run the no-crossfade program
+                    dxf = cxf
                     tb_df = (
                         pick_fused_tile(cb, cb)
-                        if self.fused and with_xfade and "dedup" not in fused_off
+                        if self.fused and "dedup" not in fused_off
                         else None
                     )
                     if tb_df is not None:
-                        dkey = ("dedup", cb, u_pad, tb_df)
+                        dkey = ("dedup", cb, u_pad, tb_df, dxf)
                         if not self._variant_ok(dkey):
                             tb_df = None
                     if tb_df is not None:  # dedup + fused composition
-                        key = (cb, u_pad, tb_df)
+                        key = (cb, u_pad, tb_df, dxf)
                         if key not in self._fd_dedup_fused:
-                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(cb, tb_df)
+                            self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(
+                                cb, tb_df, xf=dxf
+                            )
                         try:
                             y, hist = self._fd_dedup_fused[key](
                                 self._spectra,
@@ -1253,7 +1298,9 @@ class Renderer:
                                 fed,
                                 jnp.asarray(uniq_idx),
                                 jnp.asarray(uniq_w),
-                                jnp.asarray(inv[:cb]),
+                                # old-aligned rows for the crossfade program,
+                                # the NEW rows for the no-crossfade one
+                                jnp.asarray(inv[:cb] if dxf else inv[1 : cb + 1]),
                                 jnp.asarray(inv[cb : cb + 1]),
                                 pad(plan.xfade[sl], nb),
                                 pad(plan.u_hi[sl], nb),
@@ -1272,16 +1319,18 @@ class Renderer:
                                 e, "dedup+fused", "the XLA dedup path",
                                 strikes=self._variant_result(dkey, False),
                             )
-                    key = (cb, with_xfade, u_pad)
+                    key = (cb, cxf, u_pad)
                     if key not in self._fd_dedup:
-                        self._fd_dedup[key] = self._mk_fd_dedup(cb, with_xfade)
+                        self._fd_dedup[key] = self._mk_fd_dedup(cb, cxf)
                     y, hist = self._fd_dedup[key](
                         self._spectra,
                         hist,
                         fed,
                         dev(uniq_idx, shard=False),
                         dev(uniq_w, shard=False),
-                        dev(inv, shard=False),
+                        # extended rows for the crossfade program, the NEW
+                        # rows ([1:]) for the no-crossfade one
+                        dev(inv if cxf else inv[1:], shard=False),
                         pad(plan.xfade[sl], nb),
                         pad(plan.u_hi[sl], nb),
                         pad(plan.u_lo[sl], nb),
@@ -1289,9 +1338,9 @@ class Renderer:
                     )
                     out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                     continue
-                key = (cb, with_xfade)
+                key = (cb, cxf)
                 if key not in self._fd_complex:
-                    self._fd_complex[key] = self._mk_fd_complex(cb, with_xfade)
+                    self._fd_complex[key] = self._mk_fd_complex(cb, cxf)
                 y, hist = self._fd_complex[key](
                     self._spectra,
                     hist,

@@ -60,12 +60,9 @@ def _kernel(
     xdr_ref,   # (TB, bins)
     xdi_ref,   # (TB, bins)
     g_ref,     # (TB, 4*stride) old-filter rows [rL|iL|rR|iR], stride-padded
-    patch_ref,  # (P, 4*stride) replacement new-rows for segment ends
-    xf_ref,    # (TB, 1) float32: 1.0 where crossfading
-    icr_ref,   # (bins, fpb) inverse tail basis, cos
-    ici_ref,   # (bins, fpb) inverse tail basis, sin
-    out_ref,   # (TB, 2*fpb): [L | R]
-    *,
+               # (the NEW rows when not with_xfade)
+    *rest,     # with_xfade: patch (P, 4*stride), xf (TB, 1), icr, ici, out;
+               # else just icr, ici, out
     tb: int,
     seg: int,
     bins: int,
@@ -73,11 +70,34 @@ def _kernel(
     fpb: int,
     p_rows: int,
     tail_tree: bool = False,
+    with_xfade: bool = True,
 ):
+    if with_xfade:
+        patch_ref, xf_ref, icr_ref, ici_ref, out_ref = rest
+    else:
+        icr_ref, ici_ref, out_ref = rest
     f32 = jnp.float32
     c4 = 4 * stride
     xdr = xdr_ref[:]
     xdi = xdi_ref[:]
+
+    def tail(g, off_r, off_i):
+        gr = g[:, off_r : off_r + bins]
+        gi = g[:, off_i : off_i + bins]
+        qr = xdr * gr - xdi * gi
+        qi = xdr * gi + xdi * gr
+        return _tail_dots(qr, qi, icr_ref, ici_ref, bins, tail_tree)
+
+    if not with_xfade:
+        # no-crossfade fast path (round 5): g_ref carries the NEW rows and
+        # the old-side tails/crossfade arithmetic disappear (bit-identical
+        # on non-crossfading rows: out = y_old*0 + y_new*1 there)
+        g = g_ref[:]
+        for c in range(2):  # L, R
+            off_r, off_i = 2 * c * stride, (2 * c + 1) * stride
+            out_ref[:, c * fpb : (c + 1) * fpb] = tail(g, off_r, off_i)
+        return
+
     go = g_ref[:]
     # new rows: old rows shifted up one block within each segment; segment
     # ends take the patch rows (per-segment last-new filters / boundary)
@@ -103,13 +123,6 @@ def _kernel(
     a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))  # (TB, fpb)
     b = jnp.where(xf > 0, fn, f32(1.0))
 
-    def tail(g, off_r, off_i):
-        gr = g[:, off_r : off_r + bins]
-        gi = g[:, off_i : off_i + bins]
-        qr = xdr * gr - xdi * gi
-        qi = xdr * gi + xdi * gr
-        return _tail_dots(qr, qi, icr_ref, ici_ref, bins, tail_tree)
-
     for c in range(2):  # L, R
         off_r, off_i = 2 * c * stride, (2 * c + 1) * stride
         y_old = tail(go, off_r, off_i)
@@ -118,14 +131,17 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("seg", "bins", "fpb", "tb", "interpret", "tail_tree")
+    jax.jit, static_argnames=("seg", "bins", "fpb", "tb", "interpret",
+                              "tail_tree", "with_xfade")
 )
 def fused_apply_xfade(
     xdr: jax.Array,     # (B, bins) forward plane x distance, real
     xdi: jax.Array,     # (B, bins)
     g_old: jax.Array,   # (B, 4*stride) old-filter rows, stride-padded
+                        # (the NEW rows when not with_xfade)
     g_last: jax.Array,  # (B//seg, 4*stride) per-segment LAST new-filter rows
-    xf: jax.Array,      # (B, 1) float32 crossfade mask
+                        # (None when not with_xfade)
+    xf: jax.Array,      # (B, 1) float32 crossfade mask (None when not with_xfade)
     icr: jax.Array,     # (bins, fpb)
     ici: jax.Array,     # (bins, fpb)
     seg: int,
@@ -134,6 +150,7 @@ def fused_apply_xfade(
     tb: int = 256,
     interpret: bool | None = None,
     tail_tree: bool = False,
+    with_xfade: bool = True,
 ) -> jax.Array:
     """-> (B, 2*fpb) crossfaded stereo tails [L | R] per block.
 
@@ -143,6 +160,10 @@ def fused_apply_xfade(
     interpret=None auto-selects: compiled Mosaic on TPU backends,
     interpreter elsewhere (so the engine's fused path stays testable on the
     CPU mesh).
+
+    ``with_xfade=False``: no-crossfade fast path — ``g_old`` carries the
+    NEW rows, g_last/xf are ignored (pass None), and the kernel computes
+    only the new-side tails (half the tail-IDFT MACs; see _kernel).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -154,34 +175,39 @@ def fused_apply_xfade(
     n_tiles = b // tb
     if seg >= tb:
         assert seg % tb == 0
-        # per-tile boundary row: old[(i+1)*tb], except at segment ends where
-        # it is that segment's g_last row
-        cand = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
-        grp = cand.reshape(b // seg, seg // tb, c4)
-        patch = jnp.concatenate([grp[:, :-1], g_last[:, None, :]], axis=1).reshape(
-            n_tiles, c4
-        )
         p_rows = 1
     else:
         assert tb % seg == 0
         p_rows = tb // seg
-        patch = g_last  # (n_tiles * p_rows, C), natural order
+    if with_xfade:
+        if seg >= tb:
+            # per-tile boundary row: old[(i+1)*tb], except at segment ends
+            # where it is that segment's g_last row
+            cand = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
+            grp = cand.reshape(b // seg, seg // tb, c4)
+            patch = jnp.concatenate([grp[:, :-1], g_last[:, None, :]], axis=1).reshape(
+                n_tiles, c4
+            )
+        else:
+            patch = g_last  # (n_tiles * p_rows, C), natural order
 
-    # Mosaic block sublane dims must be multiples of 8: pad the per-tile
-    # patch block with dummy rows (the kernel only reads the first p_rows)
+        # Mosaic block sublane dims must be multiples of 8: pad the per-tile
+        # patch block with dummy rows (the kernel only reads the first p_rows)
     p_pad = max(8, (p_rows + 7) // 8 * 8)
-    if p_pad != p_rows:
+    if with_xfade and p_pad != p_rows:
         patch3 = patch.reshape(n_tiles, p_rows, c4)
         patch3 = jnp.pad(patch3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
         patch = patch3.reshape(n_tiles * p_pad, c4)
 
     kernel = functools.partial(
         _kernel, tb=tb, seg=seg, bins=bins, stride=stride, fpb=fpb,
-        p_rows=p_rows, tail_tree=tail_tree,
+        p_rows=p_rows, tail_tree=tail_tree, with_xfade=with_xfade,
     )
     tile = lambda cols, rows=tb: pl.BlockSpec(
         (rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    xf_specs = [tile(c4, rows=p_pad), tile(1)] if with_xfade else []
+    xf_args = (patch, xf) if with_xfade else ()
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -189,12 +215,11 @@ def fused_apply_xfade(
             tile(bins),
             tile(bins),
             tile(c4),
-            tile(c4, rows=p_pad),
-            tile(1),
+            *xf_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tile(2 * fpb),
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
-    )(xdr, xdi, g_old, patch, xf, icr, ici)
+    )(xdr, xdi, g_old, *xf_args, icr, ici)

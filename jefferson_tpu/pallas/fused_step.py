@@ -841,17 +841,9 @@ def _kernel(
     ul_ref,     # (TB, 1) tail
     f_ref,      # (TB, 1) rolloff
     dsel_ref,   # (TB, 1) int32 unique-triple selector (dummy when n_dist None)
-    g_ref,      # (TB, 4*bins) old-filter blend rows (packed planes)
-    patch_ref,  # (P_pad, 4*bins) segment-end new rows
-    xf_ref,     # (TB, 1)
-    cfr_ref,    # (sub, bins) sub-block DFT basis, cos
-    cfi_ref,    # (sub, bins) sub-block DFT basis, -sin
-    twr_ref,    # (q_pad, bins) sliding twiddles, real
-    twi_ref,    # (q_pad, bins)
-    icr_ref,    # (bins, fpb) inverse tail basis
-    ici_ref,    # (bins, fpb)
-    out_ref,    # (TB, 2*fpb)
-    *,
+    g_ref,      # (TB, 4*bins) old-filter blend rows (NEW rows when not with_xfade)
+    *rest,      # with_xfade: patch (P_pad, 4*bins), xf (TB, 1), then the 6
+                # basis refs + out_ref; else just the bases + out_ref
     tb: int,
     nb: int,
     q: int,
@@ -863,7 +855,21 @@ def _kernel(
     lane512: bool = False,
     fwd512: bool = False,
     tail_tree: bool = False,
+    with_xfade: bool = True,
 ):
+    """Gather-form fused step.  ``with_xfade=False`` (round 5, the
+    no-crossfade fast path): ``g_ref`` carries the NEW-filter rows directly
+    (callers gather them host/XLA-side — plan old[b+1] == new[b] makes the
+    values identical to the roll-derived set) and the kernel skips the
+    roll/patch derivation, the whole old-side tail (half the tail-IDFT
+    MACs and q products) and the crossfade arithmetic.  Bit-identical to
+    the crossfade form on non-crossfading rows: there out = y_old*0 +
+    y_new*1 = y_new, the very planes this form computes."""
+    if with_xfade:
+        (patch_ref, xf_ref, cfr_ref, cfi_ref, twr_ref, twi_ref,
+         icr_ref, ici_ref, out_ref) = rest
+    else:
+        cfr_ref, cfi_ref, twr_ref, twi_ref, icr_ref, ici_ref, out_ref = rest
     f32 = jnp.float32
     g_sources = tb // nb
 
@@ -901,6 +907,29 @@ def _kernel(
 
     # --- identical to fused_apply from here on -----------------------------
     c4 = (4 * (bins - 1) + 128) if lane512 else 4 * bins
+
+    def tail(g, c):
+        off_r, off_i = 2 * c * eb, (2 * c + 1) * eb
+        gr = g[:, off_r : off_r + eb]
+        gi = g[:, off_i : off_i + eb]
+        qr = xdr * gr - xdi * gi
+        qi = xdr * gi + xdi * gr
+        y = _tail_dots(qr, qi, icr_ref, ici_ref, eb, tail_tree)
+        if lane512:
+            ny = 4 * eb + 2 * c
+            gnr = g[:, ny : ny + 1]
+            gni = g[:, ny + 1 : ny + 2]
+            qnr = xdn_r * gnr - xdn_i * gni
+            qni = xdn_r * gni + xdn_i * gnr
+            y = y + qnr * icr_ref[eb : eb + 1, :] + qni * ici_ref[eb : eb + 1, :]
+        return y
+
+    if not with_xfade:
+        g = g_ref[:]  # NEW-filter rows, gathered by the caller
+        for c in range(2):
+            out_ref[:, c * fpb : (c + 1) * fpb] = tail(g, c)
+        return
+
     go = g_ref[:]
     rolled = pltpu.roll(go, shift=tb - 1, axis=0)
     local = jax.lax.broadcasted_iota(jnp.int32, (tb, c4), 0)
@@ -920,22 +949,6 @@ def _kernel(
     a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
     b = jnp.where(xf > 0, fn, f32(1.0))
 
-    def tail(g, c):
-        off_r, off_i = 2 * c * eb, (2 * c + 1) * eb
-        gr = g[:, off_r : off_r + eb]
-        gi = g[:, off_i : off_i + eb]
-        qr = xdr * gr - xdi * gi
-        qi = xdr * gi + xdi * gr
-        y = _tail_dots(qr, qi, icr_ref, ici_ref, eb, tail_tree)
-        if lane512:
-            ny = 4 * eb + 2 * c
-            gnr = g[:, ny : ny + 1]
-            gni = g[:, ny + 1 : ny + 2]
-            qnr = xdn_r * gnr - xdn_i * gni
-            qni = xdn_r * gni + xdn_i * gnr
-            y = y + qnr * icr_ref[eb : eb + 1, :] + qni * ici_ref[eb : eb + 1, :]
-        return y
-
     for c in range(2):
         y_old = tail(go, c)
         y_new = tail(gn, c)
@@ -945,16 +958,16 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("pad_len", "bins", "fpb", "tb", "interpret", "n_dist",
-                     "lane512", "fwd512", "tail_tree"),
+                     "lane512", "fwd512", "tail_tree", "with_xfade"),
 )
 def fused_step_stream_xfade(
     stream: jax.Array,  # (hist + B*fpb,) one sample stream (hist == (q-1)*fpb)
     uh: jax.Array,      # (B, 1) distance phase split (head, tail, rolloff)
     ul: jax.Array,
     fr: jax.Array,
-    g_old: jax.Array,   # (B, 4*bins)
-    g_last: jax.Array,  # (1, 4*bins) the final new-filter row
-    xf: jax.Array,      # (B, 1)
+    g_old: jax.Array,   # (B, 4*bins); the NEW rows when not with_xfade
+    g_last: jax.Array,  # (1, 4*bins) the final new-filter row (None when not with_xfade)
+    xf: jax.Array,      # (B, 1) (None when not with_xfade)
     pad_len: int,
     bins: int,
     fpb: int,
@@ -965,10 +978,15 @@ def fused_step_stream_xfade(
     lane512: bool = False,
     fwd512: bool = False,
     tail_tree: bool = False,
+    with_xfade: bool = True,
 ) -> jax.Array:
     """Single-stream form: tiles of tb blocks over one stream; each tile's
     sub-block rows are gathered with a duplicated q-1-row halo (tiny), and
-    the new-filter boundary row comes from the next tile (or g_last)."""
+    the new-filter boundary row comes from the next tile (or g_last).
+
+    ``with_xfade=False``: no-crossfade fast path — ``g_old`` carries the
+    NEW rows, g_last/xf are ignored (pass None), and the kernel computes
+    only the new-side tails (see _kernel)."""
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
@@ -989,10 +1007,11 @@ def fused_step_stream_xfade(
     subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
     subs = subs_t.reshape(n_tiles * rows_pad, fpb)
 
-    # per-tile boundary new row: old[(i+1)*tb], last tile takes g_last
-    patch = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
-    p3 = jnp.pad(patch[:, None, :], ((0, 0), (0, 7), (0, 0)))
-    patch = p3.reshape(n_tiles * 8, c4)
+    if with_xfade:
+        # per-tile boundary new row: old[(i+1)*tb], last tile takes g_last
+        patch = jnp.concatenate([g_old[tb::tb], g_last[-1:]], axis=0)  # (n_tiles, C)
+        p3 = jnp.pad(patch[:, None, :], ((0, 0), (0, 7), (0, 0)))
+        patch = p3.reshape(n_tiles * 8, c4)
 
     cfr, cfi, twr, twi, icr, ici = _kernel_bases(
         pad_len, fpb, bins, q, lane512, fwd512
@@ -1001,11 +1020,14 @@ def fused_step_stream_xfade(
     kernel = functools.partial(
         _kernel, tb=tb, nb=tb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
         p_rows=1, n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
+        with_xfade=with_xfade,
     )
     tile = lambda cols, r=tb: pl.BlockSpec((r, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dspec = (lambda: tile(1)) if n_dist is None else full
     sspec = full if n_dist is None else (lambda: tile(1))
+    xf_specs = [tile(c4, r=8), tile(1)] if with_xfade else []
+    xf_args = (patch, xf) if with_xfade else ()
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1014,8 +1036,7 @@ def fused_step_stream_xfade(
             dspec(), dspec(), dspec(),
             sspec(),
             tile(c4),
-            tile(c4, r=8),
-            tile(1),
+            *xf_specs,
             full(), full(),
             full(), full(),
             full(), full(),
@@ -1024,7 +1045,7 @@ def fused_step_stream_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, dsel_arr, g_old, patch, xf,
+        subs, uh, ul, fr, dsel_arr, g_old, *xf_args,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),
@@ -1034,16 +1055,16 @@ def fused_step_stream_xfade(
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "pad_len", "bins", "fpb", "tb", "interpret",
-                     "n_dist", "lane512", "fwd512", "tail_tree"),
+                     "n_dist", "lane512", "fwd512", "tail_tree", "with_xfade"),
 )
 def fused_step_xfade(
     streams: jax.Array,  # (S, hist + nb*fpb) raw per-source sample streams
     uh: jax.Array,       # (S*nb, 1) distance phase split (head, tail, rolloff)
     ul: jax.Array,
     fr: jax.Array,
-    g_old: jax.Array,    # (S*nb, 4*bins) old-filter blend rows
-    g_last: jax.Array,   # (S, 4*bins) per-source final new rows
-    xf: jax.Array,       # (S*nb, 1)
+    g_old: jax.Array,    # (S*nb, 4*bins) old-filter rows; NEW rows when not with_xfade
+    g_last: jax.Array,   # (S, 4*bins) per-source final new rows (None when not with_xfade)
+    xf: jax.Array,       # (S*nb, 1) (None when not with_xfade)
     nb: int,
     pad_len: int,
     bins: int,
@@ -1055,11 +1076,16 @@ def fused_step_xfade(
     lane512: bool = False,
     fwd512: bool = False,
     tail_tree: bool = False,
+    with_xfade: bool = True,
 ) -> jax.Array:
     """-> (S*nb, 2*fpb) crossfaded stereo tails; forward DFT done in-kernel.
 
     Requires the aligned geometry (hist == (q-1)*fpb), tb = G*nb with G
     whole sources per tile, and tb | S*nb.
+
+    ``with_xfade=False``: no-crossfade fast path — ``g_old`` carries the
+    NEW rows, g_last/xf are ignored (pass None), and the kernel computes
+    only the new-side tails (half the tail-IDFT MACs; see _kernel).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -1086,16 +1112,18 @@ def fused_step_xfade(
 
     p_rows = g_sources
     p_pad = _round_up(p_rows, 8)
-    if p_pad != p_rows:
-        g3 = g_last.reshape(b // (nb * p_rows), p_rows, c4)
-        g3 = jnp.pad(g3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
-        patch = g3.reshape(-1, c4)
-    else:
-        patch = g_last
+    if with_xfade:
+        if p_pad != p_rows:
+            g3 = g_last.reshape(b // (nb * p_rows), p_rows, c4)
+            g3 = jnp.pad(g3, ((0, 0), (0, p_pad - p_rows), (0, 0)))
+            patch = g3.reshape(-1, c4)
+        else:
+            patch = g_last
 
     kernel = functools.partial(
         _kernel, tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins, fpb=fpb,
         p_rows=p_rows, n_dist=n_dist, lane512=lane512, fwd512=fwd512, tail_tree=tail_tree,
+        with_xfade=with_xfade,
     )
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
     n_tiles = b // tb
@@ -1103,6 +1131,8 @@ def fused_step_xfade(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dspec = (lambda: tile(1)) if n_dist is None else full
     sspec = full if n_dist is None else (lambda: tile(1))
+    xf_specs = [tile(c4, r=p_pad), tile(1)] if with_xfade else []
+    xf_args = (patch, xf) if with_xfade else ()
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1111,8 +1141,7 @@ def fused_step_xfade(
             dspec(), dspec(), dspec(),
             sspec(),
             tile(c4),
-            tile(c4, r=p_pad),
-            tile(1),
+            *xf_specs,
             full(), full(),  # sub-block DFT bases
             full(), full(),  # twiddles
             full(), full(),  # inverse bases
@@ -1121,7 +1150,7 @@ def fused_step_xfade(
         out_shape=jax.ShapeDtypeStruct((b, 2 * fpb), jnp.float32),
         interpret=interpret,
     )(
-        subs, uh, ul, fr, dsel_arr, g_old, patch, xf,
+        subs, uh, ul, fr, dsel_arr, g_old, *xf_args,
         jnp.asarray(cfr), jnp.asarray(cfi),
         jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(icr), jnp.asarray(ici),

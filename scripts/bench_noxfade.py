@@ -1,0 +1,151 @@
+"""A/B the no-crossfade fast path on the hold-scene workload (TPU).
+
+Workload: the steady-state multi-source scene step — S sources each holding
+its position (the common scene/serving case; reference callback shape,
+Jefferson/src/Audio.cu:98-158), chained batched dedup+fused steps whose
+plans contain NO crossfading block (after the first step a hold scene never
+crossfades again; BatchRenderer dispatches these chunks to the
+``with_xfade=False`` programs since round 5).
+
+Arms (ABBA ordering — PERF.md: relay-session drift penalizes whichever arm
+runs later, so each arm runs once early and once late and the pair is
+averaged):
+  xfade   — the crossfade program fed all-False xfade rows (the pre-round-5
+            behavior: both tail sets computed, old rows gathered)
+  noxf    — the no-crossfade program (new rows only, half the tail MACs)
+
+Geometries: 128x64 (tb=256, fully-fused fused_step path — the scene bench
+shape) and 128x512 (tb=256 < nb: the fused_apply fallback path, the CLI's
+default chunk_blocks=512 shape).
+
+Usage: python scripts/bench_noxfade.py  (run on the TPU; forces nothing)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_shape(cfg, db, s, nb, reps=30):
+    from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
+    from jefferson_tpu.engine.plan import dedup_rows, fed_stream, make_plan
+    from jefferson_tpu.engine.renderer import pick_fused_tile
+
+    rng = np.random.default_rng(0)
+    # steady-state hold plans: old == new everywhere -> zero crossfades
+    plans = [
+        make_plan(
+            np.stack([
+                np.full(nb, float(rng.integers(0, 360))),
+                np.full(nb, float(rng.integers(-40, 90))),
+                np.full(nb, 0.5 + 0.5 * rng.random()),
+            ], axis=1),
+            cfg, initial_old=None,
+        )
+        for _ in range(s)
+    ]
+    assert not any(p.xfade.any() for p in plans), "steady state must not crossfade"
+    sigs = (rng.standard_normal((s, nb * cfg.frames_per_buffer)) * 0.2).astype(np.float32)
+    feds = jnp.asarray(np.stack([fed_stream(sigs[i], nb, cfg) for i in range(s)]))
+    hists = jnp.zeros((s, cfg.history_len), jnp.float32)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    ei = np.concatenate([np.stack([p.idx_old[:1] for p in plans], 0),
+                         np.stack([p.idx_new for p in plans], 0)], axis=1)
+    ew = np.concatenate([np.stack([p.w_old[:1] for p in plans], 0),
+                         np.stack([p.w_new for p in plans], 0)], axis=1)
+    rows = ei.shape[0] * ei.shape[1]
+    uniq_idx, uniq_w, inv = dedup_rows(ei.reshape(rows, 4), ew.reshape(rows, 4))
+    u = uniq_idx.shape[0]
+    u_pad = max(8, 1 << int(np.ceil(np.log2(u))))
+    uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], u_pad - u, 0)])
+    uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], u_pad - u, 0)])
+    inv = inv.reshape(s, nb + 1)
+    tb = pick_fused_tile(s * nb, nb)
+    path = "fused_step" if tb % nb == 0 else "fused_apply fallback"
+    print(f"--- {s}x{nb}, {u} unique rows (pad {u_pad}), tb={tb} ({path})",
+          file=sys.stderr)
+
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    tail = (stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"))
+    uq, uw = jnp.asarray(uniq_idx), jnp.asarray(uniq_w)
+    inv_old = jnp.asarray(np.ascontiguousarray(inv[:, :nb]))
+    inv_new = jnp.asarray(np.ascontiguousarray(inv[:, 1:]))
+    inv_last = jnp.asarray(np.ascontiguousarray(inv[:, nb]))
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+
+    fn_xf = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb, with_xfade=True))
+    fn_nx = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb, with_xfade=False))
+    arms = {
+        "xfade": (fn_xf, (uq, uw, inv_old, inv_last)),
+        "noxf ": (fn_nx, (uq, uw, inv_new, inv_last)),
+    }
+
+    outs = {}
+    for label, (fn, mid) in arms.items():
+        t0 = time.time()
+        out, h = fn(spectra, hists, feds, *mid, *tail)
+        float(probe(out, h))
+        outs[label] = np.asarray(out)
+        print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    d = np.abs(outs["xfade"] - outs["noxf "]).max()
+    print(f"bit-identity: max|diff| = {d:.3e}", file=sys.stderr)
+
+    def run(fn, mid, k):
+        hh = hists
+        t0 = time.time()
+        for _ in range(k):
+            out, hh = fn(spectra, hh, feds, *mid, *tail)
+        float(probe(out, hh))
+        return time.time() - t0
+
+    def slope(label):
+        fn, mid = arms[label]
+        run(fn, mid, 3)
+        t_s, t_l = run(fn, mid, 3), run(fn, mid, 3 + reps)
+        return (t_l - t_s) / reps
+
+    # ABBA: each arm once early, once late; average the pair
+    order = ["xfade", "noxf ", "noxf ", "xfade"]
+    times = {"xfade": [], "noxf ": []}
+    for label in order:
+        times[label].append(slope(label))
+    per = {k: sum(v) / len(v) for k, v in times.items()}
+    for k, v in times.items():
+        print(f"{k}: {per[k]*1e3:.3f} ms/step (runs: "
+              + ", ".join(f"{x*1e3:.3f}" for x in v)
+              + f") = {s*nb/per[k]:,.0f} blocks/s", file=sys.stderr)
+    sp = per["xfade"] / per["noxf "]
+    print(f"no-crossfade speedup: {sp:.3f}x", file=sys.stderr)
+    return {"s": s, "nb": nb, "tb": tb, "path": path,
+            "ms_xfade": per["xfade"] * 1e3, "ms_noxf": per["noxf "] * 1e3,
+            "speedup": sp, "max_diff": float(d)}
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+    results = [
+        bench_shape(cfg, db, 128, 64),
+        bench_shape(cfg, db, 128, 512, reps=6),
+    ]
+    import json
+
+    print(json.dumps({"bench": "noxfade", "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,262 @@
+"""No-crossfade fast path (round 5): crossfade-free chunks dispatch to
+kernel/program variants that skip the old-filter side entirely (half the
+tail-IDFT MACs, no old-row blend/gather) and are BIT-IDENTICAL to the
+crossfade programs on such chunks (there out = y_old*0 + y_new*1 = y_new,
+the very planes the fast path computes; the new rows' float values match
+the roll-derived set by the plan invariant old[b+1] == new[b]).
+
+Hold workloads (the reference's benchmark holds each position for 172
+blocks; scene sources usually hold theirs) crossfade only at block 0, so
+every later chunk runs the fast path.  Reference crossfade trigger:
+/root/reference/Jefferson/src/SoundSource.cu:41-54 (old != new position).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jefferson_tpu.engine.batch import BatchRenderer
+from jefferson_tpu.engine.plan import fed_stream, make_plan
+from jefferson_tpu.engine.renderer import Renderer, blend_cat, cat_table
+from jefferson_tpu.oracle.reference import render_oracle
+from jefferson_tpu.pallas.fused_apply import fused_apply_xfade, pad_cat_planes
+from jefferson_tpu.pallas.fused_step import (
+    fused_step_stream_xfade,
+    fused_step_xfade,
+    maybe_lane512,
+)
+from jefferson_tpu.testing import precision_check
+
+
+def _hold_plans(config, s, nb, initial_old=(0.0, 0.0)):
+    return [
+        make_plan(
+            np.stack([np.full(nb, 30.0 * i + 10.0), np.full(nb, 5.0),
+                      np.full(nb, 1.0)], 1),
+            config, initial_old=initial_old,
+        )
+        for i in range(s)
+    ]
+
+
+@pytest.mark.parametrize("lane512", [False, True])
+def test_fused_step_noxfade_bit_identical(db, config, lane512):
+    """Batched gather-form kernel: no-crossfade variant == crossfade variant
+    on a crossfade-free plan, bitwise (interpret mode)."""
+    s, nb, tb = 4, 16, 32
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(0)
+    plans = _hold_plans(config, s, nb, initial_old=None)
+    assert not any(p.xfade.any() for p in plans)
+    sig = (rng.standard_normal((s, nb * fpb)) * 0.2).astype(np.float32)
+    feds = np.stack([fed_stream(sig[i], nb, config) for i in range(s)])
+    hists = np.zeros((s, config.history_len), np.float32)
+    streams = jnp.asarray(np.concatenate([hists, feds], axis=1))
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    cat = maybe_lane512(cat_table(spectra), lane512, config.num_bins)
+    catr = lambda k, w: blend_cat(
+        cat,
+        jnp.asarray(np.concatenate([getattr(p, k) for p in plans])),
+        jnp.asarray(np.concatenate([getattr(p, w) for p in plans])),
+    )
+    g_old = catr("idx_old", "w_old")
+    g_new = catr("idx_new", "w_new")
+    g_last = blend_cat(
+        cat,
+        jnp.asarray(np.stack([p.idx_new[-1] for p in plans])),
+        jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+    )
+    col = lambda k: jnp.asarray(np.concatenate([getattr(p, k) for p in plans]))[:, None]
+    uh, ul, df = col("u_hi"), col("u_lo"), col("inv_frac")
+    xf = col("xfade").astype(jnp.float32)
+    kw = dict(nb=nb, pad_len=config.pad_len, bins=config.num_bins, fpb=fpb,
+              tb=tb, interpret=True, lane512=lane512)
+    want = fused_step_xfade(streams, uh, ul, df, g_old, g_last, xf, **kw)
+    got = fused_step_xfade(streams, uh, ul, df, g_new, None, None,
+                           with_xfade=False, **kw)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fused_step_stream_noxfade_bit_identical(db, config):
+    """Single-stream gather-form kernel, same bitwise contract."""
+    nb, tb = 32, 8
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(1)
+    (plan,) = _hold_plans(config, 1, nb, initial_old=None)
+    sig = (rng.standard_normal(nb * fpb) * 0.2).astype(np.float32)
+    stream = jnp.asarray(
+        np.concatenate([np.zeros(config.history_len, np.float32),
+                        fed_stream(sig, nb, config)])
+    )
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    cat = cat_table(spectra)
+    g_old = blend_cat(cat, jnp.asarray(plan.idx_old), jnp.asarray(plan.w_old))
+    g_new = blend_cat(cat, jnp.asarray(plan.idx_new), jnp.asarray(plan.w_new))
+    g_last = blend_cat(cat, jnp.asarray(plan.idx_new[-1:]), jnp.asarray(plan.w_new[-1:]))
+    col = lambda k: jnp.asarray(getattr(plan, k))[:, None]
+    uh, ul, df = col("u_hi"), col("u_lo"), col("inv_frac")
+    xf = col("xfade").astype(jnp.float32)
+    kw = dict(pad_len=config.pad_len, bins=config.num_bins, fpb=fpb, tb=tb,
+              interpret=True)
+    want = fused_step_stream_xfade(stream, uh, ul, df, g_old, g_last, xf, **kw)
+    got = fused_step_stream_xfade(stream, uh, ul, df, g_new, None, None,
+                                  with_xfade=False, **kw)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fused_apply_noxfade_bit_identical(db, config):
+    """fused_apply (the non-aligned-geometry fallback), same contract."""
+    s, nb, tb = 4, 8, 16
+    bins, fpb = config.num_bins, config.frames_per_buffer
+    b = s * nb
+    rng = np.random.default_rng(2)
+    xdr = jnp.asarray(rng.standard_normal((b, bins)).astype(np.float32))
+    xdi = jnp.asarray(rng.standard_normal((b, bins)).astype(np.float32))
+    plans = _hold_plans(config, s, nb, initial_old=None)
+    hr = np.real(db.spectra).astype(np.float32)
+    hi = np.imag(db.spectra).astype(np.float32)
+    cat = np.concatenate([hr[:, 0], hi[:, 0], hr[:, 1], hi[:, 1]], axis=1)
+    catp = jnp.asarray(pad_cat_planes(cat, bins))
+    catr = lambda k, w: blend_cat(
+        catp,
+        jnp.asarray(np.concatenate([getattr(p, k) for p in plans])),
+        jnp.asarray(np.concatenate([getattr(p, w) for p in plans])),
+    )
+    g_old = catr("idx_old", "w_old")
+    g_new = catr("idx_new", "w_new")
+    g_last = blend_cat(
+        catp,
+        jnp.asarray(np.stack([p.idx_new[-1] for p in plans])),
+        jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+    )
+    xf = jnp.asarray(
+        np.concatenate([p.xfade for p in plans]).astype(np.float32)
+    )[:, None]
+    icr, ici = (jnp.asarray(a) for a in
+                __import__("jefferson_tpu.ops.fft", fromlist=["_idft_tail_matrices"])
+                ._idft_tail_matrices(config.pad_len, fpb))
+    kw = dict(seg=nb, bins=bins, fpb=fpb, tb=tb, interpret=True)
+    want = fused_apply_xfade(xdr, xdi, g_old, g_last, xf, icr, ici, **kw)
+    got = fused_apply_xfade(xdr, xdi, g_new, None, None, icr, ici,
+                            with_xfade=False, **kw)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_renderer_hold_uses_noxfade_programs(db, config):
+    """A hold render (crossfade at block 0 only) splits into one crossfade +
+    one no-crossfade dedup+fused program and stays on the oracle."""
+    rng = np.random.default_rng(3)
+    B = 96
+    sig = (rng.standard_normal(B * config.frames_per_buffer) * 0.2).astype(np.float32)
+    pos = np.stack([np.full(B, 40.0), np.full(B, 10.0), np.full(B, 1.0)], 1)
+    r = Renderer(db, config, chunk_blocks=32, fused=True)
+    got = r.render(sig, pos)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
+    xfs = {k[-1] for k in r._fd_dedup_fused}
+    assert xfs == {True, False}, (
+        f"hold render must compile both variants, got keys {list(r._fd_dedup_fused)}"
+    )
+
+
+def test_renderer_noxfade_only_render(db, config):
+    """initial_old=None hold render: a single no-crossfade program."""
+    rng = np.random.default_rng(4)
+    B = 64
+    sig = (rng.standard_normal(B * config.frames_per_buffer) * 0.2).astype(np.float32)
+    pos = np.stack([np.full(B, 70.0), np.full(B, -20.0), np.full(B, 0.8)], 1)
+    r = Renderer(db, config, chunk_blocks=32, fused=True)
+    got = r.render(sig, pos, initial_old=None)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], config, initial_old=None)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
+    assert {k[-1] for k in r._fd_dedup_fused} == {False}
+
+
+def test_renderer_gather_noxfade(db, config):
+    """dedup=False hold render takes the gather-form no-crossfade program."""
+    rng = np.random.default_rng(5)
+    B = 64
+    sig = (rng.standard_normal(B * config.frames_per_buffer) * 0.2).astype(np.float32)
+    pos = np.stack([np.full(B, 40.0), np.full(B, 10.0), np.full(B, 1.0)], 1)
+    r = Renderer(db, config, chunk_blocks=32, fused=True, dedup=False)
+    got = r.render(sig, pos, initial_old=None)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], config, initial_old=None)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
+    assert any(k[-1] is False for k in r._fd_fused), list(r._fd_fused)
+
+
+def test_batch_hold_scene_noxfade(db, config):
+    """BatchRenderer hold scene: per-chunk variants, parity per source."""
+    s, b_total = 4, 96
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(6)
+    positions = np.stack([
+        np.stack([np.full(b_total, 45.0 * i), np.full(b_total, 5.0),
+                  np.full(b_total, 0.9)], 1)
+        for i in range(s)
+    ])
+    signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
+    br = BatchRenderer(db, config, chunk_blocks=32, fused=True, dedup=True)
+    out = br.render(signals, positions)
+    xfs = {k[-1] for k in br._jitted}
+    assert xfs == {True, False}, list(br._jitted)
+    for i in range(s):
+        want = render_oracle(
+            signals[i], db, [tuple(p) for p in positions[i]], config
+        )
+        rep = precision_check(out[i], want, eps=2e-7)
+        assert rep.ok, f"source {i}: {rep}"
+
+
+def test_batch_hold_scene_noxfade_sharded(db, config):
+    """Same over a 4-device source mesh: the no-crossfade program runs under
+    shard_map and matches the unsharded render exactly."""
+    import jax
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    s, b_total = 8, 64
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(7)
+    positions = np.stack([
+        np.stack([np.full(b_total, 20.0 * i), np.full(b_total, 5.0),
+                  np.full(b_total, 0.9)], 1)
+        for i in range(s)
+    ])
+    signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
+    mesh = make_mesh(4, ("src",))
+    br_m = BatchRenderer(db, config, chunk_blocks=32, fused=True, mesh=mesh)
+    br_1 = BatchRenderer(db, config, chunk_blocks=32, fused=True)
+    out_m = br_m.render(signals, positions)
+    out_1 = br_1.render(signals, positions)
+    assert {k[-1] for k in br_m._jitted} == {True, False}
+    assert np.array_equal(out_m, out_1)
+
+
+def test_mixed_mover_keeps_crossfade_program(db, config):
+    """A scene whose every chunk crossfades compiles ONLY crossfade
+    programs (no variant explosion on movers)."""
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    s, b_total = 2, 64
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(8)
+    positions = np.stack([
+        CircularOrbit(period_s=0.2 + 0.1 * i, ele=5, r=1.0).sample(b_total, config)
+        for i in range(s)
+    ])
+    signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
+    br = BatchRenderer(db, config, chunk_blocks=32, fused=True)
+    br.render(signals, positions)
+    assert {k[-1] for k in br._jitted} == {True}, list(br._jitted)
