@@ -103,7 +103,7 @@ def _batch_dispatches(br) -> set[str]:
     keys (see BatchRenderer._get_fn): 'dedup_fused', 'onehot_grouped',
     'onehot_shared', 'gather_fused', 'xla'."""
     names = set()
-    for (nb, dedup_key, fused_tb, onehot, group_tiles, _ud, _xf) in br._jitted:
+    for (nb, dedup_key, fused_tb, onehot, group_tiles, _ud, _xf, _ncf) in br._jitted:
         if fused_tb is not None and dedup_key is not None:
             names.add("dedup_fused")
         elif onehot and group_tiles is not None:

@@ -260,7 +260,8 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                                  n_dist: int | None = None,
                                  lane512: bool | None = None,
                                  tail_tree: bool | None = None,
-                                 with_xfade: bool = True):
+                                 with_xfade: bool = True,
+                                 n_cf: int | None = None):
     """Dedup + fused composition for the batched/sharded form: blend only
     the unique (index, weight) rows (scene sources usually hold positions),
     broadcast with one row gather, and run the fused step kernel.  Mirrors
@@ -276,11 +277,16 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
     ``inv_old`` carries the NEW-row ids, inv_last/xfade are ignored (same
     signature, the jit drops them), and the kernel runs the no-crossfade
     fast path (half the tail-IDFT MACs; bit-identical on such chunks).
+
+    ``n_cf`` (round 5, sparse crossfades; requires with_xfade=False and no
+    mesh): at most n_cf rows crossfade — the no-crossfade kernel runs for
+    ALL rows and an XLA side-pass re-blends just the ``cf_idx`` rows
+    (renderer._sparse_xfade_fix); one program covers every chunk.
     """
     from ..ops import fft as fft_ops
     from ..ops.filters import cmul, distance_factors_split
     from ..pallas.fused_apply import fused_apply_xfade
-    from .renderer import blend_cat, cat_table
+    from .renderer import _sparse_xfade_fix, blend_cat, cat_table
 
     fpb = config.frames_per_buffer
     assert config.history_len % fpb == 0, "fused path needs aligned geometry"
@@ -289,9 +295,13 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
     lane512 = _resolve_lane512(lane512, config, gather=True)
     lane512 = lane512 and tb % num_blocks == 0
     tail_tree = _resolve_tail_tree(tail_tree)
+    sparse = n_cf is not None
+    assert not (sparse and with_xfade), "sparse mode implies the no-crossfade kernel"
+    assert not (sparse and n_dist is not None), \
+        "sparse side-pass keeps per-row ramps (gather-form policy)"
 
     def fn(spectra, hists, feds, uniq_idx, uniq_w, inv_old, inv_last, xfade,
-           u_hi, u_lo, inv_frac, dsel=None):
+           u_hi, u_lo, inv_frac, dsel=None, cf_idx=None, cf_old=None):
         s = hists.shape[0]
         b = s * num_blocks
         streams = jnp.concatenate([hists, feds], axis=1)
@@ -300,8 +310,8 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
         col = lambda a: flat(a)[:, None]
         # the unique-row blend is tiny (U rows) and replicated across the
         # mesh; the per-block broadcast is one padded-row gather
-        cat = cat_table(spectra)
-        cat = maybe_lane512(cat, lane512, config.num_bins)
+        cat0 = cat_table(spectra)
+        cat = maybe_lane512(cat0, lane512, config.num_bins)
         g_u = blend_cat(cat, uniq_idx, uniq_w)                 # (U, 4*bins)
         g_rows = jnp.take(g_u, inv_old.reshape(-1), axis=0)    # (S*nb, 4*bins)
         if with_xfade:
@@ -338,6 +348,14 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 jnp.asarray(icr), jnp.asarray(ici),
                 seg=num_blocks, bins=config.num_bins, fpb=fpb, tb=tb,
                 tail_tree=tail_tree, with_xfade=with_xfade,
+            )
+        if sparse:
+            g_u0 = blend_cat(cat0, uniq_idx, uniq_w) if lane512 else g_u
+            y = _sparse_xfade_fix(
+                y, streams.reshape(-1, fpb), cf_idx,
+                jnp.take(g_u0, cf_old, axis=0),
+                flat(xfade), flat(u_hi), flat(u_lo), flat(inv_frac),
+                config=config, nb_seg=num_blocks,
             )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
@@ -466,6 +484,7 @@ class BatchRenderer:
         lane512: bool | None = None,
         fwd512: bool | None = None,
         tail_tree: bool | None = None,
+        sparse_xfade: bool = True,
     ):
         from .renderer import fused_supported
 
@@ -478,6 +497,9 @@ class BatchRenderer:
         self.lane512 = lane512
         self.fwd512 = fwd512
         self.tail_tree = tail_tree  # pairwise-tree tail-IDFT contraction
+        # sparse-crossfade side-pass (round 5): False forces the classic
+        # crossfade programs (A/Bs; scripts/bench_noxfade.py)
+        self.sparse_xfade = sparse_xfade
         aligned = self.config.history_len % self.config.frames_per_buffer == 0
         self.dedup = dedup and aligned
         if fused is None:
@@ -509,11 +531,13 @@ class BatchRenderer:
         return n
 
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
-                group_tiles=None, nd=None, xf=True):
+                group_tiles=None, nd=None, xf=True, ncf=None):
         # ``xf``: per-chunk crossfade variant (round 5) — crossfade-free
         # chunks (hold scenes past chunk 0, steady-state steps) compile the
         # no-crossfade program: half the tail-IDFT MACs, no old-side rows.
-        key = (nb, dedup_key, fused_tb, onehot, group_tiles, nd, xf)
+        # ``ncf``: sparse-crossfade bucket (no-crossfade kernel + XLA
+        # side-pass over <= ncf rows; one program for every chunk).
+        key = (nb, dedup_key, fused_tb, onehot, group_tiles, nd, xf, ncf)
         if key not in self._jitted:
             if fused_tb is not None and dedup_key is not None:
                 # dedup + fused composition (the fastest measured mode when
@@ -522,7 +546,7 @@ class BatchRenderer:
                                                   n_dist=nd,
                                                   lane512=self.lane512,
                                                   tail_tree=self.tail_tree,
-                                                  with_xfade=xf)
+                                                  with_xfade=xf, n_cf=ncf)
                 if self.mesh is not None:
                     from jax.experimental.shard_map import shard_map
 
@@ -679,6 +703,31 @@ class BatchRenderer:
             if u_pad * 2 > s * (min(self.chunk_blocks, b_total) + 1):
                 dedup_chunks = None
 
+        # sparse-crossfade planning (round 5; see renderer.render_plan):
+        # when every chunk's total crossfade count fits a small bucket,
+        # one no-crossfade-kernel + XLA-side-pass program covers every
+        # chunk.  Not yet wired through shard_map (cf rows are global) —
+        # meshless renders only.
+        sparse_ncf = None
+        if (
+            dedup_chunks is not None
+            and self.fused
+            and self.sparse_xfade
+            and self.mesh is None
+            and self.config.history_len % fpb == 0
+            and b_total
+        ):
+            max_ncf = max(
+                int(sum(p.xfade[st : min(st + self.chunk_blocks, b_total)].sum()
+                        for p in plans))
+                for st in range(0, b_total, self.chunk_blocks)
+            )
+            rows_c = s * min(self.chunk_blocks, b_total)
+            if 0 < max_ncf:
+                bucket = max(8, 1 << int(np.ceil(np.log2(max_ncf))))
+                if bucket <= rows_c // 8:
+                    sparse_ncf = bucket
+
         outs = []
         # fused variants disabled for the rest of THIS render on a
         # compile/runtime-stack failure; retried on the next render
@@ -722,9 +771,12 @@ class BatchRenderer:
             # must accumulate strikes independently of the full-size chunks
             # (otherwise success on one size resets the other's count and
             # the cap never engages)
+            # sparse program covers crossfading AND crossfade-free chunks
+            dxf = cxf and sparse_ncf is None
             if (
                 tb_f is not None and dedup_chunks is not None
-                and not self._variant_ok(("dedup_fused", nb, u_pad, tb_f, cxf))
+                and not self._variant_ok(
+                    ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf))
             ):
                 tb_f = None
             if tb_f is not None and dedup_chunks is not None:
@@ -737,13 +789,31 @@ class BatchRenderer:
                     reps = u_pad - uniq_idx.shape[0]
                     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
-                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f, xf=cxf)
+                fn = self._get_fn(nb, dedup_key=u_pad, fused_tb=tb_f, xf=dxf,
+                                  ncf=sparse_ncf)
                 rep = (
                     jnp.asarray
                     if self.mesh is None
                     else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
+                if sparse_ncf is not None:
+                    cfi = np.flatnonzero(args["xfade"].reshape(-1))
+                    if len(cfi) == 0:
+                        cfi = np.zeros(sparse_ncf, np.int64)
+                    elif len(cfi) < sparse_ncf:
+                        cfi = np.concatenate(
+                            [cfi, np.repeat(cfi[-1:], sparse_ncf - len(cfi))]
+                        )
+                    # dsel None + the cf operands (sparse is meshless-only,
+                    # so the shard_map in_specs never see these)
+                    cf_args = (
+                        None,
+                        jnp.asarray(cfi.astype(np.int32)),
+                        jnp.asarray(inv[:, :nb].reshape(-1)[cfi]),
+                    )
+                else:
+                    cf_args = ()
                 try:
                     y, hists = fn(
                         self._spectra,
@@ -753,18 +823,20 @@ class BatchRenderer:
                         rep(uniq_w),
                         # ext rows are [old_start, new_0..new_{nb-1}]:
                         # [:nb] is OLD-aligned (old[b] == new[b-1]),
-                        # [1:] the NEW rows (no-crossfade program),
+                        # [1:] the NEW rows (no-crossfade/sparse programs),
                         # [nb] is the final new row
                         self._shard(np.ascontiguousarray(
-                            inv[:, :nb] if cxf else inv[:, 1:]
+                            inv[:, :nb] if dxf else inv[:, 1:]
                         )),
                         self._shard(np.ascontiguousarray(inv[:, nb])),
                         sharded["xfade"],
                         sharded["u_hi"],
                         sharded["u_lo"],
                         sharded["inv_frac"],
+                        *cf_args,
                     )
-                    self._variant_result(("dedup_fused", nb, u_pad, tb_f, cxf), True)
+                    self._variant_result(
+                        ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf), True)
                     outs.append(np.asarray(y))
                     continue
                 except Exception as e:
@@ -773,11 +845,14 @@ class BatchRenderer:
                     if not _is_fused_fallback_error(e):
                         raise
                     fused_off = True
-                    self._jitted.pop((nb, u_pad, tb_f, False, None, None, cxf), None)
+                    self._jitted.pop(
+                        (nb, u_pad, tb_f, False, None, None, dxf, sparse_ncf),
+                        None)
                     _warn_fused_fallback(
                         e, "dedup+fused batch", "the XLA dedup batch path",
                         strikes=self._variant_result(
-                            ("dedup_fused", nb, u_pad, tb_f, cxf), False
+                            ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf),
+                            False
                         ),
                     )
                     # fall through to the XLA dedup dispatch for this chunk
@@ -886,7 +961,7 @@ class BatchRenderer:
                     fused_off = True
                     self._jitted.pop(
                         (nb, None, tb_f, onehot, group_tiles,
-                         nd if onehot else None, True), None)
+                         nd if onehot else None, True, None), None)
                     _warn_fused_fallback(
                         e, "one-hot batch" if onehot else "gather batch",
                         "the XLA batch path",

@@ -558,6 +558,72 @@ def _apply_maybe_full_fuse(
     )
 
 
+def _sparse_xfade_fix(
+    y, subs_all, cf_idx, g_old_cf, xfade, u_hi, u_lo, inv_frac,
+    *, config: EngineConfig, nb_seg: int,
+):
+    """Fix up the FEW crossfading rows of a no-crossfade kernel output.
+
+    The reference cadence (one position per 172 blocks,
+    precision_test.cu:2093-2148) puts 1-2 crossfades in every chunk, so the
+    chunk-level no-crossfade dispatch never fires — yet 99%+ of rows pay
+    the full double-tail cost for them.  This side-pass lets such chunks run
+    the no-crossfade kernel anyway: ``y`` holds the new-side tails for ALL
+    rows; the ``cf_idx`` rows (a small static bucket, padded by repeating a
+    real id) are then re-blended with an XLA-computed old-side tail:
+
+      * forward DFT for just those rows in the SLIDING sub-block form
+        (identical association to ops/fft.rfft_sliding_split and the
+        in-kernel forward — per-row contraction order is unchanged),
+      * distance ramp in the XLA op order (bit-identical to in-kernel),
+      * old-filter apply + tail-IDFT via the XLA chain (the error budget's
+        most accurate association),
+      * the reference crossfade formula, masked by each row's actual xfade
+        flag so padded/duplicate ids rewrite their unchanged y values.
+
+    subs_all: (S*(nb_seg + q - 1), fpb) per-source sub-block sample rows;
+    cf_idx are flattened (source*nb_seg + block) row ids.
+    """
+    fpb = config.frames_per_buffer
+    bins = config.num_bins
+    n = config.pad_len
+    q = n // fpb
+    p = jax.lax.Precision.HIGHEST
+    s_ids = cf_idx // nb_seg
+    base = cf_idx + s_ids * (q - 1)
+    win = base[:, None] + jnp.arange(q)[None, :]         # (ncf, q)
+    subs = subs_all[win]                                  # (ncf, q, fpb)
+    cr, ci = fft_ops._subblock_dft_matrices(n, fpb)
+    ncf = cf_idx.shape[0]
+    flat = subs.reshape(ncf * q, fpb)
+    pr = jnp.matmul(flat, jnp.asarray(cr), precision=p).reshape(ncf, q, bins)
+    pi = jnp.matmul(flat, jnp.asarray(ci), precision=p).reshape(ncf, q, bins)
+    twr, twi = fft_ops._sliding_twiddles(n, fpb)
+    xr, xi = pr[:, 0], pi[:, 0]
+    for m in range(1, q):
+        a, b = jnp.asarray(twr[m])[None, :], jnp.asarray(twi[m])[None, :]
+        xr = xr + (a * pr[:, m] - b * pi[:, m])
+        xi = xi + (a * pi[:, m] + b * pr[:, m])
+    dr, di = distance_factors_split(
+        u_hi[cf_idx], u_lo[cf_idx], inv_frac[cf_idx], bins
+    )
+    xdr, xdi = cmul(xr, xi, dr, di)
+    grl, gil, grr, gir = split_planes(g_old_cf, bins)
+    qs = [cmul(xdr, xdi, grl, gil), cmul(xdr, xdi, grr, gir)]
+    qr = jnp.stack([qq[0] for qq in qs])                  # (2, ncf, bins)
+    qi = jnp.stack([qq[1] for qq in qs])
+    y_old = fft_ops.irfft_tail_split(qr, qi, n, fpb)      # (2, ncf, fpb)
+    fn = jnp.arange(fpb, dtype=jnp.float32) / jnp.float32(fpb - 1)
+    y_new_cf = y[cf_idx]                                  # (ncf, 2*fpb)
+    mask = (xfade[cf_idx])[:, None]
+    cols = []
+    for c in range(2):
+        yn = y_new_cf[:, c * fpb : (c + 1) * fpb]
+        mixed = y_old[c] * (1.0 - fn) + yn * fn
+        cols.append(jnp.where(mask, mixed, yn))
+    return y.at[cf_idx].set(jnp.concatenate(cols, axis=1))
+
+
 def _fd_complex_chunk_dedup_fused(
     spectra,
     hist: jax.Array,
@@ -568,11 +634,13 @@ def _fd_complex_chunk_dedup_fused(
                           # (its NEW filters when not with_xfade)
     inv_last: jax.Array,  # (1,) unique-row id of the chunk's final new row
                           # (unused when not with_xfade)
-    xfade: jax.Array,     # (unused when not with_xfade)
+    xfade: jax.Array,     # (unused when not with_xfade, except sparse mode)
     u_hi: jax.Array,
     u_lo: jax.Array,
     inv_frac: jax.Array,
     dsel: jax.Array | None = None,
+    cf_idx: jax.Array | None = None,  # (n_cf,) crossfading row ids (sparse)
+    cf_old: jax.Array | None = None,  # (n_cf,) their OLD unique-row ids
     *,
     config: EngineConfig,
     num_blocks: int,
@@ -581,6 +649,7 @@ def _fd_complex_chunk_dedup_fused(
     lane512: bool | None = None,
     tail_tree: bool | None = None,
     with_xfade: bool = True,
+    n_cf: int | None = None,
 ):
     """Dedup + fused composition: blend only the unique rows, broadcast with
     one padded-row gather, and run the fused apply kernel.  Covers the
@@ -590,15 +659,27 @@ def _fd_complex_chunk_dedup_fused(
     ``with_xfade=False`` (round 5): the chunk has no crossfading block, so
     ``inv_old`` carries the NEW-row ids, the old-side gather disappears and
     the kernel runs the no-crossfade fast path (half the tail-IDFT MACs) —
-    bit-identical to the crossfade program on such chunks."""
+    bit-identical to the crossfade program on such chunks.
+
+    ``n_cf`` (round 5, sparse crossfades): the chunk DOES crossfade but on
+    at most n_cf rows (reference cadence: 1-2 per 256 blocks) — run the
+    no-crossfade kernel for ALL rows (inv_old = NEW ids again), then
+    re-blend just the ``cf_idx`` rows with an XLA-computed old-side tail
+    (see _sparse_xfade_fix).  One program handles every chunk of the
+    render, crossfading or not (padded ids are masked by their xfade
+    flag)."""
     fpb = config.frames_per_buffer
+    sparse = n_cf is not None
+    assert not (sparse and with_xfade), "sparse mode implies the no-crossfade kernel"
+    assert not (sparse and n_dist is not None), \
+        "sparse side-pass keeps per-row ramps (gather-form policy)"
     full = jnp.concatenate([hist, fed])
     new_hist = full[num_blocks * fpb :]
-    cat = cat_table(spectra)
+    cat0 = cat_table(spectra)
     lane512 = _resolve_lane512(lane512, config, gather=True)
     from ..pallas.fused_step import maybe_lane512
 
-    cat = maybe_lane512(cat, lane512, config.num_bins)
+    cat = maybe_lane512(cat0, lane512, config.num_bins)
     g_u = blend_cat(cat, uniq_idx, uniq_w)
     g_rows = jnp.take(g_u, inv_old, axis=0)
     if with_xfade:
@@ -611,6 +692,15 @@ def _fd_complex_chunk_dedup_fused(
         dsel=dsel, n_dist=n_dist, lane512=lane512,
         tail_tree=_resolve_tail_tree(tail_tree), with_xfade=with_xfade,
     )
+    if sparse:
+        # the side-pass applies filters in the classic plane layout
+        g_u0 = blend_cat(cat0, uniq_idx, uniq_w) if lane512 else g_u
+        y = _sparse_xfade_fix(
+            y, full.reshape(-1, fpb), cf_idx,
+            jnp.take(g_u0, cf_old, axis=0),
+            xfade, u_hi, u_lo, inv_frac,
+            config=config, nb_seg=num_blocks,
+        )
     return jnp.transpose(y.reshape(num_blocks, 2, fpb), (0, 2, 1)), new_hist
 
 
@@ -824,6 +914,7 @@ class Renderer:
         lane512: bool | None = None,
         fwd512: bool | None = None,
         tail_tree: bool | None = None,
+        sparse_xfade: bool = True,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
@@ -848,6 +939,9 @@ class Renderer:
         self.lane512 = lane512
         self.fwd512 = fwd512  # truncated-base forward (one-hot forms)
         self.tail_tree = tail_tree  # pairwise-tree tail-IDFT contraction
+        # sparse-crossfade side-pass (round 5): False forces the classic
+        # crossfade programs (A/Bs; scripts/bench_noxfade.py)
+        self.sparse_xfade = sparse_xfade
         if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError("Renderer mesh must be 1-D (block axis)")
@@ -891,10 +985,10 @@ class Renderer:
             with_xfade=xf,
         )
         self._fd_dedup_fused = {}
-        self._mk_fd_dedup_fused = lambda nb, tb, nd=None, xf=True: jit_chunk(
+        self._mk_fd_dedup_fused = lambda nb, tb, nd=None, xf=True, ncf=None: jit_chunk(
             _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb,
             n_dist=nd, lane512=self.lane512, tail_tree=self.tail_tree,
-            with_xfade=xf,
+            with_xfade=xf, n_cf=ncf,
         )
         self._fd_onehot = {}
         self._mk_fd_onehot = lambda nb, tb, nd=None: jit_chunk(
@@ -1072,6 +1166,29 @@ class Renderer:
             u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
             if u_pad * 2 > cb:  # not enough duplication to pay off
                 dedup_chunks = None
+
+        # sparse-crossfade planning (round 5): when every chunk's crossfade
+        # count fits a small static bucket (reference cadence: 1-2 per 256
+        # blocks), ONE no-crossfade-kernel + XLA-side-pass program covers
+        # every chunk of the render — crossfading or not (masked ids) —
+        # instead of paying double tails on 99% of rows.  Render-wide max
+        # so the whole render compiles one program.
+        sparse_ncf = None
+        if (
+            dedup_chunks is not None
+            and self.fused
+            and self.sparse_xfade
+            and cfg.history_len % fpb == 0
+            and b_total
+        ):
+            max_ncf = max(
+                int(plan.xfade[start : min(start + cb, b_total)].sum())
+                for start in range(0, b_total, cb)
+            )
+            if 0 < max_ncf:
+                bucket = max(8, 1 << int(np.ceil(np.log2(max_ncf))))
+                if bucket <= cb // 8:
+                    sparse_ncf = bucket
 
         # render-wide one-hot geometry: one U_pad bucket (single compiled
         # program per render) and per-group tables for wide movers — see
@@ -1274,23 +1391,41 @@ class Renderer:
                         reps = u_pad - uniq_idx.shape[0]
                         uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, axis=0)])
                         uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, axis=0)])
-                    # crossfade-free chunks run the no-crossfade program
-                    dxf = cxf
+                    # crossfade-free chunks run the no-crossfade program;
+                    # a render whose crossfades are SPARSE (sparse_ncf set)
+                    # runs the no-crossfade kernel everywhere with an XLA
+                    # side-pass fixing the few crossfading rows — one
+                    # program for the whole render
+                    dxf = cxf and sparse_ncf is None
                     tb_df = (
                         pick_fused_tile(cb, cb)
                         if self.fused and "dedup" not in fused_off
                         else None
                     )
                     if tb_df is not None:
-                        dkey = ("dedup", cb, u_pad, tb_df, dxf)
+                        dkey = ("dedup", cb, u_pad, tb_df, dxf, sparse_ncf)
                         if not self._variant_ok(dkey):
                             tb_df = None
                     if tb_df is not None:  # dedup + fused composition
-                        key = (cb, u_pad, tb_df, dxf)
+                        key = (cb, u_pad, tb_df, dxf, sparse_ncf)
                         if key not in self._fd_dedup_fused:
                             self._fd_dedup_fused[key] = self._mk_fd_dedup_fused(
-                                cb, tb_df, xf=dxf
+                                cb, tb_df, xf=dxf, ncf=sparse_ncf
                             )
+                        if sparse_ncf is not None:
+                            cfi = np.flatnonzero(plan.xfade[sl])
+                            if len(cfi) == 0:
+                                cfi = np.zeros(sparse_ncf, np.int64)
+                            elif len(cfi) < sparse_ncf:
+                                cfi = np.concatenate(
+                                    [cfi, np.repeat(cfi[-1:], sparse_ncf - len(cfi))]
+                                )
+                            cf_args = (
+                                jnp.asarray(cfi.astype(np.int32)),
+                                jnp.asarray(inv[:cb][cfi]),
+                            )
+                        else:
+                            cf_args = ()
                         try:
                             y, hist = self._fd_dedup_fused[key](
                                 self._spectra,
@@ -1306,6 +1441,8 @@ class Renderer:
                                 pad(plan.u_hi[sl], nb),
                                 pad(plan.u_lo[sl], nb),
                                 pad(plan.inv_frac[sl], nb),
+                                None,
+                                *cf_args,
                             )
                             self._variant_result(dkey, True)
                             out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]

@@ -130,6 +130,103 @@ def bench_shape(cfg, db, s, nb, reps=30):
             "speedup": sp, "max_diff": float(d)}
 
 
+def bench_sparse(cfg, db, reps=30):
+    """Sparse-crossfade side-pass on the REFERENCE-cadence workload: one
+    source, 8192-block chunks, position steps every 172 blocks (48
+    crossfading rows per chunk) — the single-source dedup+fused chunk fn,
+    crossfade program vs no-crossfade kernel + XLA side-pass."""
+    import functools
+
+    from jefferson_tpu.engine.plan import dedup_rows, fed_stream, make_plan
+    from jefferson_tpu.engine.renderer import (
+        _fd_complex_chunk_dedup_fused,
+        pick_fused_tile,
+    )
+    from jefferson_tpu.trajectory.trajectory import AzimuthSweep
+
+    nb = 8192
+    traj = AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5.0,
+                        blocks_per_step=172, num_steps=nb // 172)
+    plan = make_plan(traj.sample(nb, cfg), cfg, initial_old=(0.0, 0.0))
+    ncf = int(plan.xfade.sum())
+    n_cf = max(8, 1 << int(np.ceil(np.log2(ncf))))
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(nb * cfg.frames_per_buffer) * 0.2).astype(np.float32)
+    fed = jnp.asarray(fed_stream(sig, nb, cfg))
+    hist = jnp.zeros(cfg.history_len, jnp.float32)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    ext_idx = np.concatenate([plan.idx_old[:1], plan.idx_new])
+    ext_w = np.concatenate([plan.w_old[:1], plan.w_new])
+    uniq_idx, uniq_w, inv = dedup_rows(ext_idx, ext_w)
+    u = uniq_idx.shape[0]
+    u_pad = max(8, 1 << int(np.ceil(np.log2(u))))
+    uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], u_pad - u, 0)])
+    uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], u_pad - u, 0)])
+    tb = pick_fused_tile(nb, nb)
+    print(f"--- 1x{nb} reference cadence: {ncf} crossfades (bucket {n_cf}), "
+          f"{u} unique rows (pad {u_pad}), tb={tb}", file=sys.stderr)
+
+    cfi = np.flatnonzero(plan.xfade)
+    cfi = np.concatenate([cfi, np.repeat(cfi[-1:], n_cf - len(cfi))])
+    uq, uw = jnp.asarray(uniq_idx), jnp.asarray(uniq_w)
+    tail = (jnp.asarray(plan.xfade), jnp.asarray(plan.u_hi),
+            jnp.asarray(plan.u_lo), jnp.asarray(plan.inv_frac))
+    mk = lambda **kw: jax.jit(functools.partial(
+        _fd_complex_chunk_dedup_fused, config=cfg, num_blocks=nb, tb=tb, **kw))
+    arms = {
+        "xfade ": (mk(), (uq, uw, jnp.asarray(inv[:nb]),
+                          jnp.asarray(inv[nb : nb + 1]), *tail)),
+        "sparse": (mk(with_xfade=False, n_cf=n_cf),
+                   (uq, uw, jnp.asarray(inv[1 : nb + 1]),
+                    jnp.asarray(inv[nb : nb + 1]), *tail, None,
+                    jnp.asarray(cfi.astype(np.int32)),
+                    jnp.asarray(inv[:nb][cfi]))),
+    }
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+    outs = {}
+    for label, (fn, a) in arms.items():
+        t0 = time.time()
+        out, h = fn(spectra, hist, fed, *a)
+        float(probe(out, h))
+        outs[label] = np.asarray(out)
+        print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    d = np.abs(outs["xfade "] - outs["sparse"]).max()
+    print(f"sparse vs crossfade program: max|diff| = {d:.3e} "
+          f"(XLA old-tail on the {ncf} crossfading rows only)", file=sys.stderr)
+
+    def run(fn, a, k):
+        hh = hist
+        t0 = time.time()
+        for _ in range(k):
+            out, hh = fn(spectra, hh, fed, *a)
+        float(probe(out, hh))
+        return time.time() - t0
+
+    def slope(label):
+        fn, a = arms[label]
+        run(fn, a, 3)
+        t_s, t_l = run(fn, a, 3), run(fn, a, 3 + reps)
+        return (t_l - t_s) / reps
+
+    order = ["xfade ", "sparse", "sparse", "xfade "]
+    times = {"xfade ": [], "sparse": []}
+    for label in order:
+        times[label].append(slope(label))
+    per = {k: sum(v) / len(v) for k, v in times.items()}
+    for k, v in times.items():
+        print(f"{k}: {per[k]*1e3:.3f} ms/step (runs: "
+              + ", ".join(f"{x*1e3:.3f}" for x in v)
+              + f") = {nb/per[k]:,.0f} blocks/s", file=sys.stderr)
+    sp = per["xfade "] / per["sparse"]
+    print(f"sparse speedup: {sp:.3f}x", file=sys.stderr)
+    return {"workload": "reference-cadence 8192", "n_cf": n_cf, "tb": tb,
+            "ms_xfade": per["xfade "] * 1e3, "ms_sparse": per["sparse"] * 1e3,
+            "speedup": sp, "max_diff": float(d)}
+
+
 def main() -> int:
     sys.path.insert(0, ".")
     from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
@@ -140,6 +237,7 @@ def main() -> int:
     results = [
         bench_shape(cfg, db, 128, 64),
         bench_shape(cfg, db, 128, 512, reps=6),
+        bench_sparse(cfg, db),
     ]
     import json
 

@@ -161,7 +161,9 @@ def test_renderer_hold_uses_noxfade_programs(db, config):
     want = render_oracle(sig, db, [tuple(p) for p in pos], config)
     rep = precision_check(got, want, eps=2e-7)
     assert rep.ok, str(rep)
-    xfs = {k[-1] for k in r._fd_dedup_fused}
+    # chunk_blocks=32 is below the sparse-bucket threshold (bucket 8 >
+    # 32//8), so the render splits into crossfade + no-crossfade programs
+    xfs = {k[3] for k in r._fd_dedup_fused}
     assert xfs == {True, False}, (
         f"hold render must compile both variants, got keys {list(r._fd_dedup_fused)}"
     )
@@ -178,7 +180,7 @@ def test_renderer_noxfade_only_render(db, config):
     want = render_oracle(sig, db, [tuple(p) for p in pos], config, initial_old=None)
     rep = precision_check(got, want, eps=2e-7)
     assert rep.ok, str(rep)
-    assert {k[-1] for k in r._fd_dedup_fused} == {False}
+    assert {(k[3], k[4]) for k in r._fd_dedup_fused} == {(False, None)}
 
 
 def test_renderer_gather_noxfade(db, config):
@@ -208,8 +210,9 @@ def test_batch_hold_scene_noxfade(db, config):
     signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
     br = BatchRenderer(db, config, chunk_blocks=32, fused=True, dedup=True)
     out = br.render(signals, positions)
-    xfs = {k[-1] for k in br._jitted}
-    assert xfs == {True, False}, list(br._jitted)
+    # 4 sources x 32-block chunks: 4 block-0 crossfades fit the sparse
+    # bucket (8 <= 128//8), so ONE sparse program covers every chunk
+    assert {(k[6], k[7]) for k in br._jitted} == {(False, 8)}, list(br._jitted)
     for i in range(s):
         want = render_oracle(
             signals[i], db, [tuple(p) for p in positions[i]], config
@@ -240,8 +243,61 @@ def test_batch_hold_scene_noxfade_sharded(db, config):
     br_1 = BatchRenderer(db, config, chunk_blocks=32, fused=True)
     out_m = br_m.render(signals, positions)
     out_1 = br_1.render(signals, positions)
-    assert {k[-1] for k in br_m._jitted} == {True, False}
-    assert np.array_equal(out_m, out_1)
+    # sparse is meshless-only: the sharded render splits into the two
+    # chunk-level variants instead (the meshless one runs the sparse
+    # program, whose crossfading rows use the XLA old-side tail — ulp-level
+    # deltas on the block-0 samples only)
+    assert {k[6] for k in br_m._jitted} == {True, False}
+    d = np.abs(out_m - out_1)
+    assert d.max() < 5e-7, d.max()
+    fpb = config.frames_per_buffer
+    assert np.array_equal(out_m[:, fpb:], out_1[:, fpb:])
+
+
+def test_sparse_xfade_reference_cadence(db, config):
+    """Reference-cadence render (position steps every hold blocks, so EVERY
+    chunk crossfades on 1-2 rows): the sparse program — no-crossfade kernel
+    + XLA side-pass — covers all chunks and stays on the oracle."""
+    rng = np.random.default_rng(9)
+    B, hold, cb = 512, 86, 256
+    step = np.arange(B) // hold
+    pos = np.stack([(5.0 * step) % 360.0, np.full(B, 0.0), np.full(B, 1.0)], 1)
+    sig = (rng.standard_normal(B * config.frames_per_buffer) * 0.2).astype(np.float32)
+    r = Renderer(db, config, chunk_blocks=cb, fused=True)
+    got = r.render(sig, pos)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
+    keys = list(r._fd_dedup_fused)
+    assert keys and all(k[3] is False and k[4] == 8 for k in keys), keys
+    # and vs the forced crossfade-program render: identical off-crossfade
+    r2 = Renderer(db, config, chunk_blocks=cb, fused=False)
+    want2 = r2.render(sig, pos)
+    assert np.abs(got - want2).max() < 5e-7
+
+
+def test_sparse_xfade_batched_cadence(db, config):
+    """Batched form of the same cadence: per-source 86-block holds."""
+    s, B, cb = 4, 256, 128
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(10)
+    step = np.arange(B) // 86
+    positions = np.stack([
+        np.stack([(30.0 * i + 5.0 * step) % 360.0, np.full(B, 5.0),
+                  np.full(B, 1.0)], 1)
+        for i in range(s)
+    ])
+    signals = (rng.standard_normal((s, B * fpb)) * 0.2).astype(np.float32)
+    br = BatchRenderer(db, config, chunk_blocks=cb, fused=True)
+    out = br.render(signals, positions)
+    ks = [k for k in br._jitted if k[1] is not None and k[2] is not None]
+    assert ks and all(k[6] is False and k[7] == 8 for k in ks), list(br._jitted)
+    for i in range(s):
+        want = render_oracle(
+            signals[i], db, [tuple(p) for p in positions[i]], config
+        )
+        rep = precision_check(out[i], want, eps=2e-7)
+        assert rep.ok, f"source {i}: {rep}"
 
 
 def test_mixed_mover_keeps_crossfade_program(db, config):
@@ -259,4 +315,4 @@ def test_mixed_mover_keeps_crossfade_program(db, config):
     signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
     br = BatchRenderer(db, config, chunk_blocks=32, fused=True)
     br.render(signals, positions)
-    assert {k[-1] for k in br._jitted} == {True}, list(br._jitted)
+    assert {(k[6], k[7]) for k in br._jitted} == {(True, None)}, list(br._jitted)
