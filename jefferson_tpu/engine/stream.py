@@ -64,6 +64,25 @@ def _block_step(spec_r, spec_i, hist, block, idx_new, w_new, idx_old, w_old, xfa
     return jnp.transpose(out, (1, 0)), new_hist
 
 
+def _block_step_noxf(spec_r, spec_i, hist, block, idx_new, w_new, u_hi, u_lo,
+                     inv_frac, *, config: EngineConfig):
+    """No-crossfade single-block step (round 5): the live loop knows per
+    block whether the position changed BEFORE dispatch, and most live
+    blocks hold — this variant computes only the new-side filter apply
+    (half the per-block tail/apply FLOPs).  Output is bit-identical to
+    _block_step with xfade=False (there out = where(False, ..., y_new))."""
+    seg = jnp.concatenate([hist, block])
+    xr, xi = fft_ops.rfft_split(seg[None, :], config.pad_len)
+    dr, di = distance_factors_split(u_hi[None], u_lo[None], inv_frac[None], config.num_bins)
+    dr, di = dr[:, None, :], di[:, None, :]
+    gr, gi = blend_filters_split(spec_r, spec_i, idx_new[None], w_new[None])
+    pr, pi = cmul(xr[:, None, :], xi[:, None, :], gr, gi)
+    qr, qi = cmul(pr, pi, dr, di)
+    y = fft_ops.irfft_tail_split(qr, qi, config.pad_len, config.frames_per_buffer)[0]
+    new_hist = seg[config.frames_per_buffer :]
+    return jnp.transpose(y, (1, 0)), new_hist
+
+
 _SPECTRA_CACHE: "weakref.WeakValueDictionary | dict" = {}
 
 
@@ -104,6 +123,14 @@ def _jitted_block_step(config: EngineConfig):
     the memo key is the config itself; distinct configs still get their
     own program."""
     return jax.jit(functools.partial(_block_step, config=config))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_block_step_noxf(config: EngineConfig):
+    """Shared no-crossfade block step (see _jitted_block_step — same
+    one-program-per-config serving discipline; TWO bounded programs per
+    config total, not per session)."""
+    return jax.jit(functools.partial(_block_step_noxf, config=config))
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -178,6 +205,7 @@ class StreamingSpatializer:
         self._spec_r, self._spec_i = _device_spectra(db)  # shared per db
         self._hist = jnp.zeros(self.config.history_len, dtype=jnp.float32)
         self._step = _jitted_block_step(self.config)  # shared across sessions
+        self._step_nx = _jitted_block_step_noxf(self.config)
         # reference constructor state (Jefferson/src/SoundSource.cu:3-16)
         self.azi = _F32(0.0)
         self.ele = _F32(0.0)
@@ -274,6 +302,18 @@ class StreamingSpatializer:
             jnp.asarray(inv_frac[0]),
         )
         np.asarray(out)  # force completion
+        out, _ = self._step_nx(  # the steady-state (non-crossfading) program
+            self._spec_r,
+            self._spec_i,
+            self._hist,
+            jnp.zeros(cfg.frames_per_buffer, jnp.float32),
+            jnp.asarray(cn.indices[0]),
+            jnp.asarray(cn.weights[0]),
+            jnp.asarray(u_hi[0]),
+            jnp.asarray(u_lo[0]),
+            jnp.asarray(inv_frac[0]),
+        )
+        np.asarray(out)
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """Push frames_per_buffer mono samples -> (fpb, 2) float32 stereo."""
@@ -282,7 +322,6 @@ class StreamingSpatializer:
         if block.shape != (cfg.frames_per_buffer,):
             raise ValueError(f"block must be ({cfg.frames_per_buffer},), got {block.shape}")
         idx_n, w_n = self._interp(self.ele, self.azi)
-        idx_o, w_o = self._interp(self.old_ele, self.old_azi)
         xfade = bool(self.old_azi != self.azi or self.old_ele != self.ele)
         self.crossfades += int(xfade)
         # key on the full position: the float32 xyz roundtrip makes the
@@ -290,20 +329,36 @@ class StreamingSpatializer:
         u_hi, u_lo, inv_frac = self._distance(
             (float(self.azi), float(self.ele), float(self.r))
         )
-        out, self._hist = self._step(
-            self._spec_r,
-            self._spec_i,
-            self._hist,
-            jnp.asarray(block),
-            idx_n,
-            w_n,
-            idx_o,
-            w_o,
-            jnp.asarray(xfade),
-            u_hi,
-            u_lo,
-            inv_frac,
-        )
+        if xfade:
+            idx_o, w_o = self._interp(self.old_ele, self.old_azi)
+            out, self._hist = self._step(
+                self._spec_r,
+                self._spec_i,
+                self._hist,
+                jnp.asarray(block),
+                idx_n,
+                w_n,
+                idx_o,
+                w_o,
+                jnp.asarray(xfade),
+                u_hi,
+                u_lo,
+                inv_frac,
+            )
+        else:
+            # steady state (most live blocks): the no-crossfade step skips
+            # the old-side filter apply entirely — bit-identical output
+            out, self._hist = self._step_nx(
+                self._spec_r,
+                self._spec_i,
+                self._hist,
+                jnp.asarray(block),
+                idx_n,
+                w_n,
+                u_hi,
+                u_lo,
+                inv_frac,
+            )
         self.old_azi, self.old_ele = self.azi, self.ele
         out = np.asarray(out)
         if np.any(np.abs(out) > 1.0):

@@ -42,22 +42,31 @@ def main() -> int:
     print(f"prime (compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
     n = 200
-    times = np.empty(n)
-    for i in range(n):
-        # orbit: position changes every block (crossfade path, worst case)
-        spat.set_position(azi=(i * 3) % 360, ele=10, r=1.0)
-        t0 = time.perf_counter()
-        spat.process_block(blk)  # includes the device->host fetch
-        times[i] = time.perf_counter() - t0
-    ms = times * 1e3
     budget = 1e3 * cfg.block_duration
-    print(
-        f"{jax.devices()[0].platform}: {n} live blocks — avg {ms.mean():.3f} ms, "
-        f"p50 {np.percentile(ms,50):.3f}, p99 {np.percentile(ms,99):.3f}, "
-        f"max {ms.max():.3f} vs {budget:.3f} ms budget "
-        f"({(ms > budget).sum()} misses, {100*(ms>budget).mean():.1f}%)",
-        file=sys.stderr,
-    )
+
+    def loop(label, move):
+        times = np.empty(n)
+        for i in range(n):
+            if move:
+                # orbit: position changes every block (crossfade worst case)
+                spat.set_position(azi=(i * 3) % 360, ele=10, r=1.0)
+            t0 = time.perf_counter()
+            spat.process_block(blk)  # includes the device->host fetch
+            times[i] = time.perf_counter() - t0
+        ms = times * 1e3
+        print(
+            f"{jax.devices()[0].platform} {label}: {n} live blocks — "
+            f"avg {ms.mean():.3f} ms, "
+            f"p50 {np.percentile(ms,50):.3f}, p99 {np.percentile(ms,99):.3f}, "
+            f"max {ms.max():.3f} vs {budget:.3f} ms budget "
+            f"({(ms > budget).sum()} misses, {100*(ms>budget).mean():.1f}%)",
+            file=sys.stderr,
+        )
+
+    loop("mover", move=True)
+    # steady state: most live blocks hold position -> the no-crossfade
+    # block step (round 5) skips the old-side filter apply entirely
+    loop("hold ", move=False)
     return 0
 
 

@@ -300,6 +300,35 @@ def test_sparse_xfade_batched_cadence(db, config):
         assert rep.ok, f"source {i}: {rep}"
 
 
+def test_live_block_step_noxfade_bit_identical(db, config):
+    """StreamingSpatializer dispatches the no-crossfade block step on hold
+    blocks — bit-identical to always running the crossfade step."""
+    from jefferson_tpu.engine import stream as st
+
+    rng = np.random.default_rng(11)
+    sp = st.StreamingSpatializer(db, config)
+    legacy = st._jitted_block_step(config)
+    hist2 = jnp.zeros(config.history_len, jnp.float32)
+    old2 = (np.float32(0.0), np.float32(0.0))
+    for i in range(20):
+        blk = (rng.standard_normal(config.frames_per_buffer) * 0.2).astype(np.float32)
+        if i % 7 == 0:
+            sp.set_position(azi=15.0 * i % 360)
+        azi, ele = sp.azi, sp.ele
+        idx_n, w_n = sp._interp(ele, azi)
+        idx_o, w_o = sp._interp(old2[1], old2[0])
+        xf = bool(old2[0] != azi or old2[1] != ele)
+        uh, ul, df = sp._distance((float(azi), float(ele), float(sp.r)))
+        want, hist2 = legacy(
+            sp._spec_r, sp._spec_i, hist2, jnp.asarray(blk),
+            idx_n, w_n, idx_o, w_o, jnp.asarray(xf), uh, ul, df,
+        )
+        old2 = (azi, ele)
+        got = sp.process_block(blk)
+        assert np.array_equal(got, np.asarray(want)), f"block {i}"
+    assert sp.crossfades >= 2
+
+
 def test_mixed_mover_keeps_crossfade_program(db, config):
     """A scene whose every chunk crossfades compiles ONLY crossfade
     programs (no variant explosion on movers)."""
