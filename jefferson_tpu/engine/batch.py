@@ -350,12 +350,19 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
                 tail_tree=tail_tree, with_xfade=with_xfade,
             )
         if sparse:
-            g_u0 = blend_cat(cat0, uniq_idx, uniq_w) if lane512 else g_u
+            # classic-layout blend of ONLY the n_cf old rows (see the
+            # single-source form); in the fused_apply fallback branch the
+            # forward planes already exist for all rows — gather them
+            # instead of recomputing (bit-identical, same association)
+            g_old_cf = blend_cat(cat0, jnp.take(uniq_idx, cf_old, axis=0),
+                                 jnp.take(uniq_w, cf_old, axis=0))
+            have_planes = tb % num_blocks != 0
             y = _sparse_xfade_fix(
-                y, streams.reshape(-1, fpb), cf_idx,
-                jnp.take(g_u0, cf_old, axis=0),
+                y, streams.reshape(-1, fpb), cf_idx, g_old_cf,
                 flat(xfade), flat(u_hi), flat(u_lo), flat(inv_frac),
                 config=config, nb_seg=num_blocks,
+                xr_cf=flat(xr)[cf_idx] if have_planes else None,
+                xi_cf=flat(xi)[cf_idx] if have_planes else None,
             )
         out = jnp.transpose(y.reshape(s, num_blocks, 2, fpb), (0, 1, 3, 2))
         return out, new_hists
@@ -708,6 +715,8 @@ class BatchRenderer:
         # one no-crossfade-kernel + XLA-side-pass program covers every
         # chunk.  Not yet wired through shard_map (cf rows are global) —
         # meshless renders only.
+        from .renderer import _pad_cf_indices, _sparse_bucket
+
         sparse_ncf = None
         if (
             dedup_chunks is not None
@@ -722,11 +731,17 @@ class BatchRenderer:
                         for p in plans))
                 for st in range(0, b_total, self.chunk_blocks)
             )
-            rows_c = s * min(self.chunk_blocks, b_total)
-            if 0 < max_ncf:
-                bucket = max(8, 1 << int(np.ceil(np.log2(max_ncf))))
-                if bucket <= rows_c // 8:
-                    sparse_ncf = bucket
+            sparse_ncf = _sparse_bucket(max_ncf, s * min(self.chunk_blocks, b_total))
+
+        # per-chunk crossfade flags with the renderer's amortization guard:
+        # a lone crossfade-free chunk is not worth a second remote compile
+        chunk_xfs = [
+            bool(any(p.xfade[st : min(st + self.chunk_blocks, b_total)].any()
+                     for p in plans))
+            for st in range(0, b_total, self.chunk_blocks)
+        ]
+        if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
+            chunk_xfs = [True] * len(chunk_xfs)
 
         outs = []
         # fused variants disabled for the rest of THIS render on a
@@ -757,7 +772,7 @@ class BatchRenderer:
             # per-chunk crossfade flag (round 5): crossfade-free chunks
             # (hold scenes past chunk 0) use the no-crossfade programs —
             # half the tail-IDFT MACs, no old-side rows, bit-identical
-            cxf = bool(args["xfade"].any())
+            cxf = chunk_xfs[ci] if chunk_xfs else True
             if self.fused and not fused_off:
                 from .renderer import pick_fused_tile
 
@@ -798,13 +813,7 @@ class BatchRenderer:
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 if sparse_ncf is not None:
-                    cfi = np.flatnonzero(args["xfade"].reshape(-1))
-                    if len(cfi) == 0:
-                        cfi = np.zeros(sparse_ncf, np.int64)
-                    elif len(cfi) < sparse_ncf:
-                        cfi = np.concatenate(
-                            [cfi, np.repeat(cfi[-1:], sparse_ncf - len(cfi))]
-                        )
+                    cfi = _pad_cf_indices(args["xfade"].reshape(-1), sparse_ncf)
                     # dsel None + the cf operands (sparse is meshless-only,
                     # so the shard_map in_specs never see these)
                     cf_args = (

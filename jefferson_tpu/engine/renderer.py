@@ -558,9 +558,31 @@ def _apply_maybe_full_fuse(
     )
 
 
+def _sparse_bucket(max_ncf: int, rows: int) -> int | None:
+    """Static cf-row bucket for the sparse-crossfade side-pass, or None
+    when the crossfades are too dense for it to pay (bucket > rows/8).
+    THE single policy — renderer and BatchRenderer both plan with it."""
+    if max_ncf <= 0:
+        return None
+    bucket = max(8, 1 << int(np.ceil(np.log2(max_ncf))))
+    return bucket if bucket <= rows // 8 else None
+
+
+def _pad_cf_indices(xfade_rows: np.ndarray, bucket: int) -> np.ndarray:
+    """Crossfading-row ids padded to ``bucket`` by repeating the last real
+    id (duplicates scatter identical values; an all-hold chunk pads with
+    id 0, masked by its False xfade flag)."""
+    cfi = np.flatnonzero(xfade_rows)
+    if len(cfi) == 0:
+        return np.zeros(bucket, np.int64)
+    if len(cfi) < bucket:
+        cfi = np.concatenate([cfi, np.repeat(cfi[-1:], bucket - len(cfi))])
+    return cfi
+
+
 def _sparse_xfade_fix(
     y, subs_all, cf_idx, g_old_cf, xfade, u_hi, u_lo, inv_frac,
-    *, config: EngineConfig, nb_seg: int,
+    *, config: EngineConfig, nb_seg: int, xr_cf=None, xi_cf=None,
 ):
     """Fix up the FEW crossfading rows of a no-crossfade kernel output.
 
@@ -582,28 +604,34 @@ def _sparse_xfade_fix(
         flag so padded/duplicate ids rewrite their unchanged y values.
 
     subs_all: (S*(nb_seg + q - 1), fpb) per-source sub-block sample rows;
-    cf_idx are flattened (source*nb_seg + block) row ids.
+    cf_idx are flattened (source*nb_seg + block) row ids.  When the caller
+    already materialized the forward planes for all rows (the fused_apply
+    fallback branch), pass their cf gathers as ``xr_cf``/``xi_cf`` and the
+    recompute is skipped (bit-identical values, same association).
     """
     fpb = config.frames_per_buffer
     bins = config.num_bins
     n = config.pad_len
     q = n // fpb
     p = jax.lax.Precision.HIGHEST
-    s_ids = cf_idx // nb_seg
-    base = cf_idx + s_ids * (q - 1)
-    win = base[:, None] + jnp.arange(q)[None, :]         # (ncf, q)
-    subs = subs_all[win]                                  # (ncf, q, fpb)
-    cr, ci = fft_ops._subblock_dft_matrices(n, fpb)
-    ncf = cf_idx.shape[0]
-    flat = subs.reshape(ncf * q, fpb)
-    pr = jnp.matmul(flat, jnp.asarray(cr), precision=p).reshape(ncf, q, bins)
-    pi = jnp.matmul(flat, jnp.asarray(ci), precision=p).reshape(ncf, q, bins)
-    twr, twi = fft_ops._sliding_twiddles(n, fpb)
-    xr, xi = pr[:, 0], pi[:, 0]
-    for m in range(1, q):
-        a, b = jnp.asarray(twr[m])[None, :], jnp.asarray(twi[m])[None, :]
-        xr = xr + (a * pr[:, m] - b * pi[:, m])
-        xi = xi + (a * pi[:, m] + b * pr[:, m])
+    if xr_cf is not None:
+        xr, xi = xr_cf, xi_cf
+    else:
+        s_ids = cf_idx // nb_seg
+        base = cf_idx + s_ids * (q - 1)
+        win = base[:, None] + jnp.arange(q)[None, :]      # (ncf, q)
+        subs = subs_all[win]                              # (ncf, q, fpb)
+        cr, ci = fft_ops._subblock_dft_matrices(n, fpb)
+        ncf = cf_idx.shape[0]
+        flat = subs.reshape(ncf * q, fpb)
+        pr = jnp.matmul(flat, jnp.asarray(cr), precision=p).reshape(ncf, q, bins)
+        pi = jnp.matmul(flat, jnp.asarray(ci), precision=p).reshape(ncf, q, bins)
+        twr, twi = fft_ops._sliding_twiddles(n, fpb)
+        xr, xi = pr[:, 0], pi[:, 0]
+        for m in range(1, q):
+            a, b = jnp.asarray(twr[m])[None, :], jnp.asarray(twi[m])[None, :]
+            xr = xr + (a * pr[:, m] - b * pi[:, m])
+            xi = xi + (a * pi[:, m] + b * pr[:, m])
     dr, di = distance_factors_split(
         u_hi[cf_idx], u_lo[cf_idx], inv_frac[cf_idx], bins
     )
@@ -693,11 +721,13 @@ def _fd_complex_chunk_dedup_fused(
         tail_tree=_resolve_tail_tree(tail_tree), with_xfade=with_xfade,
     )
     if sparse:
-        # the side-pass applies filters in the classic plane layout
-        g_u0 = blend_cat(cat0, uniq_idx, uniq_w) if lane512 else g_u
+        # the side-pass applies filters in the classic plane layout: blend
+        # ONLY the n_cf old rows it needs (bit-identical to taking them
+        # from a full-table blend — per-row op order is unchanged)
+        g_old_cf = blend_cat(cat0, jnp.take(uniq_idx, cf_old, axis=0),
+                             jnp.take(uniq_w, cf_old, axis=0))
         y = _sparse_xfade_fix(
-            y, full.reshape(-1, fpb), cf_idx,
-            jnp.take(g_u0, cf_old, axis=0),
+            y, full.reshape(-1, fpb), cf_idx, g_old_cf,
             xfade, u_hi, u_lo, inv_frac,
             config=config, nb_seg=num_blocks,
         )
@@ -1185,10 +1215,19 @@ class Renderer:
                 int(plan.xfade[start : min(start + cb, b_total)].sum())
                 for start in range(0, b_total, cb)
             )
-            if 0 < max_ncf:
-                bucket = max(8, 1 << int(np.ceil(np.log2(max_ncf))))
-                if bucket <= cb // 8:
-                    sparse_ncf = bucket
+            sparse_ncf = _sparse_bucket(max_ncf, cb)
+
+        # per-chunk crossfade flags, with an amortization guard: a SECOND
+        # program variant costs an uncached remote compile (20 s - 5 min),
+        # so the no-crossfade variant is only elected when at least two
+        # chunks would use it (a lone crossfade-free chunk rides the
+        # crossfade program; whole-render no-crossfade always qualifies)
+        chunk_xfs = [
+            bool(plan.xfade[start : min(start + cb, b_total)].any())
+            for start in range(0, b_total, cb)
+        ]
+        if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
+            chunk_xfs = [True] * len(chunk_xfs)
 
         # render-wide one-hot geometry: one U_pad bucket (single compiled
         # program per render) and per-group tables for wide movers — see
@@ -1220,8 +1259,9 @@ class Renderer:
             # crossfading render (hold workloads crossfade only at block 0)
             # dispatch to the no-crossfade program variants — half the
             # tail-IDFT MACs and no old-side blend rows, bit-identical on
-            # such chunks.  At most TWO programs per render per path.
-            cxf = bool(plan.xfade[sl].any())
+            # such chunks.  At most TWO programs per render per path (see
+            # the amortization guard above).
+            cxf = chunk_xfs[start // cb] if chunk_xfs else True
             if ptype in (ProcessType.TPU_FD_COMPLEX, ProcessType.CPU_FD_COMPLEX):
                 # movers path: one-hot compact-table kernel (zero filter
                 # gathers) — needs aligned geometry, the crossfade form, and
@@ -1413,13 +1453,7 @@ class Renderer:
                                 cb, tb_df, xf=dxf, ncf=sparse_ncf
                             )
                         if sparse_ncf is not None:
-                            cfi = np.flatnonzero(plan.xfade[sl])
-                            if len(cfi) == 0:
-                                cfi = np.zeros(sparse_ncf, np.int64)
-                            elif len(cfi) < sparse_ncf:
-                                cfi = np.concatenate(
-                                    [cfi, np.repeat(cfi[-1:], sparse_ncf - len(cfi))]
-                                )
+                            cfi = _pad_cf_indices(plan.xfade[sl], sparse_ncf)
                             cf_args = (
                                 jnp.asarray(cfi.astype(np.int32)),
                                 jnp.asarray(inv[:cb][cfi]),

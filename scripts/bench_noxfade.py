@@ -70,6 +70,7 @@ def bench_shape(cfg, db, s, nb, reps=30):
     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], u_pad - u, 0)])
     inv = inv.reshape(s, nb + 1)
     tb = pick_fused_tile(s * nb, nb)
+    assert tb is not None, f"no fused tile for ({s}x{nb}) — pick other shapes"
     path = "fused_step" if tb % nb == 0 else "fused_apply fallback"
     print(f"--- {s}x{nb}, {u} unique rows (pad {u_pad}), tb={tb} ({path})",
           file=sys.stderr)
@@ -166,6 +167,7 @@ def bench_sparse(cfg, db, reps=30):
     uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], u_pad - u, 0)])
     uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], u_pad - u, 0)])
     tb = pick_fused_tile(nb, nb)
+    assert tb is not None, f"no fused tile for 1x{nb} — pick another nb"
     print(f"--- 1x{nb} reference cadence: {ncf} crossfades (bucket {n_cf}), "
           f"{u} unique rows (pad {u_pad}), tb={tb}", file=sys.stderr)
 

@@ -229,7 +229,7 @@ def test_batch_hold_scene_noxfade_sharded(db, config):
 
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 virtual devices")
-    s, b_total = 8, 64
+    s, b_total = 8, 96
     fpb = config.frames_per_buffer
     rng = np.random.default_rng(7)
     positions = np.stack([
@@ -327,6 +327,22 @@ def test_live_block_step_noxfade_bit_identical(db, config):
         got = sp.process_block(blk)
         assert np.array_equal(got, np.asarray(want)), f"block {i}"
     assert sp.crossfades >= 2
+
+
+def test_amortization_guard_single_noxf_chunk(db, config):
+    """A lone crossfade-free chunk is NOT worth a second remote compile:
+    a 2-chunk hold render (one crossfading, one not) with sparse disabled
+    rides the crossfade program alone."""
+    rng = np.random.default_rng(12)
+    B = 64
+    sig = (rng.standard_normal(B * config.frames_per_buffer) * 0.2).astype(np.float32)
+    pos = np.stack([np.full(B, 40.0), np.full(B, 10.0), np.full(B, 1.0)], 1)
+    r = Renderer(db, config, chunk_blocks=32, fused=True, sparse_xfade=False)
+    got = r.render(sig, pos)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, str(rep)
+    assert {k[3] for k in r._fd_dedup_fused} == {True}, list(r._fd_dedup_fused)
 
 
 def test_mixed_mover_keeps_crossfade_program(db, config):
