@@ -278,10 +278,12 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
     signature, the jit drops them), and the kernel runs the no-crossfade
     fast path (half the tail-IDFT MACs; bit-identical on such chunks).
 
-    ``n_cf`` (round 5, sparse crossfades; requires with_xfade=False and no
-    mesh): at most n_cf rows crossfade — the no-crossfade kernel runs for
+    ``n_cf`` (round 5, sparse crossfades; requires with_xfade=False): at
+    most n_cf rows crossfade per shard — the no-crossfade kernel runs for
     ALL rows and an XLA side-pass re-blends just the ``cf_idx`` rows
-    (renderer._sparse_xfade_fix); one program covers every chunk.
+    (renderer._sparse_xfade_fix); one program covers every chunk.  Under
+    shard_map the cf_idx arrive as SHARD-LOCAL row ids (one (n_cf,) slice
+    per device); cf_old ids index the replicated unique-row blend.
     """
     from ..ops import fft as fft_ops
     from ..ops.filters import cmul, distance_factors_split
@@ -566,6 +568,12 @@ class BatchRenderer:
                         if nd is None
                         else (P(), P(), P(), sh(2))
                     )
+                    # sparse cf operands (round 5): dsel placeholder (None
+                    # -> empty pytree, any spec prefix) + per-shard cf-row
+                    # buckets, packed (n_dev*ncf,) and sharded so each
+                    # device sees ITS (ncf,) slice of SHARD-LOCAL row ids;
+                    # cf_old ids index the replicated unique-row table
+                    cfspecs = () if ncf is None else (P(), sh(1), sh(1))
                     fn = shard_map(
                         fn,
                         mesh=self.mesh,
@@ -576,6 +584,7 @@ class BatchRenderer:
                             sh(2), sh(1),  # inv_old, inv_last
                             sh(2),         # xfade
                             *dspecs,       # u_hi, u_lo, inv_frac[, dsel]
+                            *cfspecs,      # [dsel None, cf_idx, cf_old]
                         ),
                         out_specs=(sh(4), sh(2)),
                         check_rep=False,
@@ -711,27 +720,34 @@ class BatchRenderer:
                 dedup_chunks = None
 
         # sparse-crossfade planning (round 5; see renderer.render_plan):
-        # when every chunk's total crossfade count fits a small bucket,
+        # when every chunk's per-SHARD crossfade count fits a small bucket,
         # one no-crossfade-kernel + XLA-side-pass program covers every
-        # chunk.  Not yet wired through shard_map (cf rows are global) —
-        # meshless renders only.
+        # chunk; under a mesh each device fixes up its own shard-local cf
+        # rows (the bucket covers the worst shard).
         from .renderer import _pad_cf_indices, _sparse_bucket
 
         sparse_ncf = None
+        n_dev_sp = self.mesh.size if self.mesh is not None else 1
         if (
             dedup_chunks is not None
             and self.fused
             and self.sparse_xfade
-            and self.mesh is None
+            and s % n_dev_sp == 0
             and self.config.history_len % fpb == 0
             and b_total
         ):
+            # per-SHARD bucket: under a mesh each device handles its own
+            # cf rows, so the bucket must cover the worst (chunk, shard)
+            sl_sp = s // n_dev_sp
             max_ncf = max(
                 int(sum(p.xfade[st : min(st + self.chunk_blocks, b_total)].sum()
-                        for p in plans))
+                        for p in plans[d * sl_sp : (d + 1) * sl_sp]))
                 for st in range(0, b_total, self.chunk_blocks)
+                for d in range(n_dev_sp)
             )
-            sparse_ncf = _sparse_bucket(max_ncf, s * min(self.chunk_blocks, b_total))
+            sparse_ncf = _sparse_bucket(
+                max_ncf, sl_sp * min(self.chunk_blocks, b_total)
+            )
 
         # per-chunk crossfade flags with the renderer's amortization guard:
         # a lone crossfade-free chunk is not worth a second remote compile
@@ -813,13 +829,21 @@ class BatchRenderer:
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
                 if sparse_ncf is not None:
-                    cfi = _pad_cf_indices(args["xfade"].reshape(-1), sparse_ncf)
-                    # dsel None + the cf operands (sparse is meshless-only,
-                    # so the shard_map in_specs never see these)
+                    # per-shard packing: each device's (ncf,) slice holds
+                    # SHARD-LOCAL row ids (meshless: one shard = the batch)
+                    sl_sp = s // n_dev_sp
+                    cfi_sh, old_sh = [], []
+                    for d in range(n_dev_sp):
+                        xf_d = args["xfade"][d * sl_sp : (d + 1) * sl_sp]
+                        cfi_d = _pad_cf_indices(xf_d.reshape(-1), sparse_ncf)
+                        cfi_sh.append(cfi_d)
+                        old_sh.append(
+                            inv[d * sl_sp : (d + 1) * sl_sp, :nb].reshape(-1)[cfi_d]
+                        )
                     cf_args = (
-                        None,
-                        jnp.asarray(cfi.astype(np.int32)),
-                        jnp.asarray(inv[:, :nb].reshape(-1)[cfi]),
+                        None,  # dsel placeholder
+                        self._shard(np.concatenate(cfi_sh).astype(np.int32)),
+                        self._shard(np.concatenate(old_sh)),
                     )
                 else:
                     cf_args = ()

@@ -222,8 +222,9 @@ def test_batch_hold_scene_noxfade(db, config):
 
 
 def test_batch_hold_scene_noxfade_sharded(db, config):
-    """Same over a 4-device source mesh: the no-crossfade program runs under
-    shard_map and matches the unsharded render exactly."""
+    """Same over a 4-device source mesh: the SPARSE program runs under
+    shard_map (per-shard cf buckets) and matches the unsharded sparse
+    render."""
     import jax
     from jefferson_tpu.parallel.mesh import make_mesh
 
@@ -243,15 +244,36 @@ def test_batch_hold_scene_noxfade_sharded(db, config):
     br_1 = BatchRenderer(db, config, chunk_blocks=32, fused=True)
     out_m = br_m.render(signals, positions)
     out_1 = br_1.render(signals, positions)
-    # sparse is meshless-only: the sharded render splits into the two
-    # chunk-level variants instead (the meshless one runs the sparse
-    # program, whose crossfading rows use the XLA old-side tail — ulp-level
-    # deltas on the block-0 samples only)
-    assert {k[6] for k in br_m._jitted} == {True, False}
+    assert {(k[6], k[7]) for k in br_m._jitted} == {(False, 8)}, list(br_m._jitted)
     d = np.abs(out_m - out_1)
+    # both arms run sparse; the crossfading block-0 samples may differ by
+    # shard-local vs global XLA scheduling ulps at most
     assert d.max() < 5e-7, d.max()
-    fpb = config.frames_per_buffer
     assert np.array_equal(out_m[:, fpb:], out_1[:, fpb:])
+
+
+def test_batch_sharded_2variant_when_sparse_off(db, config):
+    """sparse_xfade=False under a mesh falls back to the two chunk-level
+    variants (regression for the pre-sparse dispatch)."""
+    import jax
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    s, b_total = 8, 96
+    fpb = config.frames_per_buffer
+    rng = np.random.default_rng(13)
+    positions = np.stack([
+        np.stack([np.full(b_total, 20.0 * i), np.full(b_total, 5.0),
+                  np.full(b_total, 0.9)], 1)
+        for i in range(s)
+    ])
+    signals = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
+    mesh = make_mesh(4, ("src",))
+    br = BatchRenderer(db, config, chunk_blocks=32, fused=True, mesh=mesh,
+                       sparse_xfade=False)
+    br.render(signals, positions)
+    assert {k[6] for k in br._jitted} == {True, False}, list(br._jitted)
 
 
 def test_sparse_xfade_reference_cadence(db, config):
