@@ -229,6 +229,117 @@ def bench_sparse(cfg, db, reps=30):
             "speedup": sp, "max_diff": float(d)}
 
 
+def bench_sparse_batched(cfg, db, s=16, nb=256, reps=30):
+    """Batched sparse on the sweep's scene_hold cadence: S sources each
+    stepping position every 172 blocks (1-2 crossfades per source per
+    chunk), through batched_chunk_fn_dedup_fused — crossfade program vs
+    sparse (ABBA)."""
+    from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
+    from jefferson_tpu.engine.plan import dedup_rows, fed_stream, make_plan
+    from jefferson_tpu.engine.renderer import (
+        _pad_cf_indices,
+        _sparse_bucket,
+        pick_fused_tile,
+    )
+
+    rng = np.random.default_rng(0)
+    i = np.arange(nb)
+    step = i // 172
+    plans = [
+        make_plan(
+            np.stack([(sidx * (360.0 / s) + 5.0 * step) % 360.0,
+                      np.full(nb, [0.0, 10.0, -20.0, 40.0][sidx % 4]),
+                      np.full(nb, 0.5 + 0.1 * (sidx % 3))], 1),
+            cfg, initial_old=(0.0, 0.0),
+        )
+        for sidx in range(s)
+    ]
+    ncf = int(sum(p.xfade.sum() for p in plans))
+    n_cf = _sparse_bucket(ncf, s * nb)
+    sigs = (rng.standard_normal((s, nb * cfg.frames_per_buffer)) * 0.2).astype(np.float32)
+    feds = jnp.asarray(np.stack([fed_stream(sigs[k], nb, cfg) for k in range(s)]))
+    hists = jnp.zeros((s, cfg.history_len), jnp.float32)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    ei = np.concatenate([np.stack([p.idx_old[:1] for p in plans], 0),
+                         np.stack([p.idx_new for p in plans], 0)], axis=1)
+    ew = np.concatenate([np.stack([p.w_old[:1] for p in plans], 0),
+                         np.stack([p.w_new for p in plans], 0)], axis=1)
+    rows = ei.shape[0] * ei.shape[1]
+    uniq_idx, uniq_w, inv = dedup_rows(ei.reshape(rows, 4), ew.reshape(rows, 4))
+    u = uniq_idx.shape[0]
+    u_pad = max(8, 1 << int(np.ceil(np.log2(u))))
+    uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], u_pad - u, 0)])
+    uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], u_pad - u, 0)])
+    inv = inv.reshape(s, nb + 1)
+    tb = pick_fused_tile(s * nb, nb)
+    assert tb is not None and n_cf is not None
+    print(f"--- batched {s}x{nb} scene_hold cadence: {ncf} crossfades "
+          f"(bucket {n_cf}), {u} unique rows (pad {u_pad}), tb={tb}",
+          file=sys.stderr)
+
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    xf_np = np.stack([p.xfade for p in plans])
+    tail = (jnp.asarray(xf_np), stack("u_hi"), stack("u_lo"), stack("inv_frac"))
+    uq, uw = jnp.asarray(uniq_idx), jnp.asarray(uniq_w)
+    cfi = _pad_cf_indices(xf_np.reshape(-1), n_cf)
+    fn_xf = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb, with_xfade=True))
+    fn_sp = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb,
+                                                 with_xfade=False, n_cf=n_cf))
+    arms = {
+        "xfade ": (fn_xf, (uq, uw,
+                           jnp.asarray(np.ascontiguousarray(inv[:, :nb])),
+                           jnp.asarray(np.ascontiguousarray(inv[:, nb])),
+                           *tail)),
+        "sparse": (fn_sp, (uq, uw,
+                           jnp.asarray(np.ascontiguousarray(inv[:, 1:])),
+                           jnp.asarray(np.ascontiguousarray(inv[:, nb])),
+                           *tail, None,
+                           jnp.asarray(cfi.astype(np.int32)),
+                           jnp.asarray(inv[:, :nb].reshape(-1)[cfi]))),
+    }
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+    outs = {}
+    for label, (fn, a) in arms.items():
+        t0 = time.time()
+        out, h = fn(spectra, hists, feds, *a)
+        float(probe(out, h))
+        outs[label] = np.asarray(out)
+        print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    d = np.abs(outs["xfade "] - outs["sparse"]).max()
+    print(f"sparse vs crossfade program: max|diff| = {d:.3e}", file=sys.stderr)
+
+    def run(fn, a, k):
+        hh = hists
+        t0 = time.time()
+        for _ in range(k):
+            out, hh = fn(spectra, hh, feds, *a)
+        float(probe(out, hh))
+        return time.time() - t0
+
+    def slope(label):
+        fn, a = arms[label]
+        run(fn, a, 3)
+        t_s, t_l = run(fn, a, 3), run(fn, a, 3 + reps)
+        return (t_l - t_s) / reps
+
+    times = {"xfade ": [], "sparse": []}
+    for label in ["xfade ", "sparse", "sparse", "xfade "]:
+        times[label].append(slope(label))
+    per = {k: sum(v) / len(v) for k, v in times.items()}
+    for k, v in times.items():
+        print(f"{k}: {per[k]*1e3:.3f} ms/step (runs: "
+              + ", ".join(f"{x*1e3:.3f}" for x in v)
+              + f") = {s*nb/per[k]:,.0f} blocks/s", file=sys.stderr)
+    sp = per["xfade "] / per["sparse"]
+    print(f"batched sparse speedup: {sp:.3f}x", file=sys.stderr)
+    return {"workload": f"scene_hold cadence {s}x{nb}", "n_cf": n_cf, "tb": tb,
+            "ms_xfade": per["xfade "] * 1e3, "ms_sparse": per["sparse"] * 1e3,
+            "speedup": sp, "max_diff": float(d)}
+
+
 def main() -> int:
     sys.path.insert(0, ".")
     from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
@@ -240,6 +351,7 @@ def main() -> int:
         bench_shape(cfg, db, 128, 64),
         bench_shape(cfg, db, 128, 512, reps=6),
         bench_sparse(cfg, db),
+        bench_sparse_batched(cfg, db),
     ]
     import json
 
