@@ -500,6 +500,13 @@ class BatchRenderer:
         self.db = db
         self.config = config or db.config
         self.chunk_blocks = chunk_blocks
+        if mesh is not None and len(mesh.axis_names) != 1:
+            # the shard planning below (sparse cf buckets, chunk padding)
+            # uses mesh.size as the SOURCE shard count, which is only the
+            # source-axis extent on a 1-D mesh
+            raise ValueError(
+                f"BatchRenderer needs a 1-D source mesh, got axes {mesh.axis_names}"
+            )
         self.mesh = mesh
         self.mix = mix
         # lane-aligned 512-bin kernel layout (None = module defaults)

@@ -63,6 +63,17 @@ def test_sharded_mixdown_collective(db, config, castanets):
     assert rep.ok, str(rep)
 
 
+def test_batch_renderer_rejects_2d_mesh(db):
+    """BatchRenderer's shard planning reads mesh.size as the SOURCE shard
+    count, which only holds on the documented 1-D mesh — a 2-D mesh must be
+    rejected up front, not silently mis-plan sparse cf buckets."""
+    import pytest
+
+    mesh2 = make_mesh(8, ("src", "blk"))
+    with pytest.raises(ValueError, match="1-D source mesh"):
+        BatchRenderer(db, mesh=mesh2)
+
+
 def test_mesh_utilities():
     mesh = make_mesh(8)
     assert mesh.shape == {"src": 8}
