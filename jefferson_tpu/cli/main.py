@@ -58,7 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["matmul", "fft"], default="matmul")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas apply kernel (XLA numerics)")
-    p.add_argument("--chunk-blocks", type=int, default=2048)
+    p.add_argument("--chunk-blocks", type=int, default=None,
+                   help="blocks per compiled chunk (default: 2048 single-"
+                        "source, 256 scenes — batch chunks <= 256 run the "
+                        "fully-fused step kernel, measured ~2x the "
+                        "fused_apply fallback; scripts/bench_chunksize.py)")
     p.add_argument("--device", choices=["native", "cpu"], default="native",
                    help="'cpu' forces the host CPU platform (the only "
                         "reliable way where a site preload pins the booted "
@@ -218,7 +222,7 @@ def render_scene_spec(
     config,
     num_blocks: int | None = None,
     duration: float | None = None,
-    chunk_blocks: int = 2048,
+    chunk_blocks: int = 256,
     quiet: bool = True,
     devices: int | None = None,
     renderer_cache: dict | None = None,
@@ -291,7 +295,7 @@ def render_scene(args, config) -> int:
         out, num_blocks = render_scene_spec(
             scene, db, config,
             num_blocks=args.blocks, duration=args.duration,
-            chunk_blocks=args.chunk_blocks, quiet=args.quiet,
+            chunk_blocks=args.chunk_blocks or 256, quiet=args.quiet,
             devices=args.devices,
         )
     except ValueError as e:
@@ -422,12 +426,13 @@ def main(argv=None) -> int:
                 from ..parallel.mesh import make_mesh
 
                 mesh = make_mesh(args.devices, ("blk",))
-                if args.chunk_blocks % args.devices:
+                if (args.chunk_blocks or 2048) % args.devices:
                     raise SystemExit(
                         f"--chunk-blocks {args.chunk_blocks} must divide "
                         f"evenly over --devices {args.devices}"
                     )
-            r = Renderer(db, config, chunk_blocks=args.chunk_blocks, backend=args.backend,
+            r = Renderer(db, config, chunk_blocks=args.chunk_blocks or 2048,
+                         backend=args.backend,
                          fused=False if args.no_fused else None, mesh=mesh)
             out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0

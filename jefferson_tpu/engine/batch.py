@@ -485,7 +485,11 @@ class BatchRenderer:
         self,
         db: HRTFDatabase,
         config: EngineConfig | None = None,
-        chunk_blocks: int = 512,
+        # <= 256 keeps every full chunk on the fully-fused step kernel
+        # (tb % nb == 0); 512+ falls back to fused_apply, measured ~2x
+        # slower on the hold-scene render (scripts/bench_chunksize.py,
+        # bit-identical outputs across chunkings)
+        chunk_blocks: int = 256,
         mesh: Mesh | None = None,
         mix: bool = False,
         dedup: bool = True,

@@ -445,7 +445,7 @@ class RenderService:
         out, nb = render_scene_spec(
             scene, self.db, self.config,
             num_blocks=req.get("blocks"), duration=req.get("duration"),
-            chunk_blocks=int(req.get("chunk_blocks", 2048)),
+            chunk_blocks=int(req.get("chunk_blocks", 256)),
             devices=self.devices,
             renderer_cache=self._scene_renderers,
         )

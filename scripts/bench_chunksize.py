@@ -1,0 +1,165 @@
+"""Chunk-size A/B for the batched scene path (TPU): fused_apply vs fused_step.
+
+The fully-fused step kernel requires ``tb % num_blocks == 0`` (tiles own
+whole per-source block runs), so chunk sizes above 256 silently route the
+batched dedup+fused dispatch to the ``fused_apply`` fallback (XLA forward +
+apply-only kernel).  The production defaults sit exactly there:
+``BatchRenderer(chunk_blocks=512)`` and the CLI scene path's
+``chunk_blocks=2048`` — while bench.py's headline and the sweep's scene
+gate both run 64/256-block chunks on the fused step.  This script measures
+the SAME total workload (S sources x B_total hold-scene blocks, the
+reference's multi-source callback shape, Jefferson/src/Audio.cu:98-158)
+rendered as chained chunks of 512 / 256 / 64 blocks, timing the full
+chained-dispatch render (so the per-dispatch overhead of smaller chunks is
+charged against their kernel win).
+
+Steady-state no-crossfade programs (hold scene past the first chunk is
+exactly this; one program per arm).  Slope timing via a device-side scalar
+probe, bench.py's pattern.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
+    from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
+    from jefferson_tpu.engine.plan import dedup_rows, fed_stream, make_plan
+    from jefferson_tpu.engine.renderer import pick_fused_tile
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    cfg = DEFAULT_CONFIG
+    db = synthetic_database(cfg)
+    fpb = cfg.frames_per_buffer
+    s, b_total = 128, 2048
+
+    rng = np.random.default_rng(0)
+    # hold scene with initial_old == position: zero crossfades anywhere, so
+    # every arm runs its single no-crossfade program for the whole render
+    az = rng.integers(0, 360, s).astype(float)
+    el = rng.integers(-40, 90, s).astype(float)
+    rr = 0.5 + 0.5 * rng.random(s)
+    positions = np.stack([
+        np.stack([np.full(b_total, az[i]), np.full(b_total, el[i]),
+                  np.full(b_total, rr[i])], axis=1)
+        for i in range(s)
+    ])
+    plans = [make_plan(positions[i], cfg, initial_old=(az[i], el[i]))
+             for i in range(s)]
+    assert not any(p.xfade.any() for p in plans), "hold scene must not crossfade"
+    sigs = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
+    feds = jnp.asarray(np.stack([fed_stream(sigs[i], b_total, cfg)
+                                 for i in range(s)]))
+    hists0 = jnp.zeros((s, cfg.history_len), jnp.float32)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
+
+    # render-wide u_pad bucket (mirrors BatchRenderer.render): hold scene,
+    # so every chunk shares the same unique set
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+
+    results = {}
+    outs_by_nb = {}
+    for nb in (512, 256, 64):
+        k = b_total // nb
+        tb = pick_fused_tile(s * nb, nb)
+        kernel = "fused_step" if tb % nb == 0 else "fused_apply"
+
+        # per-chunk dedup args (identical across chunks on a hold scene,
+        # but built per chunk exactly like BatchRenderer.render)
+        chunk_args = []
+        u_pad = 8
+        chunks = []
+        for start in range(0, b_total, nb):
+            sl = slice(start, start + nb)
+            ei = np.concatenate(
+                [np.stack([p.idx_old[start:start + 1] for p in plans], 0),
+                 np.stack([p.idx_new[sl] for p in plans], 0)], axis=1)
+            ew = np.concatenate(
+                [np.stack([p.w_old[start:start + 1] for p in plans], 0),
+                 np.stack([p.w_new[sl] for p in plans], 0)], axis=1)
+            rows = ei.shape[0] * ei.shape[1]
+            uniq_idx, uniq_w, inv = dedup_rows(ei.reshape(rows, 4),
+                                               ew.reshape(rows, 4))
+            u_pad = max(u_pad, 1 << int(np.ceil(np.log2(uniq_idx.shape[0]))))
+            chunks.append((uniq_idx, uniq_w, inv.reshape(s, nb + 1)))
+        for start, (uniq_idx, uniq_w, inv) in zip(range(0, b_total, nb), chunks):
+            sl = slice(start, start + nb)
+            if uniq_idx.shape[0] < u_pad:
+                reps = u_pad - uniq_idx.shape[0]
+                uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
+                uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
+            chunk_args.append((
+                feds[:, start * fpb : (start + nb) * fpb],
+                jnp.asarray(uniq_idx), jnp.asarray(uniq_w),
+                jnp.asarray(np.ascontiguousarray(inv[:, 1:])),   # NEW rows (no-xfade)
+                jnp.asarray(np.ascontiguousarray(inv[:, nb])),
+                jnp.asarray(np.stack([p.xfade[sl] for p in plans])),
+                jnp.asarray(np.stack([p.u_hi[sl] for p in plans])),
+                jnp.asarray(np.stack([p.u_lo[sl] for p in plans])),
+                jnp.asarray(np.stack([p.inv_frac[sl] for p in plans])),
+            ))
+
+        fn = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb,
+                                                  with_xfade=False))
+
+        def render(hh):
+            last = None
+            for a in chunk_args:
+                last, hh = fn(spectra, hh, a[0], *a[1:])
+            return last, hh
+
+        t0 = time.time()
+        out, hh = render(hists0)
+        float(probe(out, hh))
+        print(f"nb={nb} ({kernel}, tb={tb}, {k} chunks, u_pad={u_pad}): "
+              f"compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+        def run(reps):
+            t0 = time.time()
+            hh = hists0
+            for _ in range(reps):
+                out, hh = render(hh)
+            float(probe(out, hh))
+            return time.time() - t0
+
+        run(3)
+        t_s, t_l = run(3), run(23)
+        per = (t_l - t_s) / 20
+        results[nb] = (per, kernel, k)
+        print(f"nb={nb}: {per*1e3:.2f} ms / {b_total}-block render "
+              f"({s*b_total/per:,.0f} blocks/s)", file=sys.stderr)
+
+        # one full render's outputs for the cross-arm identity check
+        outs, hh = [], hists0
+        for a in chunk_args:
+            y, hh = fn(spectra, hh, a[0], *a[1:])
+            outs.append(np.asarray(y))
+        outs_by_nb[nb] = np.concatenate(outs, axis=1)
+
+    base = results[512][0]
+    print("\n| chunk nb | kernel | chunks | ms/render | blocks/s | vs nb=512 |")
+    print("|---|---|---|---|---|---|")
+    for nb, (per, kernel, k) in sorted(results.items(), reverse=True):
+        print(f"| {nb} | {kernel} | {k} | {per*1e3:.2f} | "
+              f"{s*b_total/per:,.0f} | {base/per:.3f}x |")
+    for nb in (256, 64):
+        d = np.abs(outs_by_nb[nb] - outs_by_nb[512]).max()
+        print(f"max|diff| nb={nb} vs nb=512: {d:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

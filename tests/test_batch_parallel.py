@@ -74,6 +74,21 @@ def test_batch_renderer_rejects_2d_mesh(db):
         BatchRenderer(db, mesh=mesh2)
 
 
+def test_batch_default_chunk_keeps_fused_step(db):
+    """The BatchRenderer/CLI-scene default chunk size must keep full chunks
+    on the fully-fused step kernel (tb % nb == 0) — chunk sizes above 256
+    silently fall back to fused_apply, measured ~2x slower on the hold
+    scene (scripts/bench_chunksize.py, bit-identical outputs)."""
+    from jefferson_tpu.engine.renderer import pick_fused_tile
+
+    br = BatchRenderer(db)
+    nb = br.chunk_blocks
+    assert nb == 256
+    for s in (8, 16, 128):
+        tb = pick_fused_tile(s * nb, nb)
+        assert tb is not None and tb % nb == 0, (s, nb, tb)
+
+
 def test_mesh_utilities():
     mesh = make_mesh(8)
     assert mesh.shape == {"src": 8}
