@@ -60,9 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the fused Pallas apply kernel (XLA numerics)")
     p.add_argument("--chunk-blocks", type=int, default=None,
                    help="blocks per compiled chunk (default: 2048 single-"
-                        "source, 256 scenes — batch chunks <= 256 run the "
-                        "fully-fused step kernel, measured ~2x the "
-                        "fused_apply fallback; scripts/bench_chunksize.py)")
+                        "source; scenes auto-size — <= 256 keeps the "
+                        "fully-fused step kernel (~2x the fused_apply "
+                        "fallback), lowered toward 8192-row steps on hold "
+                        "scenes (1.14-1.2x); scripts/bench_chunksize.py)")
     p.add_argument("--device", choices=["native", "cpu"], default="native",
                    help="'cpu' forces the host CPU platform (the only "
                         "reliable way where a site preload pins the booted "
@@ -222,7 +223,7 @@ def render_scene_spec(
     config,
     num_blocks: int | None = None,
     duration: float | None = None,
-    chunk_blocks: int = 256,
+    chunk_blocks: int | None = None,
     quiet: bool = True,
     devices: int | None = None,
     renderer_cache: dict | None = None,
@@ -260,7 +261,7 @@ def render_scene_spec(
             num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
     feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
     positions = np.stack([t.sample(num_blocks, config) for t in trajs])
-    cb = min(chunk_blocks, num_blocks)
+    cb = None if chunk_blocks is None else min(chunk_blocks, num_blocks)
     mesh = scene_mesh(len(sources), devices, quiet=quiet)
     key = (cb, None if mesh is None else mesh.size)
     if renderer_cache is not None and key in renderer_cache:
@@ -295,7 +296,7 @@ def render_scene(args, config) -> int:
         out, num_blocks = render_scene_spec(
             scene, db, config,
             num_blocks=args.blocks, duration=args.duration,
-            chunk_blocks=args.chunk_blocks or 256, quiet=args.quiet,
+            chunk_blocks=args.chunk_blocks, quiet=args.quiet,
             devices=args.devices,
         )
     except ValueError as e:

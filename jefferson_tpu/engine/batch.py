@@ -384,6 +384,25 @@ def batched_chunk_fn_dedup_fused(config: EngineConfig, num_blocks: int, tb: int,
 # are multiples of the tile there), so this policy is batched-only.
 GROUPED_MIN_TB = 256
 
+# Target rows per fused step for AUTO chunk sizing on hold scenes: 8192-row
+# steps measured 1.14-1.20x over 16-64k-row steps at s = 64/128/256 on chip
+# (scripts/bench_chunksize.py; outputs bit-identical across chunkings).
+AUTO_HOLD_ROWS = 8192
+
+
+def _auto_chunk(s_local: int, b_total: int, plans) -> int:
+    """Chunk size for ``chunk_blocks=None``: 256 — the fused-step ceiling
+    (above it the dispatch falls back to fused_apply, measured ~2x slower)
+    — lowered by powers of two toward ~AUTO_HOLD_ROWS rows per step when
+    the render is crossfade-free past block 0 (hold scenes, the measured
+    regime).  Movers keep 256: the grouped one-hot path wants tiles owning
+    few sources, and the hold-step measurements don't transfer."""
+    cb = 256
+    if s_local and b_total and not any(p.xfade[1:].any() for p in plans):
+        while cb > 8 and s_local * cb > AUTO_HOLD_ROWS:
+            cb //= 2
+    return cb
+
 
 def _group_bucket(idx_old, idx_last, group: int | None) -> int:
     """Power-of-two bucket covering every source-group's unique-filter set
@@ -485,11 +504,13 @@ class BatchRenderer:
         self,
         db: HRTFDatabase,
         config: EngineConfig | None = None,
-        # <= 256 keeps every full chunk on the fully-fused step kernel
-        # (tb % nb == 0); 512+ falls back to fused_apply, measured ~2x
-        # slower on the hold-scene render (scripts/bench_chunksize.py,
-        # bit-identical outputs across chunkings)
-        chunk_blocks: int = 256,
+        # None = auto per render (_auto_chunk): 256 — the fused-step
+        # ceiling; chunk sizes above it fall back to fused_apply, measured
+        # ~2x slower — lowered toward ~8192-row steps on hold scenes
+        # (measured 1.14-1.20x at s=64/128/256, bit-identical across
+        # chunkings; scripts/bench_chunksize.py).  An explicit int pins
+        # the chunk size for every render.
+        chunk_blocks: int | None = None,
         mesh: Mesh | None = None,
         mix: bool = False,
         dedup: bool = True,
@@ -676,6 +697,16 @@ class BatchRenderer:
         positions = np.asarray(positions)
         s, b_total = positions.shape[0], positions.shape[1]
         plans = [make_plan(positions[i], cfg) for i in range(s)]
+        # chunk size: explicit int pins it; None resolves per render (the
+        # target is per-DEVICE rows, so a mesh divides the source count)
+        n_dev_cb = self.mesh.size if self.mesh is not None else 1
+        cb = (
+            self.chunk_blocks
+            if self.chunk_blocks is not None
+            else _auto_chunk(
+                s // n_dev_cb if s % n_dev_cb == 0 else s, b_total, plans
+            )
+        )
         # compact distance (bit-identical; renderer.dedup_distance): dedup
         # the (u_hi, u_lo, inv_frac) triples across the WHOLE batch (tiles
         # span sources) — constant-radius scenes yield a handful of uniques
@@ -709,8 +740,8 @@ class BatchRenderer:
             from .plan import dedup_rows
 
             dedup_chunks, max_u = [], 1
-            for start in range(0, b_total, self.chunk_blocks):
-                stop = min(start + self.chunk_blocks, b_total)
+            for start in range(0, b_total, cb):
+                stop = min(start + cb, b_total)
                 sl = slice(start, stop)
                 ei = np.concatenate(
                     [np.stack([p.idx_old[start : start + 1] for p in plans], 0),
@@ -727,7 +758,7 @@ class BatchRenderer:
                 max_u = max(max_u, uniq_idx.shape[0])
                 dedup_chunks.append((uniq_idx, uniq_w, inv.reshape(ei.shape[:2])))
             u_pad = max(8, 1 << int(np.ceil(np.log2(max_u))))
-            if u_pad * 2 > s * (min(self.chunk_blocks, b_total) + 1):
+            if u_pad * 2 > s * (min(cb, b_total) + 1):
                 dedup_chunks = None
 
         # sparse-crossfade planning (round 5; see renderer.render_plan):
@@ -751,21 +782,21 @@ class BatchRenderer:
             # cf rows, so the bucket must cover the worst (chunk, shard)
             sl_sp = s // n_dev_sp
             max_ncf = max(
-                int(sum(p.xfade[st : min(st + self.chunk_blocks, b_total)].sum()
+                int(sum(p.xfade[st : min(st + cb, b_total)].sum()
                         for p in plans[d * sl_sp : (d + 1) * sl_sp]))
-                for st in range(0, b_total, self.chunk_blocks)
+                for st in range(0, b_total, cb)
                 for d in range(n_dev_sp)
             )
             sparse_ncf = _sparse_bucket(
-                max_ncf, sl_sp * min(self.chunk_blocks, b_total)
+                max_ncf, sl_sp * min(cb, b_total)
             )
 
         # per-chunk crossfade flags with the renderer's amortization guard:
         # a lone crossfade-free chunk is not worth a second remote compile
         chunk_xfs = [
-            bool(any(p.xfade[st : min(st + self.chunk_blocks, b_total)].any()
+            bool(any(p.xfade[st : min(st + cb, b_total)].any()
                      for p in plans))
-            for st in range(0, b_total, self.chunk_blocks)
+            for st in range(0, b_total, cb)
         ]
         if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
             chunk_xfs = [True] * len(chunk_xfs)
@@ -783,10 +814,10 @@ class BatchRenderer:
             n_dev = self.mesh.size if self.mesh is not None else 1
             if s % n_dev == 0:
                 onehot_plan = _plan_batch_onehot(
-                    plans, b_total, self.chunk_blocks, s // n_dev
+                    plans, b_total, cb, s // n_dev
                 )
-        for ci, start in enumerate(range(0, b_total, self.chunk_blocks)):
-            stop = min(start + self.chunk_blocks, b_total)
+        for ci, start in enumerate(range(0, b_total, cb)):
+            stop = min(start + cb, b_total)
             nb = stop - start
             sl = slice(start, stop)
             args = dict(

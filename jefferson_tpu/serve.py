@@ -445,7 +445,8 @@ class RenderService:
         out, nb = render_scene_spec(
             scene, self.db, self.config,
             num_blocks=req.get("blocks"), duration=req.get("duration"),
-            chunk_blocks=int(req.get("chunk_blocks", 256)),
+            chunk_blocks=(None if req.get("chunk_blocks") is None
+                          else int(req["chunk_blocks"])),
             devices=self.devices,
             renderer_cache=self._scene_renderers,
         )

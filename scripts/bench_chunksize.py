@@ -30,6 +30,14 @@ import jax.numpy as jnp
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sources", type=int, default=128)
+    ap.add_argument("--blocks", type=int, default=2048)
+    ap.add_argument("--chunks", type=int, nargs="+", default=[512, 256, 64])
+    args = ap.parse_args()
+
     sys.path.insert(0, ".")
     from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
     from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
@@ -40,7 +48,7 @@ def main() -> int:
     cfg = DEFAULT_CONFIG
     db = synthetic_database(cfg)
     fpb = cfg.frames_per_buffer
-    s, b_total = 128, 2048
+    s, b_total = args.sources, args.blocks
 
     rng = np.random.default_rng(0)
     # hold scene with initial_old == position: zero crossfades anywhere, so
@@ -72,7 +80,7 @@ def main() -> int:
 
     results = {}
     outs_by_nb = {}
-    for nb in (512, 256, 64):
+    for nb in args.chunks:
         k = b_total // nb
         tb = pick_fused_tile(s * nb, nb)
         kernel = "fused_step" if tb % nb == 0 else "fused_apply"
@@ -149,15 +157,16 @@ def main() -> int:
             outs.append(np.asarray(y))
         outs_by_nb[nb] = np.concatenate(outs, axis=1)
 
-    base = results[512][0]
-    print("\n| chunk nb | kernel | chunks | ms/render | blocks/s | vs nb=512 |")
+    base_nb = args.chunks[0]
+    base = results[base_nb][0]
+    print(f"\n| chunk nb | kernel | chunks | ms/render | blocks/s | vs nb={base_nb} |")
     print("|---|---|---|---|---|---|")
     for nb, (per, kernel, k) in sorted(results.items(), reverse=True):
         print(f"| {nb} | {kernel} | {k} | {per*1e3:.2f} | "
               f"{s*b_total/per:,.0f} | {base/per:.3f}x |")
-    for nb in (256, 64):
-        d = np.abs(outs_by_nb[nb] - outs_by_nb[512]).max()
-        print(f"max|diff| nb={nb} vs nb=512: {d:.3e}")
+    for nb in args.chunks[1:]:
+        d = np.abs(outs_by_nb[nb] - outs_by_nb[base_nb]).max()
+        print(f"max|diff| nb={nb} vs nb={base_nb}: {d:.3e}")
     return 0
 
 

@@ -75,7 +75,8 @@ worst_b = 0.0
 for trial in range(n_batch):
     s = int(rng.choice([2, 3, 4, 6, 8]))
     b = int(rng.integers(16, 220))
-    cb = int(rng.choice([16, 32, 64, 128, 256]))
+    cb = rng.choice([16, 32, 64, 128, 256, 0])
+    cb = None if cb == 0 else int(cb)  # None = auto chunk sizing
     mix = bool(rng.integers(0, 2))
     sparse = bool(rng.integers(0, 2))
     # a divisor-of-s mesh on about a third of trials (shard_map dispatch)
@@ -111,7 +112,7 @@ for trial in range(n_batch):
     rep = precision_check(got, want, eps=5e-7)
     worst_b = max(worst_b, rep.max_abs_diff)
     status = "ok" if rep.ok else "FAIL"
-    print(f"[B{trial+1:3d}/{n_batch}] s={s} b={b:3d} cb={cb:3d} "
+    print(f"[B{trial+1:3d}/{n_batch}] s={s} b={b:3d} cb={str(cb):>4s} "
           f"kinds={''.join(kinds):8s} mix={int(mix)} sp={int(sparse)} "
           f"mesh={mesh.size if mesh else 0}: "
           f"max|diff|={rep.max_abs_diff:.2e} {status}")

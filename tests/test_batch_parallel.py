@@ -75,18 +75,36 @@ def test_batch_renderer_rejects_2d_mesh(db):
 
 
 def test_batch_default_chunk_keeps_fused_step(db):
-    """The BatchRenderer/CLI-scene default chunk size must keep full chunks
-    on the fully-fused step kernel (tb % nb == 0) — chunk sizes above 256
-    silently fall back to fused_apply, measured ~2x slower on the hold
-    scene (scripts/bench_chunksize.py, bit-identical outputs)."""
+    """The BatchRenderer/CLI-scene default (chunk_blocks=None -> auto) must
+    keep full chunks on the fully-fused step kernel (tb % nb == 0) — chunk
+    sizes above 256 silently fall back to fused_apply, measured ~2x slower
+    on the hold scene — and lower hold-scene chunks toward ~8192-row steps
+    (measured 1.14-1.20x at s=64/128/256; scripts/bench_chunksize.py,
+    bit-identical outputs across chunkings)."""
+    from types import SimpleNamespace
+
+    from jefferson_tpu.engine.batch import _auto_chunk
     from jefferson_tpu.engine.renderer import pick_fused_tile
 
-    br = BatchRenderer(db)
-    nb = br.chunk_blocks
-    assert nb == 256
-    for s in (8, 16, 128):
+    assert BatchRenderer(db).chunk_blocks is None  # auto
+
+    hold = lambda b: SimpleNamespace(xfade=np.zeros(b, bool))
+    mover = lambda b: SimpleNamespace(xfade=np.ones(b, bool))
+
+    # hold scenes: ~8192-row steps (never above the fused-step 256 ceiling)
+    for s, want in ((8, 256), (32, 256), (64, 128), (128, 64), (256, 32),
+                    (2048, 8)):
+        nb = _auto_chunk(s, 2048, [hold(2048)] * s)
+        assert nb == want, (s, nb, want)
         tb = pick_fused_tile(s * nb, nb)
         assert tb is not None and tb % nb == 0, (s, nb, tb)
+    # movers keep the 256 ceiling (the hold measurements don't transfer)
+    assert _auto_chunk(128, 2048, [mover(2048)] * 128) == 256
+    # a block-0-only crossfade (initial reposition) still counts as a hold
+    first = SimpleNamespace(xfade=np.r_[True, np.zeros(2047, bool)])
+    assert _auto_chunk(128, 2048, [first] * 128) == 64
+    # an explicit chunk size pins the render
+    assert BatchRenderer(db, chunk_blocks=128).chunk_blocks == 128
 
 
 def test_mesh_utilities():
