@@ -394,11 +394,17 @@ def _auto_chunk(s_local: int, b_total: int, plans) -> int:
     """Chunk size for ``chunk_blocks=None``: 256 — the fused-step ceiling
     (above it the dispatch falls back to fused_apply, measured ~2x slower)
     — lowered by powers of two toward ~AUTO_HOLD_ROWS rows per step when
-    the render is crossfade-free past block 0 (hold scenes, the measured
-    regime).  Movers keep 256: the grouped one-hot path wants tiles owning
-    few sources, and the hold-step measurements don't transfer."""
+    crossfades past block 0 are absent (hold scenes: measured 1.14-1.20x
+    at s=64/128/256) or sparse (<= 1/16 of rows, the sparse-side-pass
+    regime; reference cadence 172 at s=128 measured 1.074x — all
+    bit-identical, scripts/bench_chunksize.py).  Movers keep 256: the
+    grouped one-hot path wants tiles owning few sources, and the
+    hold-step measurements don't transfer."""
     cb = 256
-    if s_local and b_total and not any(p.xfade[1:].any() for p in plans):
+    if not (s_local and b_total and plans):
+        return cb
+    cf = sum(int(p.xfade[1:].sum()) for p in plans)
+    if cf * 16 <= len(plans) * max(1, b_total - 1):
         while cb > 8 and s_local * cb > AUTO_HOLD_ROWS:
             cb //= 2
     return cb

@@ -36,13 +36,21 @@ def main() -> int:
     ap.add_argument("--sources", type=int, default=128)
     ap.add_argument("--blocks", type=int, default=2048)
     ap.add_argument("--chunks", type=int, nargs="+", default=[512, 256, 64])
+    ap.add_argument("--cadence", type=int, default=0,
+                    help="position step every N blocks (reference cadence "
+                         "172; sparse-crossfade programs dispatch). "
+                         "0 = pure hold scene (default)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
     from jefferson_tpu import DEFAULT_CONFIG, synthetic_database
     from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
     from jefferson_tpu.engine.plan import dedup_rows, fed_stream, make_plan
-    from jefferson_tpu.engine.renderer import pick_fused_tile
+    from jefferson_tpu.engine.renderer import (
+        _pad_cf_indices,
+        _sparse_bucket,
+        pick_fused_tile,
+    )
 
     print("devices:", jax.devices(), file=sys.stderr)
     cfg = DEFAULT_CONFIG
@@ -51,19 +59,33 @@ def main() -> int:
     s, b_total = args.sources, args.blocks
 
     rng = np.random.default_rng(0)
-    # hold scene with initial_old == position: zero crossfades anywhere, so
-    # every arm runs its single no-crossfade program for the whole render
-    az = rng.integers(0, 360, s).astype(float)
+    az0 = rng.integers(0, 360, s).astype(float)
     el = rng.integers(-40, 90, s).astype(float)
     rr = 0.5 + 0.5 * rng.random(s)
-    positions = np.stack([
-        np.stack([np.full(b_total, az[i]), np.full(b_total, el[i]),
-                  np.full(b_total, rr[i])], axis=1)
-        for i in range(s)
-    ])
-    plans = [make_plan(positions[i], cfg, initial_old=(az[i], el[i]))
-             for i in range(s)]
-    assert not any(p.xfade.any() for p in plans), "hold scene must not crossfade"
+    if args.cadence:
+        # reference-cadence scene: each source steps 15 deg every --cadence
+        # blocks, phase-offset across sources so crossfades spread evenly
+        i = np.arange(b_total)
+        positions = np.stack([
+            np.stack([
+                (az0[si] + 15.0 * ((i + (si * args.cadence) // s)
+                                   // args.cadence)) % 360,
+                np.full(b_total, el[si]), np.full(b_total, rr[si]),
+            ], axis=1)
+            for si in range(s)
+        ])
+        plans = [make_plan(positions[si], cfg) for si in range(s)]
+    else:
+        # hold scene with initial_old == position: zero crossfades anywhere,
+        # so every arm runs one no-crossfade program for the whole render
+        positions = np.stack([
+            np.stack([np.full(b_total, az0[i]), np.full(b_total, el[i]),
+                      np.full(b_total, rr[i])], axis=1)
+            for i in range(s)
+        ])
+        plans = [make_plan(positions[i], cfg, initial_old=(az0[i], el[i]))
+                 for i in range(s)]
+        assert not any(p.xfade.any() for p in plans), "hold scene must not crossfade"
     sigs = (rng.standard_normal((s, b_total * fpb)) * 0.2).astype(np.float32)
     feds = jnp.asarray(np.stack([fed_stream(sigs[i], b_total, cfg)
                                  for i in range(s)]))
@@ -103,12 +125,34 @@ def main() -> int:
                                                ew.reshape(rows, 4))
             u_pad = max(u_pad, 1 << int(np.ceil(np.log2(uniq_idx.shape[0]))))
             chunks.append((uniq_idx, uniq_w, inv.reshape(s, nb + 1)))
+        # sparse-crossfade bucket (cadence mode): per-chunk cf counts, the
+        # production policy (renderer._sparse_bucket, meshless)
+        ncf = None
+        if args.cadence:
+            max_cf = max(
+                int(sum(p.xfade[st : st + nb].sum() for p in plans))
+                for st in range(0, b_total, nb)
+            )
+            ncf = _sparse_bucket(max_cf, s * nb)
+            assert ncf is not None, (
+                f"cadence too dense for sparse at nb={nb} (max_cf={max_cf})"
+            )
+
         for start, (uniq_idx, uniq_w, inv) in zip(range(0, b_total, nb), chunks):
             sl = slice(start, start + nb)
             if uniq_idx.shape[0] < u_pad:
                 reps = u_pad - uniq_idx.shape[0]
                 uniq_idx = np.concatenate([uniq_idx, np.repeat(uniq_idx[-1:], reps, 0)])
                 uniq_w = np.concatenate([uniq_w, np.repeat(uniq_w[-1:], reps, 0)])
+            cf_args = ()
+            if ncf is not None:
+                xf = np.stack([p.xfade[sl] for p in plans])
+                cfi = _pad_cf_indices(xf.reshape(-1), ncf)
+                cf_args = (
+                    None,  # dsel placeholder
+                    jnp.asarray(cfi.astype(np.int32)),
+                    jnp.asarray(inv[:, :nb].reshape(-1)[cfi]),
+                )
             chunk_args.append((
                 feds[:, start * fpb : (start + nb) * fpb],
                 jnp.asarray(uniq_idx), jnp.asarray(uniq_w),
@@ -118,10 +162,11 @@ def main() -> int:
                 jnp.asarray(np.stack([p.u_hi[sl] for p in plans])),
                 jnp.asarray(np.stack([p.u_lo[sl] for p in plans])),
                 jnp.asarray(np.stack([p.inv_frac[sl] for p in plans])),
+                *cf_args,
             ))
 
         fn = jax.jit(batched_chunk_fn_dedup_fused(cfg, nb, tb=tb,
-                                                  with_xfade=False))
+                                                  with_xfade=False, n_cf=ncf))
 
         def render(hh):
             last = None
@@ -132,8 +177,9 @@ def main() -> int:
         t0 = time.time()
         out, hh = render(hists0)
         float(probe(out, hh))
-        print(f"nb={nb} ({kernel}, tb={tb}, {k} chunks, u_pad={u_pad}): "
-              f"compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"nb={nb} ({kernel}, tb={tb}, {k} chunks, u_pad={u_pad}, "
+              f"ncf={ncf}): compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
         def run(reps):
             t0 = time.time()

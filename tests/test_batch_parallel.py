@@ -103,6 +103,12 @@ def test_batch_default_chunk_keeps_fused_step(db):
     # a block-0-only crossfade (initial reposition) still counts as a hold
     first = SimpleNamespace(xfade=np.r_[True, np.zeros(2047, bool)])
     assert _auto_chunk(128, 2048, [first] * 128) == 64
+    # sparse cadence (<= 1/16 of rows crossfade) lowers too (measured
+    # 1.074x at the reference's 172-block cadence); denser does not
+    xf = np.zeros(2048, bool); xf[::172] = True
+    assert _auto_chunk(128, 2048, [SimpleNamespace(xfade=xf)] * 128) == 64
+    xf8 = np.zeros(2048, bool); xf8[::8] = True
+    assert _auto_chunk(128, 2048, [SimpleNamespace(xfade=xf8)] * 128) == 256
     # an explicit chunk size pins the render
     assert BatchRenderer(db, chunk_blocks=128).chunk_blocks == 128
 
