@@ -321,6 +321,10 @@ def render_scene(args, config) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.chunk_blocks is not None and args.chunk_blocks < 1:
+        raise SystemExit(
+            f"--chunk-blocks {args.chunk_blocks} must be a positive block count"
+        )
     if args.device == "cpu":
         import jax
 
@@ -423,16 +427,22 @@ def main(argv=None) -> int:
             from ..engine.renderer import Renderer
 
             mesh = None
+            # resolve the effective chunk size up front so diagnostics can
+            # name it (a defaulted flag is None — main() already rejected
+            # 0/negative values)
+            eff_cb = args.chunk_blocks if args.chunk_blocks is not None else 2048
             if args.devices and args.devices > 1:
                 from ..parallel.mesh import make_mesh
 
                 mesh = make_mesh(args.devices, ("blk",))
-                if (args.chunk_blocks or 2048) % args.devices:
+                if eff_cb % args.devices:
+                    flag = ("default" if args.chunk_blocks is None
+                            else "--chunk-blocks")
                     raise SystemExit(
-                        f"--chunk-blocks {args.chunk_blocks} must divide "
-                        f"evenly over --devices {args.devices}"
+                        f"{flag} chunk size {eff_cb} must divide evenly "
+                        f"over --devices {args.devices}"
                     )
-            r = Renderer(db, config, chunk_blocks=args.chunk_blocks or 2048,
+            r = Renderer(db, config, chunk_blocks=eff_cb,
                          backend=args.backend,
                          fused=False if args.no_fused else None, mesh=mesh)
             out = r.render(signal, positions, ptype, initial_old=initial_old)

@@ -390,7 +390,7 @@ GROUPED_MIN_TB = 256
 AUTO_HOLD_ROWS = 8192
 
 
-def _auto_chunk(s_local: int, b_total: int, plans) -> int:
+def _auto_chunk(s_local: int, b_total: int, plans, fused: bool = True) -> int:
     """Chunk size for ``chunk_blocks=None``: 256 — the fused-step ceiling
     (above it the dispatch falls back to fused_apply, measured ~2x slower)
     — lowered by powers of two toward ~AUTO_HOLD_ROWS rows per step when
@@ -399,7 +399,15 @@ def _auto_chunk(s_local: int, b_total: int, plans) -> int:
     regime; reference cadence 172 at s=128 measured 1.074x — all
     bit-identical, scripts/bench_chunksize.py).  Movers keep 256: the
     grouped one-hot path wants tiles owning few sources, and the
-    hold-step measurements don't transfer."""
+    hold-step measurements don't transfer.
+
+    ``fused=False`` (the XLA fallback path — CPU daemons, fused A/Bs,
+    struck-out geometries): both numbers above are fused-STEP-kernel
+    measurements; the XLA chain only pays per-chunk dispatch for smaller
+    chunks (host-level dispatch penalty class, PERF.md dead ends), so it
+    keeps the pre-retune 512-block default."""
+    if not fused:
+        return 512
     cb = 256
     if not (s_local and b_total and plans):
         return cb
@@ -710,7 +718,8 @@ class BatchRenderer:
             self.chunk_blocks
             if self.chunk_blocks is not None
             else _auto_chunk(
-                s // n_dev_cb if s % n_dev_cb == 0 else s, b_total, plans
+                s // n_dev_cb if s % n_dev_cb == 0 else s, b_total, plans,
+                fused=self.fused,
             )
         )
         # compact distance (bit-identical; renderer.dedup_distance): dedup

@@ -3,10 +3,11 @@
 The fully-fused step kernel requires ``tb % num_blocks == 0`` (tiles own
 whole per-source block runs), so chunk sizes above 256 silently route the
 batched dedup+fused dispatch to the ``fused_apply`` fallback (XLA forward +
-apply-only kernel).  The production defaults sit exactly there:
-``BatchRenderer(chunk_blocks=512)`` and the CLI scene path's
-``chunk_blocks=2048`` — while bench.py's headline and the sweep's scene
-gate both run 64/256-block chunks on the fused step.  This script measures
+apply-only kernel).  The pre-retune production defaults sat exactly there
+(``BatchRenderer(chunk_blocks=512)``, CLI scene path 2048) while bench.py's
+headline and the sweep's scene gate both ran 64/256-block chunks on the
+fused step — this script's measurements are what moved the defaults to
+auto sizing (``chunk_blocks=None``, engine/batch._auto_chunk).  It measures
 the SAME total workload (S sources x B_total hold-scene blocks, the
 reference's multi-source callback shape, Jefferson/src/Audio.cu:98-158)
 rendered as chained chunks of 512 / 256 / 64 blocks, timing the full
@@ -100,11 +101,23 @@ def main() -> int:
     # so every chunk shares the same unique set
     stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
 
+    bad = [nb for nb in args.chunks if b_total % nb]
+    if bad:
+        raise SystemExit(
+            f"--blocks {b_total} must be a multiple of every chunk size "
+            f"(one compiled program per arm; offending: {bad})"
+        )
+
     results = {}
     outs_by_nb = {}
     for nb in args.chunks:
         k = b_total // nb
         tb = pick_fused_tile(s * nb, nb)
+        if tb is None:
+            raise SystemExit(
+                f"no fused tile for sources={s} x nb={nb} "
+                f"(rows={s * nb}; pick a geometry with a 128/256-row tile)"
+            )
         kernel = "fused_step" if tb % nb == 0 else "fused_apply"
 
         # per-chunk dedup args (identical across chunks on a hold scene,

@@ -109,6 +109,11 @@ def test_batch_default_chunk_keeps_fused_step(db):
     assert _auto_chunk(128, 2048, [SimpleNamespace(xfade=xf)] * 128) == 64
     xf8 = np.zeros(2048, bool); xf8[::8] = True
     assert _auto_chunk(128, 2048, [SimpleNamespace(xfade=xf8)] * 128) == 256
+    # XLA-only renders (fused off/unsupported) keep the pre-retune 512
+    # default: both auto numbers are fused-step measurements, and smaller
+    # chunks only multiply host dispatches on that path
+    assert _auto_chunk(128, 2048, [hold(2048)] * 128, fused=False) == 512
+    assert _auto_chunk(128, 2048, [mover(2048)] * 128, fused=False) == 512
     # an explicit chunk size pins the render
     assert BatchRenderer(db, chunk_blocks=128).chunk_blocks == 128
 

@@ -21,6 +21,18 @@ def _run(args):
     return cli_main([str(a) for a in args])
 
 
+def test_chunk_blocks_validation(tmp_path, wav_in):
+    """0/negative --chunk-blocks is user error (not a default request), and
+    the mesh-divisibility message names the EFFECTIVE default when the flag
+    was never passed."""
+    out = tmp_path / "out.wav"
+    for bad in (0, -4):
+        with pytest.raises(SystemExit, match="positive block count"):
+            _run(["-i", wav_in, "-o", out, "--chunk-blocks", bad, "--quiet"])
+    with pytest.raises(SystemExit, match="default chunk size 2048"):
+        _run(["-i", wav_in, "-o", out, "--devices", 3, "--quiet"])
+
+
 def test_render_roundtrip(tmp_path, wav_in, monkeypatch):
     monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")  # force synthetic
     out = tmp_path / "out.wav"
