@@ -246,6 +246,10 @@ def render_scene_spec(
     sources = scene.get("sources", [])
     if not sources:
         raise ValueError("scene has no sources")
+    if chunk_blocks is not None and chunk_blocks < 1:
+        # daemon clients reach here unvalidated (the CLI pre-validates);
+        # ValueError becomes a clean per-request error response
+        raise ValueError(f"chunk_blocks ({chunk_blocks}) must be positive")
     signals, trajs = [], []
     for s in sources:
         sig, sr = read_wav_mono(s["input"])

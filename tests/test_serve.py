@@ -73,6 +73,12 @@ def test_daemon_scene(daemon, db, config, castanets, tmp_path):
     y, sr = read_wav(out)
     assert sr == config.sample_rate and y.shape == (32 * config.frames_per_buffer, 2)
     assert np.isfinite(y).all() and np.abs(y).max() > 0
+    # an invalid client chunk size errors cleanly (no obscure range/zero-step
+    # failure from inside the render loop) and the daemon survives
+    bad = request(sock, {"cmd": "scene", "scene": scene, "output": str(out),
+                         "blocks": 32, "chunk_blocks": 0})
+    assert not bad["ok"] and "must be positive" in bad["error"]
+    assert request(sock, {"cmd": "ping"})["pong"]
 
 
 def test_daemon_stats_and_errors(daemon, tmp_path):
