@@ -250,12 +250,27 @@ def render_scene_spec(
         # daemon clients reach here unvalidated (the CLI pre-validates);
         # ValueError becomes a clean per-request error response
         raise ValueError(f"chunk_blocks ({chunk_blocks}) must be positive")
+    if num_blocks is not None and int(num_blocks) < 1:
+        # explicit blocks=0 (a falsy-but-present request field) must error,
+        # not silently render nothing or fall back to the input length
+        raise ValueError(f"blocks ({num_blocks}) must be positive")
+    if duration is not None and not float(duration) > 0:
+        raise ValueError(f"duration ({duration}) must be positive")
     signals, trajs = [], []
     for s in sources:
         sig, sr = read_wav_mono(s["input"])
         if sr != config.sample_rate:
+            # resample like the single-source paths do (the old behavior —
+            # warn and feed the raw signal — rendered a pitch-shifted,
+            # wrong-duration source into the mix, silently via the daemon)
+            from ..io.resample import resample
+
+            sig = resample(sig, sr, config.sample_rate)
             if not quiet:
-                print(f"warning: {s['input']} rate {sr} != {config.sample_rate}", file=sys.stderr)
+                print(f"resampled {s['input']} {sr} -> {config.sample_rate} Hz",
+                      file=sys.stderr)
+        if len(sig) == 0:
+            raise ValueError(f"scene source {s['input']!r} is empty")
         signals.append(sig * np.float32(s.get("gain", 1.0)))
         trajs.append(parse_trajectory(s["trajectory"]))
     if num_blocks is None:
@@ -263,6 +278,7 @@ def render_scene_spec(
             num_blocks = int(np.ceil(duration / config.block_duration))
         else:
             num_blocks = max(int(np.ceil(len(s) / config.frames_per_buffer)) for s in signals)
+    num_blocks = int(num_blocks)
     feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
     positions = np.stack([t.sample(num_blocks, config) for t in trajs])
     cb = None if chunk_blocks is None else min(chunk_blocks, num_blocks)
@@ -312,7 +328,10 @@ def render_scene(args, config) -> int:
     clip = np.abs(out) > 1.0
     if clip.any():
         print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)
-    write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
+    from ..io.wavio import resolve_float_bits
+
+    write_wav(args.output, out, config.sample_rate,
+              bits=resolve_float_bits(args.bits, args.float), float_format=args.float)
     if not args.quiet:
         audio_s = num_blocks * config.block_duration
         print(
@@ -345,6 +364,8 @@ def main(argv=None) -> int:
     if args.input is None:
         raise SystemExit("missing -i/--input (or --scene)")
     signal, sr = read_wav_mono(args.input)
+    if len(signal) == 0:
+        raise SystemExit(f"input WAV {args.input!r} is empty")
     if sr != config.sample_rate:
         if args.no_resample:
             print(f"warning: input rate {sr} != engine rate {config.sample_rate}; "
@@ -458,7 +479,10 @@ def main(argv=None) -> int:
     if clip.any():
         print(f"ALERT! CLIPPING AUDIO! ({int(clip.sum())} samples)", file=sys.stderr)
 
-    write_wav(args.output, out, config.sample_rate, bits=args.bits, float_format=args.float)
+    from ..io.wavio import resolve_float_bits
+
+    write_wav(args.output, out, config.sample_rate,
+              bits=resolve_float_bits(args.bits, args.float), float_format=args.float)
     if args.viz:
         from ..viz.html import scene_html
         from ..viz.scene import scene_svg, waveform_svg

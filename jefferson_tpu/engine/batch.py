@@ -538,6 +538,8 @@ class BatchRenderer:
 
         self.db = db
         self.config = config or db.config
+        if chunk_blocks is not None and chunk_blocks < 1:
+            raise ValueError(f"chunk_blocks ({chunk_blocks}) must be positive")
         self.chunk_blocks = chunk_blocks
         if mesh is not None and len(mesh.axis_names) != 1:
             # the shard planning below (sparse cf buckets, chunk padding)

@@ -961,6 +961,10 @@ class Renderer:
         multi-source BatchRenderer shard_maps them over SOURCES instead)."""
         self.db = db
         self.config = config or db.config
+        if chunk_blocks < 1:
+            # catch library callers up front — a zero/negative chunk size
+            # otherwise fails deep in the chunk loop on the first render
+            raise ValueError(f"chunk_blocks ({chunk_blocks}) must be positive")
         self.chunk_blocks = chunk_blocks
         self.backend = backend
         self.mesh = mesh

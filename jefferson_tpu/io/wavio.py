@@ -195,6 +195,18 @@ def _header(sample_rate: int, channels: int, bits: int, float_format: bool, data
     return hdr
 
 
+def resolve_float_bits(bits: int, float_format: bool) -> int:
+    """Resolve a user-facing (bits, float) pair to a writable depth.
+
+    ``--float`` means IEEE float output; the PCM-only depths (16/24 — and
+    24 is the CLI/daemon *default*) resolve to float32 so "render with
+    --float" never dies at write time after the render completed.  32/64
+    pass through (float32/float64)."""
+    if float_format and bits not in (32, 64):
+        return 32
+    return bits
+
+
 def write_wav(
     path: str | Path,
     samples: np.ndarray,

@@ -68,6 +68,9 @@ def main(argv=None) -> int:
 
     cfg = DEFAULT_CONFIG
     signal, sr = read_wav_mono(args.input)
+    if len(signal) == 0:
+        # the wrapping playhead does `% n_sig` — fail cleanly up front
+        raise SystemExit(f"input WAV {args.input!r} is empty")
     if sr != cfg.sample_rate:
         from ..io.resample import resample
 
@@ -148,7 +151,10 @@ def main(argv=None) -> int:
     finally:
         if key_thread is not None:
             key_thread.close()  # restore the terminal even on early exit
-    writer.close()
+        # close INSIDE the finally: an exception mid-playout must still
+        # patch the streaming header, or the partial render reads as a
+        # 0-data-byte WAV (the writer's whole purpose — round-5 review)
+        writer.close()
     if play.clipping:
         print("ALERT! CLIPPING AUDIO!", file=sys.stderr)
     print(f"{args.output}: {stats.summary()}", file=sys.stderr)

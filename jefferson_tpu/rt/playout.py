@@ -216,6 +216,10 @@ class AudioPlayout:
                         f"device blocksize {frames} != {cfg.frames_per_buffer}"
                     )
                 if stop is not None and stop():
+                    # sounddevice still plays this buffer out; it arrives
+                    # uninitialized, so zero it or the quit emits a garbage
+                    # burst (the num_blocks stop below has a valid block)
+                    outdata.fill(0)
                     raise sd.CallbackStop
                 outdata[:] = self.callback()
                 done["blocks"] += 1

@@ -121,7 +121,7 @@ class RenderService:
             # stop live sessions first so their writers flush and no thread
             # dies mid-C++ at interpreter teardown (observed as a noisy
             # "FATAL: exception not rethrown" on exit)
-            stopped = []
+            stopped, pending = [], []
             with self._slock:
                 # one snapshot + flag under the lock: registrations racing
                 # shutdown either land before the snapshot (and get quit +
@@ -133,11 +133,25 @@ class RenderService:
                 s["control"].quit = True
             for sid, s in snapshot.items():
                 s["thread"].join(timeout=10.0)
-                stopped.append(sid)
+                # honest reporting: a join that timed out (e.g. a first
+                # block stuck in a 20 s - 5 min remote compile) must not be
+                # claimed as stopped — its writer has not flushed and the
+                # process is about to exit under it (round-5 review)
+                (pending if s["thread"].is_alive() else stopped).append(sid)
             with self._slock:
-                self._streams = {}
-            return {"id": rid, "ok": True, "shutdown": True,
+                # keep timed-out sessions visible (their threads still run;
+                # each closes its own writer in its run() finally if it
+                # finishes before process exit)
+                self._streams = {sid: snapshot[sid] for sid in pending}
+            resp = {"id": rid, "ok": True, "shutdown": True,
                     "stopped_sessions": stopped}
+            if pending:
+                resp["pending_sessions"] = pending
+                resp["warning"] = (
+                    "sessions did not stop within 10 s; their output WAVs "
+                    "may be unflushed if the process exits before they do"
+                )
+            return resp
         if cmd in ("move", "stream_status"):
             # lock-free: one copy-on-write snapshot of _streams, then only
             # the stream's own control/playout state is touched
@@ -181,15 +195,25 @@ class RenderService:
 
         cfg = self.config
         signal, sr = read_wav_mono(req["input"])
+        if len(signal) == 0:
+            raise ValueError(f"input WAV {req['input']!r} is empty")
         if sr != cfg.sample_rate:
             from .io.resample import resample
 
             signal = resample(signal, sr, cfg.sample_rate)
         traj = parse_trajectory(req.get("trajectory", "static:azi=0,ele=0,r=0.5"))
-        if req.get("blocks"):
+        # explicit-but-invalid fields must error, not be reinterpreted as
+        # absent (a falsy `blocks: 0` used to silently render one full pass
+        # of the input — round-5 review)
+        if req.get("blocks") is not None:
             nb = int(req["blocks"])
-        elif req.get("duration"):
-            nb = int(np.ceil(float(req["duration"]) / cfg.block_duration))
+            if nb < 1:
+                raise ValueError(f"blocks ({nb}) must be positive")
+        elif req.get("duration") is not None:
+            dur = float(req["duration"])
+            if not dur > 0:
+                raise ValueError(f"duration ({dur}) must be positive")
+            nb = int(np.ceil(dur / cfg.block_duration))
         else:
             nb = int(np.ceil(len(signal) / cfg.frames_per_buffer))
         positions = traj.sample(nb, cfg)
@@ -200,9 +224,12 @@ class RenderService:
         dt = time.time() - t0
         if not np.isfinite(out).all():
             raise ValueError("non-finite samples in render output")
+        from .io.wavio import resolve_float_bits
+
+        ffmt = bool(req.get("float", False))
         write_wav(
             req["output"], out, cfg.sample_rate,
-            bits=int(req.get("bits", 24)), float_format=bool(req.get("float", False)),
+            bits=resolve_float_bits(int(req.get("bits", 24)), ffmt), float_format=ffmt,
         )
         self.stats["renders"] += 1
         self.stats["blocks"] += nb
@@ -246,6 +273,10 @@ class RenderService:
                         "error": f"too many active stream sessions ({self.max_streams})"}
         cfg = self.config
         signal, sr = read_wav_mono(req["input"])
+        if len(signal) == 0:
+            # the wrapping playhead below does `% n_sig`; an empty input
+            # would kill the stream thread silently after ok was returned
+            return {"ok": False, "error": f"input WAV {req['input']!r} is empty"}
         if sr != cfg.sample_rate:
             from .io.resample import resample
 
@@ -453,9 +484,12 @@ class RenderService:
         dt = time.time() - t0
         if not np.isfinite(out).all():
             raise ValueError("non-finite samples in scene output")
+        from .io.wavio import resolve_float_bits
+
+        ffmt = bool(req.get("float", False))
         write_wav(
             req["output"], out, self.config.sample_rate,
-            bits=int(req.get("bits", 24)), float_format=bool(req.get("float", False)),
+            bits=resolve_float_bits(int(req.get("bits", 24)), ffmt), float_format=ffmt,
         )
         self.stats["renders"] += 1
         self.stats["blocks"] += nb
@@ -530,6 +564,13 @@ def main(argv=None) -> int:
                         "are 20 s - 5 min, XLA CPU first execution has a "
                         "heavy tail — PERF.md)")
     args = p.parse_args(argv)
+    if args.chunk_blocks < 1:
+        # same validation the jefferson CLI applies (commit bf44c3b); without
+        # it the daemon boots cleanly and every render then fails deep in the
+        # chunk loop
+        raise SystemExit(
+            f"--chunk-blocks {args.chunk_blocks} must be a positive block count"
+        )
 
     if args.request is not None:
         resp = request(args.socket, json.loads(args.request), timeout=args.timeout)

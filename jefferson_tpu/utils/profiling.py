@@ -36,9 +36,13 @@ class RTFMeter:
 
     @contextlib.contextmanager
     def measure(self, blocks: int = 1):
+        # exception-neutral: a raising body must still close the interval,
+        # or a later stop() attributes the whole intervening gap
         self.start()
-        yield
-        self.stop(blocks)
+        try:
+            yield
+        finally:
+            self.stop(blocks)
 
     @property
     def avg_ms(self) -> float:

@@ -23,13 +23,12 @@ from .scene import decimate_waveform
 
 
 def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
-    import tempfile
+    from ..io.wavio import _encode, _header
 
-    from ..io.wavio import write_wav
-
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        write_wav(f.name, samples, sample_rate, bits=16)
-        return Path(f.name).read_bytes()
+    x = np.asarray(samples)
+    channels = 1 if x.ndim == 1 else x.shape[1]
+    payload = _encode(x, 16, False)
+    return _header(sample_rate, channels, 16, False, len(payload)) + payload
 
 
 def scene_html(

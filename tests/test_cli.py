@@ -172,3 +172,81 @@ def test_device_native_flag_leaves_platform_alone(tmp_path, wav_in, monkeypatch)
                "--trajectory", "orbit:period=1,r=1", "--quiet"])
     assert rc == 0
     assert ("jax_platforms", "cpu") not in calls, calls
+
+
+def test_float_flag_with_default_bits(tmp_path, wav_in, monkeypatch):
+    """--float with the DEFAULT --bits 24 used to complete the render and
+    then die in _encode (round-5 review); it now writes an IEEE float32
+    WAV (fmt tag 3, 32 bits)."""
+    import struct
+
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+    out = tmp_path / "out.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
+               "--float", "--quiet"])
+    assert rc == 0
+    hdr = out.read_bytes()[:36]
+    fmt_tag, _, _, _, _, bits = struct.unpack_from("<HHIIHH", hdr, 20)
+    assert fmt_tag == 3 and bits == 32  # WAVE_FORMAT_IEEE_FLOAT
+    y, sr = read_wav(out)
+    assert sr == 44100 and np.isfinite(y).all()
+
+
+def test_scene_source_resampled(tmp_path, db, config, castanets):
+    """A scene source at the wrong sample rate is resampled like the
+    single-source paths (it used to be fed raw — pitch-shifted — with only
+    a warning, and silently via the daemon)."""
+    from jefferson_tpu.cli.main import render_scene_spec
+    from jefferson_tpu.io.resample import resample
+
+    raw = castanets[:8000]
+    lo = tmp_path / "lo.wav"
+    write_wav(lo, raw, 22050, bits=32, float_format=True)  # exact roundtrip
+    hi = tmp_path / "hi.wav"
+    write_wav(hi, resample(raw, 22050, config.sample_rate), config.sample_rate,
+              bits=32, float_format=True)
+
+    def scene(p):
+        return {"sources": [{"input": str(p),
+                             "trajectory": "static:azi=30,ele=0,r=1"}]}
+
+    out_lo, _ = render_scene_spec(scene(lo), db, config, num_blocks=8, chunk_blocks=8)
+    out_hi, _ = render_scene_spec(scene(hi), db, config, num_blocks=8, chunk_blocks=8)
+    np.testing.assert_array_equal(out_lo, out_hi)
+
+
+def test_scene_rejects_bad_blocks_and_empty_source(tmp_path, db, config):
+    """Explicit blocks=0 / duration=0 and empty sources are clean errors,
+    not a silent fallback to the input length."""
+    from jefferson_tpu.cli.main import render_scene_spec
+
+    empty = tmp_path / "empty.wav"
+    write_wav(empty, np.zeros(0, np.float32), 44100)
+    sc = {"sources": [{"input": str(empty), "trajectory": "static:azi=0,ele=0,r=1"}]}
+    with pytest.raises(ValueError, match="is empty"):
+        render_scene_spec(sc, db, config, num_blocks=4)
+    ok = tmp_path / "ok.wav"
+    write_wav(ok, np.ones(512, np.float32) * 0.1, 44100)
+    sc = {"sources": [{"input": str(ok), "trajectory": "static:azi=0,ele=0,r=1"}]}
+    with pytest.raises(ValueError, match="blocks .0. must be positive"):
+        render_scene_spec(sc, db, config, num_blocks=0)
+    with pytest.raises(ValueError, match="duration .0.*must be positive"):
+        render_scene_spec(sc, db, config, duration=0.0)
+
+
+def test_empty_input_rejected(tmp_path, monkeypatch):
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+    empty = tmp_path / "empty.wav"
+    write_wav(empty, np.zeros(0, np.float32), 44100)
+    with pytest.raises(SystemExit, match="is empty"):
+        _run(["-i", empty, "-o", tmp_path / "out.wav", "--quiet"])
+
+
+def test_renderer_constructors_reject_bad_chunk_blocks(db, config):
+    from jefferson_tpu.engine.batch import BatchRenderer
+    from jefferson_tpu.engine.renderer import Renderer
+
+    with pytest.raises(ValueError, match="must be positive"):
+        Renderer(db, config, chunk_blocks=0)
+    with pytest.raises(ValueError, match="must be positive"):
+        BatchRenderer(db, config, chunk_blocks=-1)

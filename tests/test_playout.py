@@ -173,3 +173,32 @@ def test_prime_through_wrapper(db, config, castanets):
     wrapper.prime = prime
     AudioPlayout([wrapper], config).run_offline(2)
     assert primed["n"] == 1
+
+
+def test_rt_cli_flushes_writer_on_playout_exception(db, config, castanets,
+                                                    tmp_path, monkeypatch):
+    """An exception mid-playout must still patch the streaming WAV header
+    (writer.close() lives in the finally now — round-5 review): the blocks
+    written before the failure survive as a readable partial render."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+    from jefferson_tpu.rt.playout import AudioPlayout
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = tmp_path / "partial.wav"
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+
+    real = AudioPlayout.run_offline
+
+    def exploding(self, num_blocks, **kw):
+        real(self, 3, **kw)  # write 3 real blocks, then fail mid-stream
+        raise RuntimeError("device vanished")
+
+    monkeypatch.setattr(AudioPlayout, "run_offline", exploding)
+    with pytest.raises(RuntimeError, match="device vanished"):
+        main(["-i", str(src), "-o", str(out), "--seconds", "0.3"])
+    y, sr = read_wav(out)  # header must be patched, not 0 data bytes
+    assert sr == config.sample_rate
+    assert y.shape[0] == 3 * config.frames_per_buffer
+    assert np.isfinite(y).all()

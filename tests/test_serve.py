@@ -284,3 +284,63 @@ def test_daemon_concurrent_sessions(daemon, db, config, castanets, tmp_path):
     for o in (o1, o2):
         y, sr = read_wav(o)
         assert np.isfinite(y).all()
+
+
+def test_render_rejects_falsy_zero_fields(daemon, config, castanets, tmp_path):
+    """blocks=0 / duration=0 are explicit invalid requests — they must
+    error, not be reinterpreted as 'render one pass of the input'."""
+    sock, service = daemon
+    src = tmp_path / "in0.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = tmp_path / "out0.wav"
+    base = {"cmd": "render", "input": str(src), "output": str(out)}
+    r = request(sock, {**base, "blocks": 0})
+    assert not r["ok"] and "must be positive" in r["error"]
+    r = request(sock, {**base, "duration": 0})
+    assert not r["ok"] and "must be positive" in r["error"]
+    r = request(sock, {**base, "blocks": -3})
+    assert not r["ok"] and "must be positive" in r["error"]
+
+
+def test_render_float_default_bits(daemon, config, castanets, tmp_path):
+    """'float': true with no 'bits' writes IEEE float32 (used to raise
+    after the render completed)."""
+    import struct
+
+    sock, service = daemon
+    src = tmp_path / "inf.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = tmp_path / "outf.wav"
+    r = request(sock, {"cmd": "render", "input": str(src), "output": str(out),
+                       "blocks": 8, "float": True})
+    assert r["ok"], r
+    fmt_tag, _, _, _, _, bits = struct.unpack_from("<HHIIHH", out.read_bytes(), 20)
+    assert fmt_tag == 3 and bits == 32
+
+
+def test_stream_start_rejects_empty_input(daemon, config, tmp_path):
+    """An empty input WAV must be a clean error, not an ok response whose
+    stream thread dies silently on the wrapping `% 0` playhead."""
+    sock, service = daemon
+    src = tmp_path / "empty.wav"
+    write_wav(src, np.zeros(0, np.float32), config.sample_rate)
+    r = request(sock, {"cmd": "stream_start", "input": str(src),
+                       "output": str(tmp_path / "live.wav"), "seconds": 0.1})
+    assert not r["ok"] and "is empty" in r["error"]
+    assert not service._streams  # nothing half-registered
+
+
+def test_serve_cli_rejects_bad_chunk_blocks():
+    from jefferson_tpu.serve import main
+
+    with pytest.raises(SystemExit, match="positive block count"):
+        main(["--chunk-blocks", "0", "--socket", "/tmp/never-bound.sock"])
+
+
+def test_empty_render_input_rejected(daemon, config, tmp_path):
+    sock, service = daemon
+    src = tmp_path / "empty2.wav"
+    write_wav(src, np.zeros(0, np.float32), config.sample_rate)
+    r = request(sock, {"cmd": "render", "input": str(src),
+                       "output": str(tmp_path / "o.wav")})
+    assert not r["ok"] and "is empty" in r["error"]

@@ -49,3 +49,19 @@ def test_svg_outputs(tmp_path, config):
     p2 = tmp_path / "wave.svg"
     waveform_svg(wav, p2)
     assert "<polygon" in p2.read_text()
+
+
+def test_rtf_meter_exception_neutral():
+    """A raising measured body must still close the interval (round-5
+    review): counters update and a later measure() is not corrupted."""
+    import pytest
+
+    m = RTFMeter()
+    with pytest.raises(RuntimeError, match="boom"):
+        with m.measure(blocks=3):
+            raise RuntimeError("boom")
+    assert m.num_calls == 3
+    assert m.sum_s >= 0.0
+    with m.measure(blocks=1):
+        pass
+    assert m.num_calls == 4

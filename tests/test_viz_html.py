@@ -88,3 +88,17 @@ def test_live3d_state_and_page(tmp_path):
     assert "azi 37" in st["label"]
     page = live3d_html(tmp_path / "live.json", interval_ms=100)
     assert "live.json" in page and "fetch(" in page and "JT3D.draw" in page
+
+
+def test_wav_bytes_matches_write_wav(tmp_path):
+    """The in-memory embed encoder produces byte-identical WAVs to
+    write_wav (it used to roundtrip through a temp file)."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.viz.html import _wav_bytes
+
+    rng = np.random.default_rng(3)
+    for shape in ((1000, 2), (777,)):
+        x = (rng.random(shape).astype(np.float32) - 0.5)
+        p = tmp_path / "ref.wav"
+        write_wav(p, x, 44100, bits=16)
+        assert _wav_bytes(x, 44100) == p.read_bytes()

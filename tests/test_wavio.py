@@ -93,3 +93,16 @@ def test_reference_assets_readable():
     x, sr = read_wav_mono(ref)
     assert sr == 44100 and x.shape[0] == 337_614
     assert np.max(np.abs(x)) <= 1.0
+
+
+def test_resolve_float_bits():
+    """--float means IEEE float: PCM-only depths (incl. the CLI/daemon
+    default 24) resolve to float32 instead of dying at write time."""
+    from jefferson_tpu.io.wavio import resolve_float_bits
+
+    assert resolve_float_bits(24, True) == 32
+    assert resolve_float_bits(16, True) == 32
+    assert resolve_float_bits(32, True) == 32
+    assert resolve_float_bits(64, True) == 64
+    for b in (16, 24, 32):
+        assert resolve_float_bits(b, False) == b
