@@ -3,7 +3,9 @@
 A release-strength version of tests/test_fuzz_parity.py::
 test_fuzz_fused_dispatch_boundaries — run before cutting a release or after
 any dispatch/planner change:
-    python scripts/fuzz_long.py [N] [N_BATCH]   (defaults 30, 20)
+    python scripts/fuzz_long.py [N] [N_BATCH] [SEED]   (defaults 30, 20, 2026)
+SEED: vary it across release runs — each seed draws a fresh combo set, so
+two green seeds cover roughly twice the dispatch/geometry space of one.
 Phase 1 exercises every single-source fused path (dedup+fused / one-hot /
 grouped / gather) plus the partial-chunk, group-divisibility, and
 bucket-sizing boundaries.  Phase 2 fuzzes the BATCH/scene dispatch
@@ -26,9 +28,11 @@ from jefferson_tpu.testing import precision_check
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+seed = int(sys.argv[3]) if len(sys.argv) > 3 else 2026
 cfg = DEFAULT_CONFIG
 db = synthetic_database(cfg)
-rng = np.random.default_rng(2026)
+print(f"fuzz seed {seed}")
+rng = np.random.default_rng(seed)
 sig_master = (rng.standard_normal(cfg.sample_rate) * 0.2).astype(np.float32)
 
 worst = 0.0
