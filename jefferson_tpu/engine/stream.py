@@ -376,11 +376,15 @@ class StreamingSpatializer:
         cfg = self.config
         fpb = cfg.frames_per_buffer
         length = len(self.buf)
+        if length == 0:
+            raise ValueError("playback buffer is empty")
         if self.count + fpb < length:
             blk = self.buf[self.count : self.count + fpb]
             self.count += fpb
         else:
-            rem = length - self.count
-            blk = np.concatenate([self.buf[self.count :], self.buf[: fpb - rem]])
-            self.count = fpb - rem
+            # modular wrap (the reference's `% length` playhead,
+            # Audio.cu:121-139, generalized): buffers shorter than one
+            # block tile as many times as needed, like fed_stream
+            blk = self.buf[(self.count + np.arange(fpb)) % length]
+            self.count = (self.count + fpb) % length
         return self.process_block(blk)

@@ -92,3 +92,56 @@ def test_block_step_shared_across_instances(db, config):
 
     other = dataclasses.replace(config, source_gain=0.5)
     assert _jitted_block_step(other) is not a._step
+
+
+def test_process_next_sub_block_buffer(db, config):
+    """A playback buffer SHORTER than one block tiles modularly (the
+    reference's `% length` playhead generalized — the old single-concat
+    wrap could not fill 128 frames from a 50-sample buffer and crashed)."""
+    fpb = config.frames_per_buffer
+    sp = StreamingSpatializer(db, config)
+    short = (np.sin(np.arange(50) / 3.0) * 0.1).astype(np.float32)
+    sp.buf = short
+    sp.set_position(azi=30, ele=0, r=1.0)
+    outs = [sp.process_next() for _ in range(3)]
+    assert all(o.shape == (fpb, 2) for o in outs)
+    # the fed samples must equal fed_stream's tiling of the same signal
+    from jefferson_tpu.engine.plan import fed_stream
+
+    want_fed = fed_stream(short, 3, config)
+    sp2 = StreamingSpatializer(db, config)
+    sp2.set_position(azi=30, ele=0, r=1.0)
+    outs2 = [sp2.process_block(want_fed[i * fpb : (i + 1) * fpb]) for i in range(3)]
+    np.testing.assert_array_equal(np.concatenate(outs), np.concatenate(outs2))
+
+
+def test_process_next_wrap_unchanged_for_long_buffers(db, config):
+    """The modular wrap is value- and state-identical to the old concat
+    wrap for buffers longer than one block (regression pin)."""
+    fpb = config.frames_per_buffer
+    sig = (np.sin(np.arange(fpb + 37) / 5.0) * 0.1).astype(np.float32)
+    sp = StreamingSpatializer(db, config)
+    sp.buf = sig
+    sp.set_position(azi=10, ele=5, r=0.8)
+    fed = []
+    count = 0
+    for _ in range(4):
+        # reproduce the pre-fix concat semantics on the host
+        if count + fpb < len(sig):
+            fed.append(sig[count : count + fpb])
+            count += fpb
+        else:
+            rem = len(sig) - count
+            fed.append(np.concatenate([sig[count:], sig[: fpb - rem]]))
+            count = fpb - rem
+        out = sp.process_next()
+        assert out.shape == (fpb, 2)
+        assert sp.count == count
+    sp2 = StreamingSpatializer(db, config)
+    sp2.set_position(azi=10, ele=5, r=0.8)
+    outs2 = [sp2.process_block(b) for b in fed]
+    sp3 = StreamingSpatializer(db, config)
+    sp3.buf = sig
+    sp3.set_position(azi=10, ele=5, r=0.8)
+    outs3 = [sp3.process_next() for _ in range(4)]
+    np.testing.assert_array_equal(np.concatenate(outs2), np.concatenate(outs3))
