@@ -9,6 +9,18 @@ interaction loop, reference: Jefferson/src/graphics.cu:487-601, headless):
                over the jefferson-serve Unix socket.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
+
+import os
+
+if not os.environ.get("JEFFERSON_EXAMPLES_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import jefferson_tpu as jt
