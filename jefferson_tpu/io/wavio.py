@@ -69,6 +69,8 @@ def read_wav_info(path: str | Path) -> WavInfo:
     fmt_tag, channels, sample_rate, bits = _decode_fmt(data, *chunks[b"fmt "])
     dstart, dend = chunks[b"data"]
     bytes_per_frame = channels * (bits // 8)
+    if bytes_per_frame == 0:
+        raise ValueError(f"{path}: malformed fmt chunk (channels={channels}, bits={bits})")
     frames = (dend - dstart) // bytes_per_frame
     return WavInfo(sample_rate, channels, frames, bits, fmt_tag == _WAVE_FORMAT_IEEE_FLOAT)
 
@@ -94,6 +96,8 @@ def read_wav(path: str | Path, dtype=np.float32) -> tuple[np.ndarray, int]:
     if b"fmt " not in chunks or b"data" not in chunks:
         raise ValueError(f"{path}: missing fmt/data chunk")
     fmt_tag, channels, sample_rate, bits = _decode_fmt(data, *chunks[b"fmt "])
+    if channels == 0:
+        raise ValueError(f"{path}: malformed fmt chunk (channels=0)")
     dstart, dend = chunks[b"data"]
     raw = data[dstart:dend]
 

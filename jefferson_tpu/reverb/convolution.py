@@ -251,6 +251,11 @@ class StreamingConvolver:
 
     def process(self, chunk: np.ndarray) -> np.ndarray:
         """Feed exactly one partition of samples (zero-pad the final one)."""
+        if len(chunk) > self.part:
+            raise ValueError(
+                f"chunk of {len(chunk)} samples exceeds the partition "
+                f"({self.part}); feed one partition per call"
+            )
         seg = np.zeros(self.fft_size, dtype=np.float32)
         seg[: len(chunk)] = chunk
         rr, ri, out, ov = self._step(

@@ -82,3 +82,14 @@ def test_streaming_convolver_matches_offline(dry, ir):
     want = np.convolve(dry[: n_chunks * part].astype(np.float64), ir.astype(np.float64))
     m = min(len(got), len(want))
     assert np.max(np.abs(got[:m] - want[:m])) < 5e-5
+
+
+def test_streaming_convolver_rejects_oversized_chunk():
+    """A chunk longer than the partition corrupts the delay line silently
+    if accepted — it must raise instead."""
+    import pytest
+
+    ir = np.ones(64, np.float32)
+    conv = StreamingConvolver(ir, partition=32)
+    with pytest.raises(ValueError):
+        conv.process(np.zeros(33, np.float32))

@@ -106,3 +106,22 @@ def test_resolve_float_bits():
     assert resolve_float_bits(64, True) == 64
     for b in (16, 24, 32):
         assert resolve_float_bits(b, False) == b
+
+
+def test_malformed_fmt_raises_valueerror(tmp_path):
+    """A zeroed fmt chunk must raise ValueError, not ZeroDivisionError."""
+    import struct
+
+    from jefferson_tpu.io.wavio import read_wav, read_wav_info
+
+    fmt_body = struct.pack("<HHIIHH", 1, 0, 44100, 0, 0, 0)  # channels=0, bits=0
+    payload = b"\x00" * 64
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    hdr += b"data" + struct.pack("<I", len(payload))
+    p = tmp_path / "bad.wav"
+    p.write_bytes(hdr + payload)
+    with pytest.raises(ValueError):
+        read_wav_info(p)
+    with pytest.raises(ValueError):
+        read_wav(p)
