@@ -808,15 +808,15 @@ class BatchRenderer:
                 max_ncf, sl_sp * min(cb, b_total)
             )
 
-        # per-chunk crossfade flags with the renderer's amortization guard:
-        # a lone crossfade-free chunk is not worth a second remote compile
-        chunk_xfs = [
+        # per-chunk crossfade flags under the renderer's shared amortization
+        # guard (a lone crossfade-free chunk is not worth a second compile)
+        from .renderer import _apply_xfade_amortization
+
+        chunk_xfs = _apply_xfade_amortization([
             bool(any(p.xfade[st : min(st + cb, b_total)].any()
                      for p in plans))
             for st in range(0, b_total, cb)
-        ]
-        if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
-            chunk_xfs = [True] * len(chunk_xfs)
+        ])
 
         outs = []
         # fused variants disabled for the rest of THIS render on a

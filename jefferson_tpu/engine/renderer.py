@@ -558,6 +558,18 @@ def _apply_maybe_full_fuse(
     )
 
 
+def _apply_xfade_amortization(chunk_xfs: list[bool]) -> list[bool]:
+    """Amortization guard for the no-crossfade program election: a SECOND
+    program variant costs an uncached remote compile (20 s - 5 min), so the
+    no-crossfade variant is only elected when at least two chunks would use
+    it (a lone crossfade-free chunk rides the crossfade program; a
+    whole-render no-crossfade always qualifies).  THE single policy —
+    renderer and BatchRenderer both plan with it (like _sparse_bucket)."""
+    if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
+        return [True] * len(chunk_xfs)
+    return chunk_xfs
+
+
 def _sparse_bucket(max_ncf: int, rows: int) -> int | None:
     """Static cf-row bucket for the sparse-crossfade side-pass, or None
     when the crossfades are too dense for it to pay (bucket > rows/8).
@@ -1221,17 +1233,12 @@ class Renderer:
             )
             sparse_ncf = _sparse_bucket(max_ncf, cb)
 
-        # per-chunk crossfade flags, with an amortization guard: a SECOND
-        # program variant costs an uncached remote compile (20 s - 5 min),
-        # so the no-crossfade variant is only elected when at least two
-        # chunks would use it (a lone crossfade-free chunk rides the
-        # crossfade program; whole-render no-crossfade always qualifies)
-        chunk_xfs = [
+        # per-chunk crossfade flags under the shared amortization guard
+        # (_apply_xfade_amortization)
+        chunk_xfs = _apply_xfade_amortization([
             bool(plan.xfade[start : min(start + cb, b_total)].any())
             for start in range(0, b_total, cb)
-        ]
-        if any(chunk_xfs) and 0 < chunk_xfs.count(False) < 2:
-            chunk_xfs = [True] * len(chunk_xfs)
+        ])
 
         # render-wide one-hot geometry: one U_pad bucket (single compiled
         # program per render) and per-group tables for wide movers — see

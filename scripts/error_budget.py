@@ -134,7 +134,10 @@ def main() -> int:
 
     def apply_only(full, u_hi, u_lo, inv_frac, g_old, g_last, xf, config_,
                    num_blocks, tb, dsel=None, n_dist=None, lane512=False,
-                   tail_tree=False):
+                   tail_tree=False, with_xfade=True):
+        # signature mirrors renderer._apply_maybe_full_fuse — since round 5
+        # the sparse-crossfade dispatch passes with_xfade=False on this very
+        # workload (1 crossfade per 172 blocks), so it must pass through
         from jefferson_tpu.ops import fft as fft_ops
         from jefferson_tpu.ops.filters import cmul, distance_factors_split
         from jefferson_tpu.pallas.fused_apply import fused_apply_xfade
@@ -149,6 +152,7 @@ def main() -> int:
             jnp.asarray(icr), jnp.asarray(ici),
             seg=num_blocks, bins=config_.num_bins,
             fpb=config_.frames_per_buffer, tb=tb, tail_tree=tail_tree,
+            with_xfade=with_xfade,
         )
 
     # Stages 2-4 pin tail_tree=False: they decompose the PLAIN contraction's

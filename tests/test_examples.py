@@ -25,9 +25,14 @@ def test_example_runs(script, tmp_path):
         pytest.skip("slow example (set JEFFERSON_RUN_SLOW_EXAMPLES=1)")
     env = dict(os.environ)
     # examples force the CPU platform themselves; scrub the 8-virtual-device
-    # flag the test conftest sets so each subprocess boots fast (except the
-    # multi-device examples, which provision their own)
+    # flag the test conftest sets so each subprocess boots the user-default
+    # single device (the multi-device examples provision their own via
+    # ensure_virtual_devices / run_multiprocess_dryrun)
     env.pop("JEFFERSON_EXAMPLES_TPU", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
     proc = subprocess.run(
         [sys.executable, str(script)],
         cwd=tmp_path,
