@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--blocks", type=int, default=172)
     ap.add_argument("--steps", type=int, default=72)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--hrtf-dir", default=None,
+                    help="compact KEMAR dir (default: $JEFFERSON_HRTF_DIR, "
+                         "else the synthetic set) — the documented ladder "
+                         "uses the real set, like bench/sweep")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +76,7 @@ def main() -> int:
     from jefferson_tpu.trajectory.trajectory import AzimuthSweep
 
     config = DEFAULT_CONFIG
-    db = load_hrtf(None, config, quiet=False)
+    db = load_hrtf(args.hrtf_dir, config, quiet=False)
     ref = "/root/reference/Jefferson/media/Castanets-441.wav"
     if os.path.exists(ref):
         from jefferson_tpu.io.wavio import read_wav_mono
