@@ -370,9 +370,11 @@ class StreamingSpatializer:
             return np.zeros_like(out)
         return out
 
-    def process_next(self) -> np.ndarray:
-        """Pull the next block from the wrapping playback buffer (set
-        ``self.buf`` first), like the reference's callback feed."""
+    def next_block(self) -> np.ndarray:
+        """Advance the wrapping playback buffer (set ``self.buf`` first) and
+        return the next raw mono block — THE playhead implementation; the
+        daemon stream and rt loop feed through it rather than re-deriving
+        the `% length` arithmetic."""
         cfg = self.config
         fpb = cfg.frames_per_buffer
         length = len(self.buf)
@@ -387,4 +389,9 @@ class StreamingSpatializer:
             # block tile as many times as needed, like fed_stream
             blk = self.buf[(self.count + np.arange(fpb)) % length]
             self.count = (self.count + fpb) % length
-        return self.process_block(blk)
+        return blk
+
+    def process_next(self) -> np.ndarray:
+        """Pull the next block from the wrapping playback buffer (set
+        ``self.buf`` first), like the reference's callback feed."""
+        return self.process_block(self.next_block())

@@ -163,16 +163,20 @@ class OracleSpatializer:
         self.x[self.config.history_len :] = block.astype(_F32)
 
     def feed_from_buf(self) -> None:
-        """Pull the next block from the wrapping playback buffer ``self.buf``."""
+        """Pull the next block from the wrapping playback buffer ``self.buf``.
+
+        Buffers shorter than one block tile modularly (the reference's
+        ``% length`` playhead, Audio.cu:121-139, generalized like
+        engine/stream.StreamingSpatializer.next_block and fed_stream — the
+        single-wrap concatenate under-filled the block for len(buf) < fpb)."""
         fpb = self.config.frames_per_buffer
         length = len(self.buf)
         if self.count + fpb < length:
             blk = self.buf[self.count : self.count + fpb]
             self.count += fpb
         else:
-            rem = length - self.count
-            blk = np.concatenate([self.buf[self.count :], self.buf[: fpb - rem]])
-            self.count = fpb - rem
+            blk = self.buf[(self.count + np.arange(fpb)) % length]
+            self.count = (self.count + fpb) % length
         self.feed_block(blk)
 
     def overlap_save(self) -> None:

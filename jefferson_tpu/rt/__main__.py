@@ -91,9 +91,9 @@ def main(argv=None) -> int:
         conv = StreamingConvolver(ir, partition=cfg.frames_per_buffer)
 
     spat = StreamingSpatializer(db, cfg)
-    state = {"b": 0, "i": 0}
+    spat.buf = signal  # wrapping playhead lives in the spatializer
+    state = {"b": 0}
     fpb = cfg.frames_per_buffer
-    n_sig = len(signal)
 
     control = None
     key_thread = None
@@ -123,10 +123,9 @@ def main(argv=None) -> int:
         else:
             azi, ele, r = positions[b]
             spat.set_position(azi=azi, ele=ele, r=r)
-        # wrapping playhead (the reference's callback feed)
-        idx = (np.arange(fpb) + state["i"]) % n_sig
-        state["i"] = (state["i"] + fpb) % n_sig
-        blk = signal[idx]
+        # wrapping playhead (the reference's callback feed) — shared
+        # implementation in StreamingSpatializer.next_block
+        blk = spat.next_block()
         if conv is not None:  # live reverb ahead of the spatializer
             blk = np.asarray(conv.process(blk), dtype=np.float32)[:fpb]
         return spat.process_block(blk)

@@ -274,26 +274,30 @@ class RenderService:
         cfg = self.config
         signal, sr = read_wav_mono(req["input"])
         if len(signal) == 0:
-            # the wrapping playhead below does `% n_sig`; an empty input
-            # would kill the stream thread silently after ok was returned
+            # the wrapping playhead (spat.next_block) raises on an empty
+            # buffer; fail cleanly before ok is returned
             return {"ok": False, "error": f"input WAV {req['input']!r} is empty"}
         if sr != cfg.sample_rate:
             from .io.resample import resample
 
             signal = resample(signal, sr, cfg.sample_rate)
         seconds = float(req.get("seconds", 10.0))
+        if seconds <= 0:
+            # the same explicit-but-invalid rule render/scene follow: a 0- or
+            # negative-length session would return ok, end instantly, and
+            # fail confusingly on the first move
+            return {"ok": False, "error": f"seconds must be > 0, got {seconds}"}
+        if "blocks" in req:
+            return {"ok": False,
+                    "error": "stream_start takes 'seconds', not 'blocks'"}
         num_blocks = int(np.ceil(seconds / cfg.block_duration))
         control = SourceControl()
         spat = StreamingSpatializer(self.db, cfg)
-        fpb = cfg.frames_per_buffer
-        n_sig = len(signal)
-        state = {"i": 0}
+        spat.buf = signal  # wrapping playhead lives in the spatializer
 
         def source():
             spat.set_position_cartesian(control.coordinates())
-            idx = (np.arange(fpb) + state["i"]) % n_sig
-            state["i"] = (state["i"] + fpb) % n_sig
-            return spat.process_block(signal[idx])
+            return spat.process_next()
 
         source.prime = spat.prime
         writer = StreamingWavWriter(req["output"], cfg.sample_rate)
@@ -514,7 +518,12 @@ def serve(socket_path: str | Path, service: RenderService) -> None:
                 except json.JSONDecodeError as e:
                     resp = {"ok": False, "error": f"bad json: {e}"}
                 else:
-                    resp = service.handle(req)
+                    if isinstance(req, dict):
+                        resp = service.handle(req)
+                    else:  # valid JSON but not an object ([1], "x", null...)
+                        resp = {"ok": False,
+                                "error": f"request must be a JSON object, "
+                                         f"got {type(req).__name__}"}
                 self.wfile.write((json.dumps(resp) + "\n").encode())
                 self.wfile.flush()
                 if resp.get("shutdown"):
@@ -527,6 +536,11 @@ def serve(socket_path: str | Path, service: RenderService) -> None:
     class Server(socketserver.ThreadingUnixStreamServer):
         daemon_threads = True
         allow_reuse_address = True
+        # default block_on_close=True would make server_close() JOIN every
+        # handler thread — a client holding an idle open connection (blocked
+        # in its rfile read) would hang shutdown forever.  The handlers are
+        # daemons; the shutdown path already flushes live sessions itself.
+        block_on_close = False
 
     with Server(str(socket_path), Handler) as srv:
         srv.serve_forever()

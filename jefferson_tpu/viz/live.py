@@ -24,16 +24,33 @@ from pathlib import Path
 import numpy as np
 
 
+def _audio_space_xz(status: dict) -> tuple[float, float]:
+    """Project a stream_status reply to the HEARD top-down point — the same
+    (r sin azi, -r cos azi) polar projection viz.scene.scene_svg uses, so
+    the live and offline artifacts agree.
+
+    NOT the raw control (x, z): the live control surface speaks the
+    reference's CARTESIAN reading convention (azi = atan2(-x, -z),
+    SoundSource.cu:20-36), in which the listener's heard-RIGHT is -x —
+    plotting raw control x as screen right mirrors the scene left-right
+    against the audio (and against the offline views).  Projecting from the
+    ROUNDED azi/r that drive the filters also drops the cos(ele)
+    foreshortening scene_svg never had."""
+    a = float(status.get("azi", 0.0)) * np.pi / 180.0
+    r = float(status.get("r", 0.5))
+    return r * float(np.sin(a)), -r * float(np.cos(a))
+
+
 def live_scene_svg(
     status: dict,
     trail: list[tuple[float, float]] | None = None,
     size: int = 640,
 ) -> str:
-    """Render one stream_status reply (+ optional trail of (x, z) points)
-    as a top-down scene SVG string.  Same projection as viz.scene.scene_svg:
-    azi 0 = ahead (-z up on screen), +x to the listener's right."""
-    x = float(status.get("x", 0.0))
-    z = float(status.get("z", 0.5))
+    """Render one stream_status reply (+ optional trail of audio-space
+    (x, z) points — see _audio_space_xz) as a top-down scene SVG string.
+    Same projection as viz.scene.scene_svg: azi 0 = ahead (-z up on
+    screen), azi 90 (heard right) to screen right."""
+    x, z = _audio_space_xz(status)
     r = float(status.get("r", 0.5))
     trail = trail or []
     rmax = max(r, 1e-6, *(abs(a) for p in trail for a in p), abs(x), abs(z)) * 1.2
@@ -142,7 +159,7 @@ def watch(
         polls += 1
         if not status.get("ok"):
             break
-        trail.append((float(status["x"]), float(status["z"])))
+        trail.append(_audio_space_xz(status))
         del trail[:-trail_len]
         tmp = out_svg.with_suffix(".svg.tmp")
         tmp.write_text(live_scene_svg(status, trail))
@@ -153,9 +170,16 @@ def watch(
             trail3.append([float(status["x"]), float(status.get("y", 0.0)),
                            float(status["z"])])
             del trail3[:-trail_len]
+            payload = _json.dumps(live3d_state(status, trail3))
             tmpj = out_json.with_suffix(".json.tmp")
-            tmpj.write_text(_json.dumps(live3d_state(status, trail3)))
+            tmpj.write_text(payload)
             tmpj.replace(out_json)
+            # .js sibling: what the 3-D page actually polls (script-tag
+            # injection works from file://, where fetch() is blocked)
+            out_js = out_json.with_suffix(".js")
+            tmps = out_js.with_suffix(".js.tmp")
+            tmps.write_text(f"window.JT3D_STATE = {payload};")
+            tmps.replace(out_js)
         if not status.get("alive", False):
             break
         time.sleep(interval_s)

@@ -196,12 +196,17 @@ requestAnimationFrame(tick);
     Path(path).write_text(html)
 
 
-def live3d_html(json_path: str | Path, interval_ms: int = 100,
+def live3d_html(state_path: str | Path, interval_ms: int = 100,
                 size: int = 640) -> str:
-    """Self-contained live 3-D view: polls ``json_path`` (rewritten by
-    viz.live.watch(..., three_d=True)) at the reference's ~100 Hz redraw
-    cadence and repaints the perspective scene."""
-    name = Path(json_path).name
+    """Self-contained live 3-D view: polls the sibling ``.js`` state file
+    (rewritten by viz.live.watch(..., three_d=True)) at the reference's
+    ~100 Hz redraw cadence and repaints the perspective scene.
+
+    The poll re-injects a <script src=".js?ts"> tag instead of fetch():
+    browsers block fetch/XHR on file:// URLs, and the documented workflow
+    (like the 2-D page, whose <img> refresh is allowed from disk) is
+    opening the file directly — script loads are permitted there."""
+    name = Path(state_path).with_suffix(".js").name
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>jefferson_tpu live scene (3-D)</title>
 <style> body {{ margin:0; background:#0b0e14; display:flex; justify-content:center; }} </style></head>
@@ -209,14 +214,14 @@ def live3d_html(json_path: str | Path, interval_ms: int = 100,
 <canvas id="c3d" width="{size}" height="{size}"></canvas>
 <script>
 {_scene3d_js()}
-let state = {{x: 0, y: 0, z: -0.5, trail: [], label: 'waiting for stream\\u2026'}};
-async function poll() {{
-  try {{
-    const r = await fetch('{name}?' + Date.now());
-    if (r.ok) state = await r.json();
-  }} catch (e) {{}}
+window.JT3D_STATE = {{x: 0, y: 0, z: -0.5, trail: [], label: 'waiting for stream\\u2026'}};
+function poll() {{
+  const el = document.createElement('script');
+  el.src = '{name}?' + Date.now();
+  el.onload = el.onerror = () => el.remove();
+  document.body.appendChild(el);
 }}
-function tick() {{ JT3D.draw(state); requestAnimationFrame(tick); }}
+function tick() {{ JT3D.draw(window.JT3D_STATE); requestAnimationFrame(tick); }}
 setInterval(poll, {interval_ms});
 poll(); requestAnimationFrame(tick);
 </script>
@@ -226,14 +231,20 @@ poll(); requestAnimationFrame(tick);
 
 def live3d_state(status: dict, trail: list | None = None) -> dict:
     """Map one daemon stream_status reply -> the JSON the live 3-D page
-    draws (world xyz + HUD fields)."""
+    draws (world xyz + HUD fields).
+
+    The status carries CONTROL-space cartesian (the reference's reading
+    convention azi = atan2(-x, -z), SoundSource.cu:20-36, in which the
+    heard-RIGHT is -x); the painter's world frame puts the R ear at +x
+    (matching the offline views' spherical_to_cartesian and what the
+    audio does), so x negates on the way in — source and trail alike."""
     blocks = int(status.get("blocks", 0))
     total = max(int(status.get("total_blocks", 1)), 1)
     return {
-        "x": float(status.get("x", 0.0)),
+        "x": -float(status.get("x", 0.0)),
         "y": float(status.get("y", 0.0)),
         "z": float(status.get("z", -0.5)),
-        "trail": trail or [],
+        "trail": [[-float(p[0]), float(p[1]), float(p[2])] for p in (trail or [])],
         "label": (
             f"azi {status.get('azi', 0):.0f}° · "
             f"ele {status.get('ele', 0):.0f}° · "

@@ -121,6 +121,19 @@ def test_wrapping_playhead(renderer, db, config):
     assert rep.ok, str(rep)
 
 
+def test_sub_block_playhead_parity(renderer, db, config):
+    """A buffer SHORTER than one block tiles modularly on both sides
+    (engine fix 97c8a21; the oracle's single-wrap concatenate used to
+    crash here, leaving the case untestable against ground truth)."""
+    rng = np.random.default_rng(1)
+    tiny = (rng.standard_normal(70) * 0.3).astype(np.float32)  # < fpb=128
+    pos = CircularOrbit(period_s=0.05, ele=5, r=0.9).sample(12, config)
+    got = renderer.render(tiny, pos)
+    want = render_oracle(tiny, db, [tuple(p) for p in pos], config)
+    rep = precision_check(got, want, eps=E2E_EPS)
+    assert rep.ok, str(rep)
+
+
 def test_matmul_backend_matches_fft(db, config, castanets):
     """The MXU DFT-matmul backend is numerically interchangeable."""
     pos = CircularOrbit(period_s=1.5).sample(40, config)

@@ -234,11 +234,15 @@ def test_live_viz_watch(daemon, db, config, castanets, tmp_path):
     assert resp["ok"], resp
     try:
         request(sock, {"cmd": "move", "azi": 90, "ele": 0, "r": 1.0})
-        status = watch(sock, svg, interval_s=0.01, max_polls=8)
+        status = watch(sock, svg, interval_s=0.01, max_polls=8, three_d=True)
         assert status["ok"], status
         text = svg.read_text()
         assert "listener" in text and "azi 90" in text, text[:400]
         assert svg.with_suffix(".html").exists()  # self-refreshing wrapper
+        assert svg.with_suffix(".3d.html").exists()  # perspective live view
+        assert svg.with_suffix(".json").exists()
+        js = svg.with_suffix(".js").read_text()  # what the 3-D page polls
+        assert js.startswith("window.JT3D_STATE = {")
     finally:
         assert request(sock, {"cmd": "stream_stop"})["ok"]
     # after the stream ends, watch exits on the first poll with ok:false
@@ -344,3 +348,57 @@ def test_empty_render_input_rejected(daemon, config, tmp_path):
     r = request(sock, {"cmd": "render", "input": str(src),
                        "output": str(tmp_path / "o.wav")})
     assert not r["ok"] and "is empty" in r["error"]
+
+
+def test_stream_start_validates_request(daemon, config, castanets, tmp_path):
+    """seconds <= 0 and a stray 'blocks' field are clean errors (the same
+    explicit-but-invalid rule render/scene follow) — not an ok response for
+    a session that instantly ends."""
+    sock, service = daemon
+    src = tmp_path / "v_in.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = str(tmp_path / "v_out.wav")
+    r = request(sock, {"cmd": "stream_start", "input": str(src),
+                       "output": out, "seconds": 0})
+    assert not r["ok"] and "seconds" in r["error"]
+    r = request(sock, {"cmd": "stream_start", "input": str(src),
+                       "output": out, "blocks": 10})
+    assert not r["ok"] and "seconds" in r["error"]
+
+
+def test_non_object_json_request_gets_clean_error(daemon):
+    """Valid JSON that is not an object must get {'ok': false}, not a
+    dropped connection (AttributeError in the handler thread)."""
+    sock, service = daemon
+    for payload in ([1, 2], "x", 3, None):
+        r = request(sock, payload)  # request() json-dumps whatever it gets
+        assert not r["ok"] and "JSON object" in r["error"], r
+
+
+def test_shutdown_not_blocked_by_idle_connection(db, config, tmp_path):
+    """A client holding an idle open connection must not hang shutdown:
+    server_close() must not join the handler thread blocked in its read
+    (block_on_close=False; the handlers are daemons)."""
+    import socket as _socket
+
+    sock = tmp_path / "idle.sock"
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+    t = threading.Thread(target=serve, args=(sock, service), daemon=True)
+    t.start()
+    for _ in range(200):
+        try:
+            assert request(sock, {"cmd": "ping"})["pong"]
+            break
+        except (ConnectionRefusedError, FileNotFoundError, OSError):
+            import time
+
+            time.sleep(0.05)
+    # idle connection: connect, send nothing, keep it open across shutdown
+    idle = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+    idle.connect(str(sock))
+    try:
+        assert request(sock, {"cmd": "shutdown"})["ok"]
+        t.join(timeout=5)
+        assert not t.is_alive(), "serve() did not return with an idle client"
+    finally:
+        idle.close()

@@ -82,12 +82,39 @@ def test_live3d_state_and_page(tmp_path):
         {"ok": True, "x": 0.3, "y": 0.1, "z": -0.4, "azi": 37.0, "ele": 12.0,
          "r": 0.5, "blocks": 50, "total_blocks": 100, "alive": True,
          "clipping": False},
-        trail=[[0.0, 0.0, -0.5]],
+        trail=[[0.3, 0.0, -0.5]],
     )
-    assert st["x"] == 0.3 and st["frac"] == 0.5 and st["alive"]
+    # control-space x (heard-LEFT at +x, atan2(-x,-z) convention) negates
+    # into the painter's world frame (R ear at +x) — source and trail alike
+    assert st["x"] == -0.3 and st["trail"] == [[-0.3, 0.0, -0.5]]
+    assert st["frac"] == 0.5 and st["alive"]
     assert "azi 37" in st["label"]
     page = live3d_html(tmp_path / "live.json", interval_ms=100)
-    assert "live.json" in page and "fetch(" in page and "JT3D.draw" in page
+    # polls the .js state sibling via script-tag injection (works from
+    # file:// where fetch/XHR are blocked — the documented workflow opens
+    # the page straight from disk)
+    assert "live.js" in page and "createElement('script')" in page
+    assert "fetch(" not in page and "JT3D.draw" in page
+
+
+def test_live_views_show_heard_side(tmp_path):
+    """A source the audio pans RIGHT (azi 90) must draw on the right in
+    BOTH live views — the control cartesian convention (heard-right = -x)
+    must not leak into the artifacts (it mirrors them vs the offline
+    views and the sound)."""
+    from jefferson_tpu.rt.control import spherical_to_control_xyz
+    from jefferson_tpu.viz.live import _audio_space_xz, live_scene_svg
+    from jefferson_tpu.viz.scene3d import live3d_state
+
+    x, y, z = spherical_to_control_xyz(90.0, 0.0, 1.0)
+    assert x < 0  # the control convention's quirk this test guards against
+    status = {"ok": True, "x": x, "y": y, "z": z, "azi": 90.0, "ele": 0.0,
+              "r": 1.0, "blocks": 1, "total_blocks": 2, "alive": True}
+    ax, az = _audio_space_xz(status)
+    assert ax > 0.99 and abs(az) < 1e-6  # heard right -> screen right
+    svg = live_scene_svg(status)
+    assert "<svg" in svg
+    assert live3d_state(status)["x"] > 0.99  # world frame: R ear side
 
 
 def test_wav_bytes_matches_write_wav(tmp_path):
