@@ -19,9 +19,10 @@ Two products:
   * ``scene3d_html`` — offline player: rendered audio embedded as base64
     WAV, source sphere animated along the trajectory in sync with
     playback (the 3-D sibling of viz.html.scene_html).
-  * ``live3d_html`` — in-play view: polls a JSON status file that
-    viz.live's ``watch(..., three_d=True)`` rewrites from the daemon's
-    stream_status at the reference's ~100 Hz cadence.
+  * ``live3d_html`` — in-play view: polls a ``.js`` state sibling (of the
+    JSON status file) that viz.live's ``watch(..., three_d=True)``
+    rewrites from the daemon's stream_status at the reference's ~100 Hz
+    cadence — script-tag injection so the page works from ``file://``.
 
 World frame = the engine's: x right, y up, z toward the listener's back
 (azi 0 = -z, trajectory/spatial.spherical_to_cartesian).  The camera uses
