@@ -151,11 +151,14 @@ def main() -> int:
     # median of repeated slope estimates: single-estimate numbers moved
     # ~1.5% between driver sessions (round-4 verdict weak #3 — the repo
     # headline must be the reproducible capture, not the best session).
-    # 5 repeats (~0.3 s each): one relay hiccup per session was observed to
-    # skew a 3-sample median by ~30% (['1.54','1.59','1.14'] ms in one run)
+    # 9 repeats (~0.3 s each): one relay hiccup per session was observed to
+    # skew a 3-sample median by ~30% (['1.54','1.59','1.14'] ms in one run),
+    # and a later session put FOUR hiccups in five samples
+    # (['1.29','0.64','0.79','2.23','1.88'] ms — bimodal, median 1.6x the
+    # fast mode); the median of 9 tolerates up to 4 skewed estimates
     k_short, k_long = 4, 84
     estimates = []
-    for _ in range(5):
+    for _ in range(9):
         t_short, t_long = run(k_short), run(k_long)
         estimates.append((t_long - t_short) / (k_long - k_short))
     per_step = float(np.median(estimates))
@@ -163,7 +166,7 @@ def main() -> int:
     rt = bps * cfg.frames_per_buffer / cfg.sample_rate
     log(
         f"steady state: {per_step*1e3:.2f} ms per {n_sources}x{nb}-block step "
-        f"(median of 5: {[f'{e*1e3:.2f}' for e in estimates]} ms) "
+        f"(median of {len(estimates)}: {[f'{e*1e3:.2f}' for e in estimates]} ms) "
         f"-> {bps:,.0f} blocks/s/chip = {rt:,.0f}x real time"
     )
 
