@@ -113,6 +113,12 @@ class RenderService:
     def handle(self, req: dict) -> dict:
         cmd = req.get("cmd", "render")
         rid = req.get("id")
+        if not isinstance(cmd, str):
+            # an unhashable cmd ([1], {...}) would otherwise raise in the
+            # dict-membership dispatch below — a dropped connection instead
+            # of an error reply (same rule as the non-object request guard)
+            return {"id": rid, "ok": False,
+                    "error": f"cmd must be a string, got {type(cmd).__name__}"}
         if cmd == "ping":
             return {"id": rid, "ok": True, "pong": True}
         if cmd == "stats":
@@ -272,15 +278,8 @@ class RenderService:
                 return {"ok": False,
                         "error": f"too many active stream sessions ({self.max_streams})"}
         cfg = self.config
-        signal, sr = read_wav_mono(req["input"])
-        if len(signal) == 0:
-            # the wrapping playhead (spat.next_block) raises on an empty
-            # buffer; fail cleanly before ok is returned
-            return {"ok": False, "error": f"input WAV {req['input']!r} is empty"}
-        if sr != cfg.sample_rate:
-            from .io.resample import resample
-
-            signal = resample(signal, sr, cfg.sample_rate)
+        # pure request-field validation BEFORE the WAV read: a malformed
+        # request must not pay a multi-minute read + resample to be rejected
         seconds = float(req.get("seconds", 10.0))
         if seconds <= 0:
             # the same explicit-but-invalid rule render/scene follow: a 0- or
@@ -290,6 +289,15 @@ class RenderService:
         if "blocks" in req:
             return {"ok": False,
                     "error": "stream_start takes 'seconds', not 'blocks'"}
+        signal, sr = read_wav_mono(req["input"])
+        if len(signal) == 0:
+            # the wrapping playhead (spat.next_block) raises on an empty
+            # buffer; fail cleanly before ok is returned
+            return {"ok": False, "error": f"input WAV {req['input']!r} is empty"}
+        if sr != cfg.sample_rate:
+            from .io.resample import resample
+
+            signal = resample(signal, sr, cfg.sample_rate)
         num_blocks = int(np.ceil(seconds / cfg.block_duration))
         control = SourceControl()
         spat = StreamingSpatializer(self.db, cfg)
@@ -536,10 +544,14 @@ def serve(socket_path: str | Path, service: RenderService) -> None:
     class Server(socketserver.ThreadingUnixStreamServer):
         daemon_threads = True
         allow_reuse_address = True
-        # default block_on_close=True would make server_close() JOIN every
-        # handler thread — a client holding an idle open connection (blocked
-        # in its rfile read) would hang shutdown forever.  The handlers are
-        # daemons; the shutdown path already flushes live sessions itself.
+        # On Python 3.10/3.11 (requires-python >=3.10) the default
+        # block_on_close=True makes server_close() JOIN every handler
+        # thread — a client holding an idle open connection (blocked in its
+        # rfile read) hangs shutdown forever.  3.12+ already skips daemon
+        # threads there (gh-104522), so this is a no-op on 3.12 — do NOT
+        # remove it as redundant; it is what keeps 3.10/3.11 deployments
+        # shutting down.  The handlers are daemons; the shutdown path
+        # already flushes live sessions itself.
         block_on_close = False
 
     with Server(str(socket_path), Handler) as srv:
