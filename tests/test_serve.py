@@ -364,6 +364,12 @@ def test_stream_start_validates_request(daemon, config, castanets, tmp_path):
     r = request(sock, {"cmd": "stream_start", "input": str(src),
                        "output": out, "blocks": 10})
     assert not r["ok"] and "seconds" in r["error"]
+    # field validation fires BEFORE the WAV read: with a nonexistent input
+    # the reply must still be the 'blocks' complaint, not a file error
+    r = request(sock, {"cmd": "stream_start",
+                       "input": str(tmp_path / "nonexistent.wav"),
+                       "output": out, "blocks": 10})
+    assert not r["ok"] and "seconds" in r["error"]
 
 
 def test_non_object_json_request_gets_clean_error(daemon):
