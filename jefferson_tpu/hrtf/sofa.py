@@ -31,6 +31,21 @@ format.  Two mappings (round 5, ``mapping=``):
 Coordinate conventions: SOFA spherical azimuth is counterclockwise from
 ahead (+90 = left); the engine's is clockwise from ahead (+90 = right,
 reference: Jefferson/src/SoundSource.cu:28-33), so azimuth is negated.
+
+AES69 conformance (round 5 review):
+
+  * ``Data.Delay`` is applied — files that factor the broadband
+    (interaural) delay out of ``Data.IR`` get it re-inserted per
+    measurement/receiver (common part dropped as constant latency),
+    so ITD survives the load instead of collapsing to the median plane.
+  * Multi-distance sets keep the most-populated radius shell (with a
+    warning) — the engine applies its own distance factor, and mixed
+    shells would make nearest tie-break on file order and degenerate
+    interp3's neighbor selection.
+  * A common time-of-flight far beyond any in-band onset (> hrtf_len/4)
+    is trimmed with a warning, so distant-measurement sets don't spend
+    the whole filter window on leading silence; ordinary sets (KEMAR
+    keeps its ITD in the taps) load bit-identically.
 """
 
 from __future__ import annotations
@@ -74,14 +89,19 @@ def _shift(ir_pair: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def _interp3_taps(ir: np.ndarray, meas: np.ndarray, grid: np.ndarray,
+def _interp3_taps(ir: np.ndarray, cosang: np.ndarray,
                   num: int, n_taps: int, hrtf_len: int) -> np.ndarray:
-    """Delay-aligned 3-nearest inverse-angular-distance blend per grid dir."""
-    k = min(3, len(meas))
-    cosang = np.clip(grid @ meas.T, -1.0, 1.0)     # (710, M)
+    """Delay-aligned 3-nearest inverse-angular-distance blend per grid dir.
+
+    ``cosang``: the (num, M) grid-to-measurement direction cosines load_sofa
+    already computed for the auto decision.  Shifts run on the FULL-length
+    IR rows and truncate to n_taps afterwards, so a neighbor shifted earlier
+    than the weighted-mean onset pulls its real continuation into the window
+    instead of zero-fill (n_taps only limits the OUTPUT window)."""
+    k = min(3, cosang.shape[1])
     order = np.argsort(-cosang, axis=1)[:, :k]     # nearest first
     ang = np.arccos(np.take_along_axis(cosang, order, axis=1))  # (710, k)
-    onsets = np.array([_onset_delay(ir[m, :, :n_taps]) for m in range(len(ir))])
+    onsets = np.array([_onset_delay(ir[m]) for m in range(len(ir))])
     taps = np.zeros((num, 2, hrtf_len), np.float32)
     exact = np.deg2rad(0.05)
     for g in range(num):
@@ -99,7 +119,7 @@ def _interp3_taps(ir: np.ndarray, meas: np.ndarray, grid: np.ndarray,
         d_mean = int(round(float(w @ d)))
         acc = np.zeros((2, n_taps), np.float64)
         for j in range(k):
-            acc += w[j] * _shift(ir[idx[j], :, :n_taps], d_mean - d[j])
+            acc += w[j] * _shift(ir[idx[j]], d_mean - d[j])[:, :n_taps]
         taps[g, :, :n_taps] = acc.astype(np.float32)
     return taps
 
@@ -111,39 +131,113 @@ def load_sofa(
     """Load a SimpleFreeFieldHRIR SOFA file onto the KEMAR grid.
 
     ``mapping``: "nearest" | "interp3" | "auto" (see module docstring)."""
+    import warnings
+
     import h5py
 
+    if mapping not in ("nearest", "interp3", "auto"):
+        # cheap argument validation before any file IO / resampling
+        raise ValueError(f"unknown SOFA mapping {mapping!r}")
     path = Path(path)
     with h5py.File(path, "r") as f:
         if "Data.IR" not in f or "SourcePosition" not in f:
             raise ValueError(f"{path} is not a SimpleFreeFieldHRIR SOFA file")
+        if "Data.SamplingRate" not in f:
+            raise ValueError(f"{path} has no Data.SamplingRate")
         ir = np.asarray(f["Data.IR"])  # (M, R, N)
         sr = float(np.asarray(f["Data.SamplingRate"]).ravel()[0])
         pos = np.asarray(f["SourcePosition"])  # (M, >=2): azi, ele[, r]
         pos_type = f["SourcePosition"].attrs.get("Type", b"spherical")
         if isinstance(pos_type, bytes):
             pos_type = pos_type.decode()
+        delay = np.asarray(f["Data.Delay"]) if "Data.Delay" in f else None
     if ir.ndim != 3 or ir.shape[1] != 2:
         raise ValueError(f"need 2-receiver HRIRs, got Data.IR shape {ir.shape}")
+    m_meas = ir.shape[0]
+    if m_meas == 0:
+        raise ValueError(f"{path} contains no measurements (Data.IR is empty)")
+    if pos.ndim != 2 or pos.shape[1] < 2:
+        raise ValueError(
+            f"SourcePosition must be (M, >=2) [azi, ele[, r]], got shape {pos.shape}"
+        )
+    if len(pos) != m_meas:
+        raise ValueError(
+            f"SourcePosition rows ({len(pos)}) != Data.IR measurements ({m_meas})"
+        )
     if str(pos_type).lower() != "spherical":
         # 'cartesian' and 'spherical harmonics' rows are NOT (azi, ele)
         # angles; interpreting them as such would silently produce a
         # spatially-nonsense database
         raise ValueError(f"unsupported SourcePosition type {pos_type!r} (need 'spherical')")
 
+    # AES69 Data.Delay ([I R] or [M R], samples at Data.SamplingRate): the
+    # total response is Data.IR delayed per measurement/receiver.  Files
+    # that factor the broadband (interaural) delay out of the IRs would
+    # otherwise load with both ears' onsets coincident — near-zero ITD,
+    # everything pulled toward the median plane.  The common part is
+    # constant latency and is dropped; residuals round to integer samples
+    # (sub-sample residue << the grid's own angular quantization).
+    if delay is not None and np.any(delay != 0):
+        d = np.asarray(delay, np.float64)
+        if d.ndim != 2 or d.shape[1] != 2 or d.shape[0] not in (1, m_meas):
+            raise ValueError(
+                f"Data.Delay shape {d.shape} matches neither [I R]=(1, 2) "
+                f"nor [M R]=({m_meas}, 2)"
+            )
+        di = np.rint(np.broadcast_to(d, (m_meas, 2)) - d.min()).astype(int)
+        if di.max() > 0:
+            n = ir.shape[-1]
+            ext = np.zeros((m_meas, 2, n + int(di.max())), ir.dtype)
+            for m in range(m_meas):
+                for e in range(2):
+                    ext[m, e, di[m, e] : di[m, e] + n] = ir[m, e]
+            ir = ext
+
     # SOFA azimuth is CCW-positive (left); the engine's is CW-positive (right)
     src_azi = np.mod(-pos[:, 0], 360.0)
     src_ele = pos[:, 1]
+
+    # Multi-distance sets (same directions measured at several radii): keep
+    # the most-populated radius shell.  The engine applies its own distance
+    # factor, and mixing shells makes 'nearest' tie-break on file order and
+    # degenerates interp3's "3 nearest" to one direction at 3 radii (zero
+    # angular distance between shells) — no spatial interpolation at all.
+    if pos.shape[1] >= 3 and m_meas > 1:
+        shells = np.round(pos[:, 2], 6)
+        vals, counts = np.unique(shells, return_counts=True)
+        if len(vals) > 1:
+            keep_r = vals[np.argmax(counts)]
+            keep = shells == keep_r
+            warnings.warn(
+                f"{path.name}: {len(vals)} measurement radii "
+                f"{vals.tolist()}; keeping the most-populated shell "
+                f"r={keep_r} ({int(keep.sum())}/{m_meas} measurements)"
+            )
+            ir, src_azi, src_ele = ir[keep], src_azi[keep], src_ele[keep]
+            m_meas = ir.shape[0]
 
     if sr != config.sample_rate:
         from ..io.resample import resample
 
         m, r, n = ir.shape
-        flat = ir.reshape(m * r, n)
-        res = np.stack(
-            [resample(row.astype(np.float32), int(sr), config.sample_rate) for row in flat]
+        # one batched polyphase call (one filter design) over all rows
+        ir = resample(
+            ir.reshape(m * r, n).astype(np.float32), int(sr), config.sample_rate
+        ).reshape(m, r, -1)
+
+    # Common time-of-flight guard: sets measured at distance with the full
+    # propagation delay left in-band (e.g. r=3 m ≈ 386 samples at 44.1 kHz)
+    # would spend most of the hrtf_len window on leading silence.  Trim the
+    # shared onset (constant latency, inaudible) only when it is far beyond
+    # any real in-band ITD/onset (> hrtf_len/4), so ordinary sets — KEMAR
+    # keeps its ITD in the taps — load bit-identically as before.
+    tof = int(min(_onset_delay(ir[m]) for m in range(m_meas)))
+    if tof > config.hrtf_len // 4:
+        warnings.warn(
+            f"{path.name}: common {tof}-sample time-of-flight consumed the "
+            f"IR window; trimming it (constant latency, ITD preserved)"
         )
-        ir = res.reshape(m, r, -1)
+        ir = ir[:, :, tof:]
 
     n_taps = min(ir.shape[-1], config.hrtf_len)
     meas = _unit(src_azi, src_ele)  # (M, 3)
@@ -151,8 +245,6 @@ def load_sofa(
     grid_e, grid_a = zip(*(grid_position(i) for i in range(NUM_HRTF)))
     grid = _unit(np.asarray(grid_a, np.float64), np.asarray(grid_e, np.float64))
 
-    if mapping not in ("nearest", "interp3", "auto"):
-        raise ValueError(f"unknown SOFA mapping {mapping!r}")
     cosang = np.clip(grid @ meas.T, -1.0, 1.0)
     if mapping == "auto":
         # sparse set: some grid direction sits > 5 deg from every
@@ -163,7 +255,7 @@ def load_sofa(
 
     if mapping == "interp3":
         taps = _interp3_taps(
-            ir.astype(np.float64), meas, grid, NUM_HRTF, n_taps, config.hrtf_len
+            ir.astype(np.float64), cosang, NUM_HRTF, n_taps, config.hrtf_len
         )
     else:
         # nearest measurement per grid direction (great-circle = max dot)

@@ -16,9 +16,13 @@ import scipy.signal
 
 
 def resample(signal: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resample 1-D float32 audio from sr_in to sr_out."""
+    """Polyphase resample float32 audio from sr_in to sr_out along the last
+    axis (1-D signals, or batches of rows — one filter design either way)."""
     if sr_in == sr_out:
         return np.asarray(signal, dtype=np.float32)
     frac = Fraction(sr_out, sr_in).limit_denominator(1000)
-    out = scipy.signal.resample_poly(np.asarray(signal, dtype=np.float64), frac.numerator, frac.denominator)
+    out = scipy.signal.resample_poly(
+        np.asarray(signal, dtype=np.float64), frac.numerator, frac.denominator,
+        axis=-1,
+    )
     return out.astype(np.float32)

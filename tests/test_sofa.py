@@ -9,15 +9,20 @@ from jefferson_tpu.hrtf.kemar import NUM_HRTF, grid_position, load_database
 from jefferson_tpu.hrtf.sofa import load_sofa
 
 
-def _write_sofa(path, ir, azi_engine, ele, sr=44100.0):
-    """Minimal SimpleFreeFieldHRIR file; azi given in ENGINE convention."""
+def _write_sofa(path, ir, azi_engine, ele, sr=44100.0, radius=1.4, delay=None):
+    """Minimal SimpleFreeFieldHRIR file; azi given in ENGINE convention.
+    ``radius``: scalar or per-measurement array; ``delay``: optional
+    Data.Delay array ((1, 2) or (M, 2) samples)."""
     sofa_azi = np.mod(-np.asarray(azi_engine, np.float64), 360.0)
-    pos = np.stack([sofa_azi, np.asarray(ele, np.float64), np.full(len(ir), 1.4)], axis=1)
+    r = np.broadcast_to(np.asarray(radius, np.float64), (len(ir),))
+    pos = np.stack([sofa_azi, np.asarray(ele, np.float64), r], axis=1)
     with h5py.File(path, "w") as f:
         f.create_dataset("Data.IR", data=ir.astype(np.float64))
         f.create_dataset("Data.SamplingRate", data=np.array([sr]))
         d = f.create_dataset("SourcePosition", data=pos)
         d.attrs["Type"] = np.bytes_("spherical")
+        if delay is not None:
+            f.create_dataset("Data.Delay", data=np.asarray(delay, np.float64))
 
 
 def test_sofa_roundtrip_exact_grid(db, config, tmp_path):
@@ -196,6 +201,130 @@ def test_sofa_interp3_halves_error_amplitude_field(db, config, tmp_path):
     err_n = float(np.sqrt(np.mean((near.hrirs[idxs, :, : config.hrtf_len] - truth) ** 2)))
     err_i = float(np.sqrt(np.mean((intp.hrirs[idxs, :, : config.hrtf_len] - truth) ** 2)))
     assert err_i < 0.5 * err_n, (err_i, err_n)
+
+
+def test_sofa_applies_data_delay(db, config, tmp_path):
+    """AES69 Data.Delay: a file whose IRs are onset-aligned with the
+    interaural delay factored into Data.Delay must load with the ITD
+    re-inserted — not with both ears coincident (median-plane collapse)."""
+    # one measurement hard right (engine azi 90): right ear leads by 30
+    # samples; IRs both start at tap 4.  Peak-first pulse so first-nonzero
+    # and the loader's 0.2-threshold onset coincide exactly.
+    ir = np.zeros((2, 2, config.hrtf_len), np.float64)
+    pulse = np.exp(-np.arange(9.0) / 3.0)
+    for m in range(2):
+        ir[m, 0, 4:13] = 0.6 * pulse
+        ir[m, 1, 4:13] = 1.0 * pulse
+    path = tmp_path / "delayed.sofa"
+    # [M R] form: left ear delayed 30 samples on measurement 0 (azi 90),
+    # symmetric on measurement 1 (azi 270)
+    _write_sofa(path, ir, [90.0, 270.0], [0.0, 0.0],
+                delay=[[30.0, 0.0], [0.0, 30.0]])
+    loaded = load_sofa(path, config, mapping="nearest")
+    from jefferson_tpu.hrtf.kemar import pick_hrtf
+
+    g = int(pick_hrtf(0.0, 90.0))
+    onset_l = int(np.argmax(np.abs(loaded.hrirs[g, 0]) > 1e-6))
+    onset_r = int(np.argmax(np.abs(loaded.hrirs[g, 1]) > 1e-6))
+    assert onset_l - onset_r == 30, (onset_l, onset_r)
+    # common latency (min delay) is dropped: the leading ear keeps tap 4
+    assert onset_r == 4
+    # [I R] broadcast form: a uniform delay is all common part -> dropped,
+    # identical to loading the same file with no Data.Delay at all
+    path2 = tmp_path / "delayed_ir.sofa"
+    _write_sofa(path2, ir, [90.0, 270.0], [0.0, 0.0], delay=[[5.0, 5.0]])
+    path3 = tmp_path / "nodelay.sofa"
+    _write_sofa(path3, ir, [90.0, 270.0], [0.0, 0.0])
+    np.testing.assert_array_equal(
+        load_sofa(path2, config, mapping="nearest").hrirs,
+        load_sofa(path3, config, mapping="nearest").hrirs,
+    )
+
+
+def test_sofa_multi_radius_keeps_dominant_shell(db, config, tmp_path):
+    """A multi-distance set keeps the most-populated radius shell (the
+    engine applies its own distance factor); nearest must not tie-break
+    onto the minority shell's IRs."""
+    # 4 directions at r=1.4 (delta at tap 1) + the same 4 at r=3.0
+    # (delta at tap 7) + one extra r=3.0 row to prove counting, not order
+    azis = [0.0, 90.0, 180.0, 270.0]
+    ir14 = np.zeros((4, 2, config.hrtf_len), np.float32)
+    ir14[:, :, 1] = 1.0
+    ir30 = np.zeros((3, 2, config.hrtf_len), np.float32)
+    ir30[:, :, 7] = 1.0
+    ir = np.concatenate([ir30, ir14])  # minority shell FIRST in file order
+    path = tmp_path / "shells.sofa"
+    with pytest.warns(UserWarning, match="radius|radii|shell"):
+        _write_sofa(path, ir, azis[:3] + azis, [0.0] * 7,
+                    radius=[3.0] * 3 + [1.4] * 4)
+        loaded = load_sofa(path, config, mapping="nearest")
+    from jefferson_tpu.hrtf.kemar import pick_hrtf
+
+    for a in azis:
+        g = int(pick_hrtf(0.0, a))
+        assert loaded.hrirs[g, 0, 1] == 1.0, a  # r=1.4 shell won
+        assert loaded.hrirs[g, 0, 7] == 0.0, a
+
+
+def test_sofa_trims_pathological_time_of_flight(db, config, tmp_path):
+    """A set with hundreds of samples of common propagation delay left
+    in-band is trimmed (with a warning) instead of spending the whole
+    hrtf_len window on silence; ordinary onsets stay untouched."""
+    tof = 300
+    ir = np.zeros((2, 2, config.hrtf_len + 320), np.float64)
+    # peak-first pulse: first-nonzero == the loader's 0.2-threshold onset
+    pulse = np.exp(-np.arange(9.0) / 3.0)
+    ir[0, :, tof : tof + 9] = pulse          # azi 0
+    ir[1, :, tof + 8 : tof + 17] = pulse     # azi 180, 8 samples later
+    path = tmp_path / "tof.sofa"
+    _write_sofa(path, ir, [0.0, 180.0], [0.0, 0.0])
+    with pytest.warns(UserWarning, match="time-of-flight"):
+        loaded = load_sofa(path, config, mapping="nearest")
+    from jefferson_tpu.hrtf.kemar import pick_hrtf
+
+    g0 = int(pick_hrtf(0.0, 0.0))
+    onset = int(np.argmax(np.abs(loaded.hrirs[g0, 0]) > 1e-6))
+    assert onset < 8, onset  # leading silence gone
+    # relative (direction-dependent) delay preserved
+    g180 = int(pick_hrtf(0.0, 180.0))
+    onset180 = int(np.argmax(np.abs(loaded.hrirs[g180, 0]) > 1e-6))
+    assert onset180 - onset == 8
+
+
+def test_sofa_validates_malformed_files(db, config, tmp_path):
+    """Malformed files get clear ValueErrors, not numpy/h5py tracebacks;
+    a bad mapping argument raises before any file IO."""
+    with pytest.raises(ValueError, match="unknown SOFA mapping"):
+        load_sofa(tmp_path / "nonexistent.sofa", config, mapping="interp")
+
+    ir = np.zeros((3, 2, 64), np.float32)
+    path = tmp_path / "rows.sofa"
+    _write_sofa(path, ir, [0.0, 90.0, 180.0], [0.0] * 3)
+    with h5py.File(path, "r+") as f:  # truncate SourcePosition to 2 rows
+        pos = np.asarray(f["SourcePosition"])[:2]
+        del f["SourcePosition"]
+        d = f.create_dataset("SourcePosition", data=pos)
+        d.attrs["Type"] = np.bytes_("spherical")
+    with pytest.raises(ValueError, match="SourcePosition rows"):
+        load_sofa(path, config)
+
+    path2 = tmp_path / "empty.sofa"
+    _write_sofa(path2, np.zeros((0, 2, 64), np.float32), [], [])
+    with pytest.raises(ValueError, match="no measurements"):
+        load_sofa(path2, config)
+
+    path3 = tmp_path / "nosr.sofa"
+    _write_sofa(path3, ir, [0.0, 90.0, 180.0], [0.0] * 3)
+    with h5py.File(path3, "r+") as f:
+        del f["Data.SamplingRate"]
+    with pytest.raises(ValueError, match="Data.SamplingRate"):
+        load_sofa(path3, config)
+
+    path4 = tmp_path / "baddelay.sofa"
+    _write_sofa(path4, ir, [0.0, 90.0, 180.0], [0.0] * 3,
+                delay=[[1.0, 2.0], [3.0, 4.0]])  # neither (1,2) nor (3,2)
+    with pytest.raises(ValueError, match="Data.Delay"):
+        load_sofa(path4, config)
 
 
 def test_sofa_auto_mapping_dense_stays_nearest(db, config, tmp_path):
