@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DEFAULT_CONFIG, EngineConfig
+from ..config import EngineConfig
 from ..hrtf.kemar import (
     AZIMUTH_COUNTS,
     AZIMUTH_OFFSET,
@@ -88,7 +88,23 @@ def fit_database(
         h = np.asarray(h, np.float32)
         if h.ndim != 2 or h.shape[0] != 2:
             raise ValueError(f"measurement {j}: hrir must be (2, taps), got {h.shape}")
-        taps[j, :, : min(h.shape[1], config.pad_len)] = h[:, : config.pad_len]
+        if h.shape[1] > config.hrtf_len:
+            # the engine's filter class IS hrtf_len taps: fit against the
+            # truncated measurement so the optimized spectra stay
+            # representable — fitting the full-tap spectrum and truncating
+            # only at rebuild would silently discard what was just fit
+            tail = float(np.sum(h[:, config.hrtf_len :] ** 2))
+            tot = float(np.sum(h**2)) or 1.0
+            if tail / tot > 1e-4:
+                import warnings
+
+                warnings.warn(
+                    f"measurement {j}: {h.shape[1]} taps truncated to "
+                    f"hrtf_len={config.hrtf_len} ({100 * tail / tot:.2f}% of "
+                    f"the energy dropped) — engine filters are hrtf_len taps"
+                )
+            h = h[:, : config.hrtf_len]
+        taps[j, :, : h.shape[1]] = h
     target = scipy.fft.rfft(taps, axis=-1)
     t_r = jnp.asarray(np.real(target).astype(np.float32))  # (M, 2, bins)
     t_i = jnp.asarray(np.imag(target).astype(np.float32))

@@ -22,7 +22,6 @@ from ..config import EngineConfig
 from ..hrtf.kemar import AZIMUTH_COUNTS, AZIMUTH_INC, AZIMUTH_OFFSET, ELEVATIONS, HRTFDatabase
 from ..ops import fft as fft_ops
 
-_ELEV_F = jnp.asarray(np.asarray(ELEVATIONS, np.float32))
 _INC = jnp.asarray(AZIMUTH_INC)
 _COUNTS = jnp.asarray(np.asarray(AZIMUTH_COUNTS, np.float32))
 _OFFSET = jnp.asarray(np.asarray(AZIMUTH_OFFSET[:-1], np.int32))
@@ -145,10 +144,20 @@ class DifferentiableRenderer:
         (static or slowly-moving source); an int -> the grid search picks a
         winner per segment of that many blocks, so moving trajectories start
         each segment in the right basin.
-        Returns (fitted positions (B, 3) np.ndarray, loss history list).
+        optimize_r=False pins every block's radius to the CALLER's
+        init_positions values (grid candidates are evaluated at those
+        per-block radii, and the Adam mask freezes them), fitting only the
+        directions.
+        Returns (fitted positions (B, 3) np.ndarray, loss history list);
+        history[0] and history[-1] are fullband losses (start / best found),
+        interior entries are the per-stage (lowpassed) descent losses.
         """
         import optax
 
+        if segment_blocks is not None and segment_blocks <= 0:
+            raise ValueError(
+                f"segment_blocks must be a positive int, got {segment_blocks}"
+            )
         cfg = self.config
         pos0 = jnp.asarray(init_positions, dtype=jnp.float32)
         b = int(pos0.shape[0])
@@ -182,8 +191,6 @@ class DifferentiableRenderer:
 
             return loss_fn
 
-        loss_fn = make_loss(1)
-
         # Stage 1 — coarse grid init.  Waveform MSE is multimodal in
         # direction (ITD phase cycles, and an "attenuate by pushing the
         # source away" minimum), so a vectorized direction sweep picks the
@@ -193,7 +200,9 @@ class DifferentiableRenderer:
         if optimize_r:
             radii = np.array([0.25, 0.5, 1.0, 1.5, 2.5, 4.0])
         else:
-            radii = np.array([float(np.asarray(pos0[0, 2]))])
+            # candidates' r column is ignored below (the caller's per-block
+            # radii are substituted), so one dummy value suffices
+            radii = np.array([1.0])
         aa, ee, rr = np.meshgrid(azis, eles, radii, indexing="ij")
         cand = np.stack([aa.ravel(), ee.ravel(), rr.ravel()], axis=-1).astype(np.float32)
 
@@ -201,24 +210,49 @@ class DifferentiableRenderer:
         sm64 = smoother(64)
         tgt64 = sm64(tgt)
 
+        # fixed-size candidate chunks: ONE compiled program serves both the
+        # coarse (stage 1) and fine (stage 3) sweeps — remote compiles cost
+        # 20 s–5 min each here — and peak memory is bounded at
+        # (chunk, b, bins) planes instead of (C, b, bins) with C up to 5280
+        chunk_c = 256
+
         @jax.jit
-        def grid_losses_per_block(cands):
+        def _grid_chunk(cands):  # (chunk_c, 3) -> (chunk_c, b)
             def one(c):
-                out = sm64(self.render_spectra(xr, xi, jnp.broadcast_to(c, (b, 3))))
+                p = jnp.broadcast_to(c, (b, 3))
+                if not optimize_r:
+                    # fit directions AT the caller's per-block radii, not at
+                    # the candidate's dummy r (distance delay/rolloff bias)
+                    p = jnp.concatenate(
+                        [p[:, :2], pos0[:, 2:3]], axis=1
+                    )
+                out = sm64(self.render_spectra(xr, xi, p))
                 return jnp.mean((out - tgt64) ** 2, axis=(1, 2)) * 1e4  # (b,)
 
-            return jax.vmap(one)(cands)  # (C, b)
+            return jax.vmap(one)(cands)
 
-        gl_blocks = np.asarray(grid_losses_per_block(jnp.asarray(cand)))
+        def grid_losses_per_block(cand_np):
+            outs = []
+            for c0 in range(0, len(cand_np), chunk_c):
+                ch = cand_np[c0 : c0 + chunk_c]
+                pad = chunk_c - len(ch)
+                if pad:  # pad to the fixed chunk shape (one program)
+                    ch = np.concatenate([ch, np.repeat(ch[-1:], pad, axis=0)])
+                gl = np.asarray(_grid_chunk(jnp.asarray(ch)))
+                outs.append(gl[: chunk_c - pad] if pad else gl)
+            return np.concatenate(outs)  # (C, b)
+
+        gl_blocks = grid_losses_per_block(cand)
         seg = segment_blocks or b
         pos_np = np.empty((b, 3), np.float32)
-        seg_mins = []
         for s0 in range(0, b, seg):
             s1 = min(s0 + seg, b)
             seg_loss = gl_blocks[:, s0:s1].mean(axis=1)
             pos_np[s0:s1] = cand[int(np.argmin(seg_loss))]
-            seg_mins.append(float(np.min(seg_loss)))
-        gl = np.asarray(seg_mins)
+        if not optimize_r:
+            # the grid carried a dummy r; the caller's radii are the truth
+            # (and the Adam mask keeps them frozen through every stage)
+            pos_np[:, 2] = np.asarray(pos0[:, 2])
         pos = jnp.asarray(pos_np)
 
         # Stage 2 — coarse-to-fine gradient refinement (per-block positions):
@@ -226,21 +260,36 @@ class DifferentiableRenderer:
         # The best fullband-loss position ever visited is what's returned —
         # gradient stages can wander out of a good basin on hard signals.
         fullband_loss = jax.jit(make_loss(1))
-        history = [float(np.min(gl))]
         best_pos, best_loss = pos, float(fullband_loss(pos))
+        # one axis for the whole history: FULLBAND loss (the lowpassed grid
+        # minimum is not commensurable with the descent entries)
+        history = [best_loss]
 
-        def descend(pos, schedule, n_steps, rate):
-            nonlocal best_pos, best_loss
-            for width in schedule:
+        # widths 4 and 1 recur across stage 2 and stage 3; fresh @jax.jit
+        # closures would recompile identical programs (remote compiles are
+        # minutes here) — cache per (width, rate)
+        step_cache: dict[tuple, tuple] = {}
+
+        def _get_step(width, rate):
+            key = (width, round(rate, 12))
+            if key not in step_cache:
                 loss_fn = make_loss(width)
                 opt = optax.adam(rate)
-                state = opt.init(pos)
 
                 @jax.jit
                 def step(pos, state, _loss_fn=loss_fn, _opt=opt):
                     loss, grad = jax.value_and_grad(_loss_fn)(pos)
                     updates, state = _opt.update(grad * mask[None, :], state)
                     return optax.apply_updates(pos, updates), state, loss
+
+                step_cache[key] = (opt, step)
+            return step_cache[key]
+
+        def descend(pos, schedule, n_steps, rate):
+            nonlocal best_pos, best_loss
+            for width in schedule:
+                opt, step = _get_step(width, rate)
+                state = opt.init(pos)
 
                 for i in range(max(1, n_steps // len(schedule))):
                     pos, state, loss = step(pos, state)
@@ -272,10 +321,7 @@ class DifferentiableRenderer:
                 cand2 = np.stack(
                     [fa.ravel(), fe_.ravel(), np.full(fa.size, r_fit)], axis=-1
                 ).astype(np.float32)
-                gl2_cache[r_fit] = (
-                    cand2,
-                    np.asarray(grid_losses_per_block(jnp.asarray(cand2))),
-                )
+                gl2_cache[r_fit] = (cand2, grid_losses_per_block(cand2))
             cand2, gl2_all = gl2_cache[r_fit]
             gl2 = gl2_all[:, s0:s1]
             pos_np[s0:s1] = cand2[int(np.argmin(gl2.mean(axis=1)))]

@@ -98,3 +98,36 @@ def test_localization_moving_source(db, config):
     assert np.abs(fitted[: b // 2, 0] - 80.0).mean() < 10.0
     d2 = np.minimum(np.abs(fitted[b // 2 :, 0] - 290.0), 360 - np.abs(fitted[b // 2 :, 0] - 290.0))
     assert d2.mean() < 10.0
+
+
+def test_localization_fixed_radius_keeps_caller_radii(db, config):
+    """optimize_r=False must preserve the caller's PER-BLOCK radii end to
+    end (review finding: the grid init used to overwrite every block with
+    block 0's radius) and fit directions at those radii."""
+    rng = np.random.default_rng(7)
+    sig = np.convolve(rng.standard_normal(9000), np.hanning(16), mode="same")
+    sig = (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+    r = DifferentiableRenderer(db, config)
+    b = 12
+    radii = np.linspace(0.8, 2.0, b).astype(np.float32)  # receding source
+    true_pos = np.stack([np.full(b, 75.0), np.full(b, 10.0), radii], axis=-1)
+    target = np.asarray(r.render(sig, true_pos.astype(np.float32)))
+    init = np.stack([np.full(b, 10.0), np.zeros(b), radii], axis=-1)
+    fitted, hist = r.localize(
+        sig, target, init.astype(np.float32), steps=200, lr=0.1,
+        optimize_r=False,
+    )
+    np.testing.assert_array_equal(fitted[:, 2], radii)  # untouched, per block
+    assert np.abs(fitted[:, 0] - 75.0).mean() < 8.0
+    assert hist[-1] < hist[0], (hist[0], hist[-1])
+
+
+def test_localization_rejects_bad_segment_blocks(db, config):
+    r = DifferentiableRenderer(db, config)
+    sig = np.zeros(2000, np.float32)
+    pos = np.tile([0.0, 0.0, 1.0], (4, 1)).astype(np.float32)
+    tgt = np.zeros((4 * config.frames_per_buffer, 2), np.float32)
+    with pytest.raises(ValueError, match="segment_blocks"):
+        r.localize(sig, tgt, pos, steps=1, segment_blocks=-4)
+    with pytest.raises(ValueError, match="segment_blocks"):
+        r.localize(sig, tgt, pos, steps=1, segment_blocks=0)

@@ -56,3 +56,27 @@ def test_fit_validates_input(db, config):
         fit_database([], db, config)
     with pytest.raises(ValueError, match="must be"):
         fit_database([(0.0, 0.0, np.zeros(64))], db, config)
+
+
+def test_fit_truncates_overlong_measurements_with_warning(db, config):
+    """Measured HRIRs longer than hrtf_len are truncated BEFORE fitting
+    (the engine's filter class is hrtf_len taps), with a warning when the
+    dropped tail carries energy — not silently fit then discarded at
+    rebuild (review finding)."""
+    rng = np.random.default_rng(5)
+    h = rng.standard_normal((2, config.pad_len)).astype(np.float32) * 0.1
+    with pytest.warns(UserWarning, match="truncated to hrtf_len"):
+        fitted, hist = fit_database(
+            [(30.0, 0.0, h)], db, config, steps=20
+        )
+    # the returned database keeps the engine invariant: taps beyond
+    # hrtf_len are zero, spectra == rfft(hrirs)
+    assert np.all(fitted.hrirs[:, :, config.hrtf_len:] == 0.0)
+    # a tail-free overlong measurement (zeros past hrtf_len) stays silent
+    import warnings as _w
+
+    h2 = np.zeros((2, config.pad_len), np.float32)
+    h2[:, :config.hrtf_len] = h[:, :config.hrtf_len]
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        fit_database([(30.0, 0.0, h2)], db, config, steps=2)
