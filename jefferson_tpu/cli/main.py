@@ -381,6 +381,15 @@ def main(argv=None) -> int:
         if args.reverb is None:
             raise SystemExit("--reverb-mode requires -r/--reverb")
         ir, ir_sr = read_wav_mono(args.reverb)
+        if ir_sr != config.sample_rate and not args.no_resample:
+            # same rule as the input signal and the rt loop: a foreign-rate
+            # IR convolved raw is a pitch-shifted, wrong-length room
+            from ..io.resample import resample
+
+            ir = resample(ir, ir_sr, config.sample_rate)
+            if not args.quiet:
+                print(f"resampled reverb IR {ir_sr} -> {config.sample_rate} Hz",
+                      file=sys.stderr)
         from ..reverb.convolution import convolve_linear, reverb_reference
 
         t0 = time.time()

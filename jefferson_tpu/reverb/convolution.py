@@ -68,6 +68,9 @@ def _spectral_conv_grouped(sr, si, hr, hi, j_rows: int):
             padding=[(j_rows - 1, j_rows - 1)],
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=k,
+            # fp32 accumulation on TPU (DEFAULT is bf16 — the repo precision
+            # rule every other MXU op in this path already follows)
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0].T          # (M+J-1, K)
 
@@ -125,6 +128,10 @@ def convolve_linear(
     """
     signal = np.asarray(signal, dtype=np.float32)
     ir = np.asarray(ir, dtype=np.float32)
+    if len(ir) == 0:
+        # a zero-length IR (truncated/corrupt reverb WAV) must fail loudly,
+        # not produce silence or an opaque FFT shape error downstream
+        raise ValueError("reverb IR is empty")
     if backend == "host":
         import scipy.fft
 
@@ -167,7 +174,10 @@ def reverb_reference(
     new_size = len(signal) + (len(ir) - min_radius)
     lin = convolve_linear(signal, ir, config, backend=backend)
     out = np.zeros(new_size, dtype=np.float32)
-    out[:] = lin[:new_size]
+    # lin has len(signal)+len(ir)-1 samples, which is new_size-1 for a
+    # 1-tap IR — copy what exists (the missing final sample is zero)
+    head = lin[:new_size]
+    out[: len(head)] = head
     tail = lin[new_size:]
     out[: len(tail)] += tail  # circular wrap (tail < new_size by construction)
     if normalize:
@@ -211,17 +221,18 @@ class StreamingConvolver:
         self.part = partition
         self.fft_size = 2 * partition
         ir = np.asarray(ir, dtype=np.float32)
-        j = max(1, -(-len(ir) // partition))
-        hbuf = np.zeros((j, self.fft_size), dtype=np.float32)
-        for i in range(j):
-            seg = ir[i * partition : (i + 1) * partition]
-            hbuf[i, : len(seg)] = seg
-        self._hr, self._hi = (np.asarray(a) for a in fft_ops.rfft_split(jnp.asarray(hbuf), self.fft_size))
+        if len(ir) == 0:
+            # an empty IR would silently mute the stream (all-zero filter)
+            raise ValueError("reverb IR is empty")
+        # constant IR spectra + state live DEVICE-RESIDENT: process() is on
+        # the realtime hot path, and re-uploading them (plus round-tripping
+        # the spectral ring) every 2.9 ms block is pure transfer waste
+        self._hr, self._hi = _block_spectra_split(ir, partition, self.fft_size)
+        j = int(self._hr.shape[0])
         bins = self.fft_size // 2 + 1
-        self._ring_r = np.zeros((j, bins), dtype=np.float32)
-        self._ring_i = np.zeros((j, bins), dtype=np.float32)
-        self._pos = 0
-        self._overlap = np.zeros(partition, dtype=np.float32)
+        self._ring_r = jnp.zeros((j, bins), jnp.float32)
+        self._ring_i = jnp.zeros((j, bins), jnp.float32)
+        self._overlap = jnp.zeros(partition, jnp.float32)
         self._step = jax.jit(self._step_fn, static_argnames=())
 
     def _step_fn(self, ring_r, ring_i, hr, hi, seg, overlap):
@@ -240,12 +251,8 @@ class StreamingConvolver:
         """Compile the step without mutating the delay-line state (realtime
         callers warm this up before the stream opens)."""
         out = self._step(
-            jnp.asarray(self._ring_r),
-            jnp.asarray(self._ring_i),
-            jnp.asarray(self._hr),
-            jnp.asarray(self._hi),
-            jnp.zeros(self.fft_size, jnp.float32),
-            jnp.asarray(self._overlap),
+            self._ring_r, self._ring_i, self._hr, self._hi,
+            jnp.zeros(self.fft_size, jnp.float32), self._overlap,
         )
         np.asarray(out[2])  # force completion
 
@@ -259,13 +266,9 @@ class StreamingConvolver:
         seg = np.zeros(self.fft_size, dtype=np.float32)
         seg[: len(chunk)] = chunk
         rr, ri, out, ov = self._step(
-            jnp.asarray(self._ring_r),
-            jnp.asarray(self._ring_i),
-            jnp.asarray(self._hr),
-            jnp.asarray(self._hi),
-            jnp.asarray(seg[: self.fft_size]),
-            jnp.asarray(self._overlap),
+            self._ring_r, self._ring_i, self._hr, self._hi,
+            jnp.asarray(seg), self._overlap,
         )
-        self._ring_r, self._ring_i = np.asarray(rr), np.asarray(ri)
-        self._overlap = np.asarray(ov)
+        # state stays on device; only the audible block comes back
+        self._ring_r, self._ring_i, self._overlap = rr, ri, ov
         return np.asarray(out)

@@ -93,3 +93,34 @@ def test_streaming_convolver_rejects_oversized_chunk():
     conv = StreamingConvolver(ir, partition=32)
     with pytest.raises(ValueError):
         conv.process(np.zeros(33, np.float32))
+
+
+def test_one_tap_ir_matches_oracle():
+    """A 1-tap (pure gain) IR must work in both reference forms (review
+    finding: the circular-wrap copy used to crash on the off-by-one)."""
+    rng = np.random.default_rng(2)
+    dry = rng.standard_normal(300).astype(np.float32) * 0.3
+    ir1 = np.array([0.7], np.float32)
+    got = reverb_reference(dry, ir1, normalize=False)
+    want = reverb_oracle(dry, ir1, normalize=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_empty_ir_rejected():
+    dry = np.ones(100, np.float32)
+    with pytest.raises(ValueError, match="empty"):
+        convolve_linear(dry, np.zeros(0, np.float32))
+    with pytest.raises(ValueError, match="empty"):
+        StreamingConvolver(np.zeros(0, np.float32), partition=64)
+
+
+def test_streaming_state_stays_on_device(dry, ir):
+    """The hot-path contract: constant spectra and ring/overlap state are
+    device arrays (uploaded once), not host arrays re-uploaded per block."""
+    import jax
+
+    conv = StreamingConvolver(ir, partition=256)
+    conv.process(dry[:256])
+    for name in ("_hr", "_hi", "_ring_r", "_ring_i", "_overlap"):
+        assert isinstance(getattr(conv, name), jax.Array), name
