@@ -23,6 +23,11 @@ _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
+try:  # probed once at import (native/__init__ mirrors this contract)
+    from ..native import _jefferson_native as _nat
+except ImportError:
+    _nat = None
+
 
 @dataclasses.dataclass
 class WavInfo:
@@ -50,6 +55,11 @@ def _parse_chunks(data: bytes):
 
 
 def _decode_fmt(data: bytes, start: int, end: int):
+    if end - start < 16:
+        # without this, a short fmt chunk either parses the NEXT chunk's
+        # bytes as channels/rate/bits (garbage audio, no error) or dies in
+        # struct.error at EOF
+        raise ValueError(f"truncated fmt chunk ({end - start} bytes, need 16)")
     fmt_tag, channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", data, start
     )
@@ -85,34 +95,42 @@ def read_wav(path: str | Path, dtype=np.float32) -> tuple[np.ndarray, int]:
     falls back to the NumPy parser below.
     """
     data = Path(path).read_bytes()
-    try:
-        from ..native import _jefferson_native as _nat
-    except ImportError:
-        _nat = None
-    if _nat is not None:
-        x, sr = _nat.decode_wav(data)
-        return np.asarray(x, dtype=dtype), sr
+    # validate the header with the Python parser on EVERY path (header-only,
+    # cheap): malformed files must fail identically with or without the
+    # native extension (the C++ decoder quietly mapped channels=0 to mono)
     chunks = _parse_chunks(data)
     if b"fmt " not in chunks or b"data" not in chunks:
         raise ValueError(f"{path}: missing fmt/data chunk")
     fmt_tag, channels, sample_rate, bits = _decode_fmt(data, *chunks[b"fmt "])
     if channels == 0:
         raise ValueError(f"{path}: malformed fmt chunk (channels=0)")
+    if fmt_tag not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_IEEE_FLOAT):
+        raise ValueError(f"unsupported WAVE format tag 0x{fmt_tag:04x}")
+    # native decoder only when the caller wants float32 — its float32
+    # intermediate loses mantissa bits a float64 reader would keep
+    if _nat is not None and np.dtype(dtype) == np.float32:
+        x, sr = _nat.decode_wav(data)
+        return np.asarray(x, dtype=dtype), sr
     dstart, dend = chunks[b"data"]
     raw = data[dstart:dend]
 
+    def _trim(buf, itemsize):
+        # tolerate truncated data chunks (partial download / crashed
+        # writer) like the 24-bit path and the native decoder do
+        return buf[: len(buf) - (len(buf) % itemsize)]
+
     if fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
-            x = np.frombuffer(raw, dtype="<f4").astype(dtype)
+            x = np.frombuffer(_trim(raw, 4), dtype="<f4").astype(dtype)
         elif bits == 64:
-            x = np.frombuffer(raw, dtype="<f8").astype(dtype)
+            x = np.frombuffer(_trim(raw, 8), dtype="<f8").astype(dtype)
         else:
             raise ValueError(f"unsupported float bit depth {bits}")
     elif fmt_tag == _WAVE_FORMAT_PCM:
         if bits == 8:  # unsigned
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
         elif bits == 16:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            x = np.frombuffer(_trim(raw, 2), dtype="<i2").astype(np.float64) / 32768.0
         elif bits == 24:
             b = np.frombuffer(raw, dtype=np.uint8)
             n = len(b) // 3
@@ -125,12 +143,10 @@ def read_wav(path: str | Path, dtype=np.float32) -> tuple[np.ndarray, int]:
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
             x = vals.astype(np.float64) / 8388608.0
         elif bits == 32:
-            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+            x = np.frombuffer(_trim(raw, 4), dtype="<i4").astype(np.float64) / 2147483648.0
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
         x = x.astype(dtype)
-    else:
-        raise ValueError(f"unsupported WAVE format tag 0x{fmt_tag:04x}")
 
     frames = len(x) // channels
     return x[: frames * channels].reshape(frames, channels), sample_rate
@@ -154,13 +170,12 @@ def _encode(samples: np.ndarray, bits: int, float_format: bool) -> bytes:
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
-    if not float_format and bits in (16, 24, 32):
-        try:
-            from ..native import _jefferson_native as _nat
-
-            return _nat.encode_pcm(np.ascontiguousarray(x, dtype=np.float32), bits)
-        except ImportError:
-            pass
+    # native quantizer only for float32 input: it quantizes in float32, so
+    # routing float64 data through it would flip +-1-LSB ties vs the
+    # float64 fallback below — same render, different bytes per platform
+    if (not float_format and bits in (16, 24, 32) and _nat is not None
+            and x.dtype == np.float32):
+        return _nat.encode_pcm(np.ascontiguousarray(x), bits)
     if float_format:
         if bits == 32:
             return x.astype("<f4").tobytes()
@@ -192,7 +207,13 @@ def _header(sample_rate: int, channels: int, bits: int, float_format: bool, data
     )
     if float_format:
         fmt_body += struct.pack("<H", 0)  # cbSize, required for non-PCM
-    riff_size = 4 + (8 + len(fmt_body)) + (8 + data_size)
+    # riff_size counts the odd-data pad byte (write_wav/close append it)
+    riff_size = 4 + (8 + len(fmt_body)) + (8 + data_size) + (data_size & 1)
+    if riff_size > 0xFFFFFFFF:
+        raise ValueError(
+            f"WAV data ({data_size} bytes) exceeds the 4 GiB RIFF limit; "
+            f"split the output or use a different container"
+        )
     hdr = b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
     hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
     hdr += b"data" + struct.pack("<I", data_size)
@@ -229,6 +250,8 @@ def write_wav(
     with open(path, "wb") as f:
         f.write(_header(sample_rate, channels, bits, float_format, len(payload)))
         f.write(payload)
+        if len(payload) & 1:  # RIFF word alignment for odd data sizes
+            f.write(b"\x00")
 
 
 class StreamingWavWriter:
@@ -256,6 +279,9 @@ class StreamingWavWriter:
         self._f = open(self.path, "wb")
         self._f.write(_header(sample_rate, channels, bits, float_format, 0))
 
+    # headroom below 2^32 for the header itself and the pad byte
+    _MAX_DATA = 0xFFFFFFFF - 128
+
     def write(self, samples: np.ndarray) -> None:
         x = np.asarray(samples)
         if x.ndim == 1:
@@ -263,6 +289,14 @@ class StreamingWavWriter:
         if x.shape[1] != self.channels:
             raise ValueError(f"expected {self.channels} channels, got {x.shape[1]}")
         payload = _encode(x, self.bits, self.float_format)
+        if self._data_size + len(payload) > self._MAX_DATA:
+            # fail BEFORE writing, with a clear error: the header patched at
+            # the last flush stays valid (a ~4.5 h stereo-24 live capture
+            # hits this; struct.error inside flush() used to be the symptom)
+            raise ValueError(
+                f"WAV output would exceed the 4 GiB RIFF limit at "
+                f"{self._data_size + len(payload)} data bytes; rotate the file"
+            )
         self._f.write(payload)
         self._data_size += len(payload)
 
@@ -277,6 +311,9 @@ class StreamingWavWriter:
 
     def close(self) -> None:
         if not self._f.closed:
+            if self._data_size & 1:  # RIFF word alignment (riff_size counts it)
+                self._f.seek(0, 2)
+                self._f.write(b"\x00")
             self.flush()
             self._f.close()
 

@@ -83,7 +83,13 @@ PyObject* decode_wav(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "malformed WAV (missing fmt/data)");
     return nullptr;
   }
-  const int ch = fmt.channels ? fmt.channels : 1;
+  if (fmt.channels == 0) {
+    // match the Python parser: channels=0 is malformed, not mono
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "malformed fmt chunk (channels=0)");
+    return nullptr;
+  }
+  const int ch = fmt.channels;
   const size_t bytes_per = fmt.bits / 8;
   if (bytes_per == 0) {
     PyBuffer_Release(&buf);

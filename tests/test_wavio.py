@@ -125,3 +125,124 @@ def test_malformed_fmt_raises_valueerror(tmp_path):
         read_wav_info(p)
     with pytest.raises(ValueError):
         read_wav(p)
+
+
+def _wav_bytes(fmt_body, payload):
+    import struct
+
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    hdr += b"data" + struct.pack("<I", len(payload))
+    return hdr + payload
+
+
+def test_channels_zero_rejected_on_native_path_too(tmp_path):
+    """channels=0 with otherwise-valid bits must raise through BOTH decode
+    paths (the C++ decoder used to map it to mono while the fallback
+    raised — platform-divergent behavior)."""
+    import struct
+
+    from jefferson_tpu.io.wavio import read_wav
+
+    fmt_body = struct.pack("<HHIIHH", 1, 0, 44100, 88200, 2, 16)  # ch=0, bits=16
+    p = tmp_path / "ch0.wav"
+    p.write_bytes(_wav_bytes(fmt_body, b"\x00" * 64))
+    with pytest.raises(ValueError, match="channels=0"):
+        read_wav(p)
+
+
+def test_truncated_fmt_chunk_raises_valueerror(tmp_path):
+    """A fmt chunk shorter than 16 bytes must raise ValueError — not parse
+    the next chunk's bytes as the format, and not struct.error."""
+    import struct
+
+    from jefferson_tpu.io.wavio import read_wav
+
+    payload = b"\x00" * 64
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + 4 + 8 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"  # 4-byte fmt
+    hdr += b"data" + struct.pack("<I", len(payload))
+    p = tmp_path / "shortfmt.wav"
+    p.write_bytes(hdr + payload)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        read_wav(p)
+
+
+def test_truncated_data_chunk_trims(tmp_path):
+    """A 16-bit file cut mid-sample decodes the frames that fit — identically
+    with and without the native extension (frombuffer used to crash the
+    fallback on the odd byte)."""
+    import struct
+
+    import numpy as np
+
+    from jefferson_tpu.io.wavio import read_wav
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    full = np.array([1000, -2000, 3000], "<i2").tobytes()
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(_wav_bytes(fmt_body, full)[:-1])  # cut mid-sample
+    x32, _ = read_wav(p)                       # native path (float32)
+    x64, _ = read_wav(p, dtype=np.float64)     # fallback path
+    assert x32.shape[0] == x64.shape[0] == 2   # the 2 complete frames
+    np.testing.assert_allclose(x32[:, 0], x64[:, 0].astype(np.float32))
+
+
+def test_odd_data_chunk_gets_pad_byte(tmp_path):
+    """Odd-size 24-bit payloads get the RIFF pad byte (and riff_size counts
+    it), via both write_wav and the streaming writer."""
+    import struct
+
+    import numpy as np
+
+    from jefferson_tpu.io.wavio import StreamingWavWriter, read_wav, write_wav
+
+    sig = np.array([0.1, -0.2, 0.3], np.float32)  # 3 mono 24-bit frames = 9 bytes
+    p = tmp_path / "odd.wav"
+    write_wav(p, sig, 44100, bits=24)
+    raw = p.read_bytes()
+    assert len(raw) % 2 == 0 and raw[-1:] == b"\x00"
+    assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8  # riff_size exact
+    x, _ = read_wav(p)
+    assert x.shape == (3, 1)
+
+    p2 = tmp_path / "odd_stream.wav"
+    w = StreamingWavWriter(p2, 44100, channels=1, bits=24)
+    w.write(sig)
+    w.close()
+    raw2 = p2.read_bytes()
+    assert len(raw2) % 2 == 0 and raw2[-1:] == b"\x00"
+    x2, _ = read_wav(p2)
+    assert x2.shape == (3, 1)
+
+
+def test_float64_read_write_bitexact_roundtrip(tmp_path):
+    """float64 data quantizes in float64 on write and reads back at full
+    precision with dtype=np.float64 — byte-identical regardless of the
+    native extension (which is float32-only and must not be used here)."""
+    import numpy as np
+
+    from jefferson_tpu.io.wavio import read_wav, write_wav
+
+    x = np.array([0.1, -0.25, 1.0 / 3.0], np.float64)
+    p = tmp_path / "f64.wav"
+    write_wav(p, x, 44100, bits=64, float_format=True)
+    got, _ = read_wav(p, dtype=np.float64)
+    np.testing.assert_array_equal(got[:, 0], x)  # exact, no f32 round trip
+
+
+def test_streaming_writer_riff_limit_guard(tmp_path):
+    """The writer refuses the block that would cross the 4 GiB RIFF limit
+    with a clear ValueError BEFORE writing (not struct.error in flush)."""
+    import numpy as np
+
+    from jefferson_tpu.io.wavio import StreamingWavWriter
+
+    p = tmp_path / "big.wav"
+    w = StreamingWavWriter(p, 44100, channels=2, bits=24)
+    w.write(np.zeros((4, 2), np.float32))
+    w._data_size = w._MAX_DATA - 10  # simulate ~4 GiB already written
+    with pytest.raises(ValueError, match="4 GiB"):
+        w.write(np.zeros((4, 2), np.float32))
+    w._data_size = 24  # restore truth so close() patches a sane header
+    w.close()
