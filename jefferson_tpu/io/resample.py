@@ -15,6 +15,18 @@ import numpy as np
 import scipy.signal
 
 
+def read_wav_mono_at(path, sample_rate: int) -> np.ndarray:
+    """Read a WAV, downmix to mono, resample to ``sample_rate`` if the
+    file's rate differs — the shared load policy of the rt loop and the
+    serving daemon (the offline CLI keeps its own --no-resample variant)."""
+    from .wavio import read_wav_mono
+
+    sig, sr = read_wav_mono(path)
+    if sr != sample_rate:
+        sig = resample(sig, sr, sample_rate)
+    return sig
+
+
 def resample(signal: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Polyphase resample float32 audio from sr_in to sr_out along the last
     axis (1-D signals, or batches of rows — one filter design either way)."""

@@ -23,11 +23,17 @@ import numpy as np
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="jefferson-rt", description=__doc__.splitlines()[0])
+    p = argparse.ArgumentParser(
+        prog="jefferson-rt",
+        description=(__doc__ or "jefferson-rt").splitlines()[0],
+    )
     p.add_argument("-i", "--input", required=True, help="input WAV (mono/stereo)")
     p.add_argument("-o", "--output", default="live.wav")
     p.add_argument("--trajectory", default="orbit:period=4,ele=10,r=1.0")
-    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--seconds", type=float, default=None,
+                   help="session length (default 3.0; with --keys the "
+                        "default is one hour — interactive sessions end on "
+                        "q/ESC, not on a 3 s timer)")
     p.add_argument("--hrtf-dir", default=None)
     p.add_argument("--reverb", default=None,
                    help="impulse-response WAV: live partitioned convolution "
@@ -63,31 +69,31 @@ def main(argv=None) -> int:
     from ..cli.main import load_hrtf, parse_trajectory
     from ..config import DEFAULT_CONFIG
     from ..engine.stream import StreamingSpatializer
-    from ..io.wavio import StreamingWavWriter, read_wav_mono
+    from ..io.resample import read_wav_mono_at
+    from ..io.wavio import StreamingWavWriter
     from .playout import AudioPlayout
 
     cfg = DEFAULT_CONFIG
-    signal, sr = read_wav_mono(args.input)
+    # interactive sessions run until q/ESC (one-hour safety cap), not a 3 s
+    # timer; a fixed --seconds wins either way
+    seconds = args.seconds if args.seconds is not None else (3600.0 if args.keys else 3.0)
+    if seconds <= 0:
+        # same rule as the daemon's stream_start: a 0-block session would
+        # exit silently here but crash the --live callback on positions[-1]
+        raise SystemExit(f"--seconds must be > 0, got {seconds}")
+    signal = read_wav_mono_at(args.input, cfg.sample_rate)
     if len(signal) == 0:
         # the wrapping playhead does `% n_sig` — fail cleanly up front
         raise SystemExit(f"input WAV {args.input!r} is empty")
-    if sr != cfg.sample_rate:
-        from ..io.resample import resample
-
-        signal = resample(signal, sr, cfg.sample_rate)
     db = load_hrtf(args.hrtf_dir, cfg)
-    num_blocks = int(np.ceil(args.seconds / cfg.block_duration))
+    num_blocks = int(np.ceil(seconds / cfg.block_duration))
     positions = parse_trajectory(args.trajectory).sample(num_blocks, cfg)
 
     conv = None
     if args.reverb is not None:
         from ..reverb.convolution import StreamingConvolver
 
-        ir, ir_sr = read_wav_mono(args.reverb)
-        if ir_sr != cfg.sample_rate:
-            from ..io.resample import resample
-
-            ir = resample(ir, ir_sr, cfg.sample_rate)
+        ir = read_wav_mono_at(args.reverb, cfg.sample_rate)
         conv = StreamingConvolver(ir, partition=cfg.frames_per_buffer)
 
     spat = StreamingSpatializer(db, cfg)

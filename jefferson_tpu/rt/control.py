@@ -175,6 +175,15 @@ def decode_keys_partial(data: bytes) -> tuple[list[str], bytes]:
             continue
         # CSI/SS3: scan to the final byte (0x40-0x7E after any parameters)
         j = i + 2
+        if nxt == 0x5B and j < n and data[j] == 0x5B:
+            # Linux-console F1-F5 encode as ESC [ [ <letter> — the second
+            # '[' would otherwise scan as the final byte, leaking the
+            # letter as a real move key (F1 -> 'A' -> move left)
+            j += 1
+            if j >= n:
+                return keys, data[i:]  # incomplete: carry
+            i = j + 1  # consume and ignore the whole 4-byte sequence
+            continue
         while j < n and not (0x40 <= data[j] <= 0x7E):
             j += 1
         if j >= n:
@@ -196,16 +205,20 @@ def decode_keys(data: bytes) -> list[str]:
     return keys
 
 
-def tty_key_loop(control: SourceControl, fd: int, on_key=None) -> None:
+def tty_key_loop(control: SourceControl, fd: int, on_key=None,
+                 stop: threading.Event | None = None) -> None:
     """Raw-mode key loop on an ALREADY-cbreak fd; returns when the user
-    quits.  Run in a daemon thread next to the audio loop (``jefferson-rt
-    --keys``) — terminal mode save/restore is owned by the caller (see
-    KeyThread), because a daemon thread's finally never runs when the
-    playout loop ends on its own.
+    quits (or ``stop`` is set).  Run in a daemon thread next to the audio
+    loop (``jefferson-rt --keys``) — terminal mode save/restore is owned by
+    the caller (see KeyThread), because a daemon thread's finally never
+    runs when the playout loop ends on its own.
 
     Incomplete escape sequences carry across reads (a held arrow key splits
     at read boundaries); a carried lone ESC is promoted to a real 'esc'
-    press after one read timeout with no follow-up bytes.
+    press after two read timeouts with no follow-up bytes (the same grace a
+    partial CSI gets — over a laggy link an arrow's '[A' tail can trail its
+    escape byte by more than one 50 ms window, and a mistaken promotion
+    quits the whole session).
     ``on_key`` (optional) is called with (key, (x, y, z)) after each applied
     key — the CLI uses it to print the live position readout.
     """
@@ -214,13 +227,16 @@ def tty_key_loop(control: SourceControl, fd: int, on_key=None) -> None:
 
     carry = b""
     stale = 0
-    while not control.quit:
+    while not control.quit and (stop is None or not stop.is_set()):
         ready, _, _ = select.select([fd], [], [], 0.05)
         if not ready:
-            if carry == b"\x1b":  # a real ESC press, not a truncated arrow
-                carry = b""
-                if not control.apply_key("esc"):
-                    return
+            if carry == b"\x1b":  # maybe a real ESC press...
+                stale += 1
+                if stale >= 2:  # ...but give a split arrow two windows
+                    carry = b""
+                    stale = 0
+                    if not control.apply_key("esc"):
+                        return
             elif carry:
                 # a partial CSI may still complete over a laggy connection
                 # (dropping it would decode the late final byte as a move
@@ -258,16 +274,22 @@ class KeyThread:
 
         self._fd = sys.stdin.fileno()
         self._old = termios.tcgetattr(self._fd)
+        self._stop = threading.Event()
         tty.setcbreak(self._fd)
         self.thread = threading.Thread(
             target=tty_key_loop, args=(control, self._fd),
-            kwargs={"on_key": on_key}, daemon=True,
+            kwargs={"on_key": on_key, "stop": self._stop}, daemon=True,
         )
         self.thread.start()
 
     def close(self) -> None:
         import termios
 
+        # stop the reader BEFORE restoring the terminal: a still-running
+        # loop would keep consuming stdin for the life of the process,
+        # eating keystrokes meant for whatever runs after the session
+        self._stop.set()
+        self.thread.join(timeout=0.5)
         if self._old is not None:
             termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
             self._old = None

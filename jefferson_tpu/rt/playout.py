@@ -24,6 +24,7 @@ two interchangeable backends:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
@@ -50,7 +51,9 @@ def have_output_device() -> bool:
     if sd is None:
         return False
     try:
-        return any(d["max_output_channels"] >= 2 for d in sd.query_devices())
+        # probe the DEFAULT output device — play() opens device=None, so a
+        # stereo device existing elsewhere in the list is not enough
+        return sd.query_devices(kind="output")["max_output_channels"] >= 2
     except Exception:
         return False
 
@@ -207,7 +210,7 @@ class AudioPlayout:
         cfg = self.config
         self.prime()
         done = {"blocks": 0, "exc": None}
-        finished = __import__("threading").Event()
+        finished = threading.Event()
 
         def cb(outdata, frames, time_info, status):
             try:
@@ -215,16 +218,18 @@ class AudioPlayout:
                     raise RuntimeError(
                         f"device blocksize {frames} != {cfg.frames_per_buffer}"
                     )
-                if stop is not None and stop():
-                    # sounddevice still plays this buffer out; it arrives
-                    # uninitialized, so zero it or the quit emits a garbage
-                    # burst (the num_blocks stop below has a valid block)
+                if (stop is not None and stop()) or (
+                    num_blocks is not None and done["blocks"] >= num_blocks
+                ):
+                    # checked BEFORE emitting so num_blocks=0 plays zero
+                    # blocks (run_offline(0) already does); sounddevice
+                    # still plays this buffer out and it arrives
+                    # uninitialized, so zero it or the stop emits a
+                    # garbage burst
                     outdata.fill(0)
                     raise sd.CallbackStop
                 outdata[:] = self.callback()
                 done["blocks"] += 1
-                if num_blocks is not None and done["blocks"] >= num_blocks:
-                    raise sd.CallbackStop
             except sd.CallbackStop:
                 raise
             except Exception as e:  # surface errors instead of glitching forever

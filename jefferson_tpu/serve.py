@@ -262,7 +262,7 @@ class RenderService:
         import numpy as np
 
         from .engine.stream import StreamingSpatializer
-        from .io.wavio import StreamingWavWriter, read_wav_mono
+        from .io.wavio import StreamingWavWriter
         from .rt.control import SourceControl
         from .rt.playout import AudioPlayout
 
@@ -289,15 +289,13 @@ class RenderService:
         if "blocks" in req:
             return {"ok": False,
                     "error": "stream_start takes 'seconds', not 'blocks'"}
-        signal, sr = read_wav_mono(req["input"])
+        from .io.resample import read_wav_mono_at
+
+        signal = read_wav_mono_at(req["input"], cfg.sample_rate)
         if len(signal) == 0:
             # the wrapping playhead (spat.next_block) raises on an empty
             # buffer; fail cleanly before ok is returned
             return {"ok": False, "error": f"input WAV {req['input']!r} is empty"}
-        if sr != cfg.sample_rate:
-            from .io.resample import resample
-
-            signal = resample(signal, sr, cfg.sample_rate)
         num_blocks = int(np.ceil(seconds / cfg.block_duration))
         control = SourceControl()
         spat = StreamingSpatializer(self.db, cfg)

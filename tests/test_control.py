@@ -161,3 +161,51 @@ def test_interactive_quit_stops_loop(db, config, castanets):
     play = AudioPlayout([source], config)
     stats = play.run_offline(100, stop=lambda: control.quit)
     assert stats.blocks == 5
+
+
+def test_linux_console_fkeys_ignored():
+    """Linux-console F1-F5 (ESC [ [ <letter>) must be consumed whole — the
+    trailing letter must NOT leak as a move key (F1 would read as 'A' =
+    move left; review finding)."""
+    from jefferson_tpu.rt.control import decode_keys, decode_keys_partial
+
+    for letter in b"ABCDE":
+        assert decode_keys(b"\x1b[[" + bytes([letter])) == []
+    # mixed with real keys on both sides
+    assert decode_keys(b"w\x1b[[Ad") == ["w", "d"]
+    # split across reads: the partial sequence carries, then resolves
+    keys, rest = decode_keys_partial(b"\x1b[[")
+    assert keys == [] and rest == b"\x1b[["
+    keys2, rest2 = decode_keys_partial(rest + b"Bs")
+    assert keys2 == ["s"] and rest2 == b""
+
+
+def test_keythread_close_stops_reader():
+    """KeyThread.close() must stop the TTY reader thread (not leave it
+    consuming stdin for the life of the process) — driven through
+    tty_key_loop's stop event on a pipe."""
+    import os
+    import threading
+    import time
+
+    from jefferson_tpu.rt.control import SourceControl, tty_key_loop
+
+    r, w = os.pipe()
+    try:
+        control = SourceControl()
+        stop = threading.Event()
+        t = threading.Thread(
+            target=tty_key_loop, args=(control, r), kwargs={"stop": stop},
+            daemon=True,
+        )
+        t.start()
+        os.write(w, b"d")  # prove the loop is consuming
+        time.sleep(0.15)
+        assert control.moves == 1
+        stop.set()
+        t.join(timeout=1.0)
+        assert not t.is_alive(), "reader thread survived stop"
+        assert not control.quit  # stop is not a quit
+    finally:
+        os.close(r)
+        os.close(w)
