@@ -18,6 +18,7 @@ Two forms:
 from __future__ import annotations
 
 import functools
+import threading
 
 import numpy as np
 
@@ -84,6 +85,14 @@ def _block_step_noxf(spec_r, spec_i, hist, block, idx_new, w_new, u_hi, u_lo,
 
 
 _SPECTRA_CACHE: "weakref.WeakValueDictionary | dict" = {}
+# One lock for all three serving caches: the daemon's stream_start threads
+# construct StreamingSpatializers concurrently and UNLOCKED (by design —
+# heavy prep must not stall renders), so an unguarded miss window would let
+# two first-ever sessions each upload private spectra planes / retain
+# private jitted wrappers — exactly the per-session leak the caches exist
+# to prevent (lru_cache returns the LOSING thread's non-cached value on a
+# concurrent miss).
+_CACHE_LOCK = threading.Lock()
 
 
 def _device_spectra(db: HRTFDatabase):
@@ -96,23 +105,33 @@ def _device_spectra(db: HRTFDatabase):
     dropped database releases its planes."""
     import weakref
 
-    key = id(db)
-    hit = _SPECTRA_CACHE.get(key)
-    if hit is not None and hit[0]() is db:
-        return hit[1]
-    planes = (
-        jnp.asarray(np.real(db.spectra).astype(np.float32)),
-        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
-    )
+    with _CACHE_LOCK:
+        key = id(db)
+        hit = _SPECTRA_CACHE.get(key)
+        if hit is not None and hit[0]() is db:
+            return hit[1]
+        planes = (
+            jnp.asarray(np.real(db.spectra).astype(np.float32)),
+            jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+        )
 
-    def _drop(_ref, _key=key):
-        _SPECTRA_CACHE.pop(_key, None)
+        def _drop(_ref, _key=key):
+            _SPECTRA_CACHE.pop(_key, None)
 
-    _SPECTRA_CACHE[key] = (weakref.ref(db, _drop), planes)
-    return planes
+        _SPECTRA_CACHE[key] = (weakref.ref(db, _drop), planes)
+        return planes
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_block_step_uncached(config: EngineConfig):
+    return jax.jit(functools.partial(_block_step, config=config))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_block_step_noxf_uncached(config: EngineConfig):
+    return jax.jit(functools.partial(_block_step_noxf, config=config))
+
+
 def _jitted_block_step(config: EngineConfig):
     """One jitted single-block step PER CONFIG, shared by every
     StreamingSpatializer instance.  A per-instance jax.jit(partial(...))
@@ -121,16 +140,17 @@ def _jitted_block_step(config: EngineConfig):
     stream session (round-4 soak) and re-pays the block-step compile on
     every stream_start.  EngineConfig is a frozen dataclass (hashable), so
     the memo key is the config itself; distinct configs still get their
-    own program."""
-    return jax.jit(functools.partial(_block_step, config=config))
+    own program.  Locked: see _CACHE_LOCK."""
+    with _CACHE_LOCK:
+        return _jitted_block_step_uncached(config)
 
 
-@functools.lru_cache(maxsize=None)
 def _jitted_block_step_noxf(config: EngineConfig):
     """Shared no-crossfade block step (see _jitted_block_step — same
     one-program-per-config serving discipline; TWO bounded programs per
     config total, not per session)."""
-    return jax.jit(functools.partial(_block_step_noxf, config=config))
+    with _CACHE_LOCK:
+        return _jitted_block_step_noxf_uncached(config)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -160,8 +180,7 @@ def render_scan(
     """Sequential-scan render (interpolating FD path only)."""
     plan = make_plan(np.asarray(positions), config, initial_old)
     fed = fed_stream(signal, plan.num_blocks, config).reshape(plan.num_blocks, config.frames_per_buffer)
-    spec_r = jnp.asarray(np.real(db.spectra).astype(np.float32))
-    spec_i = jnp.asarray(np.imag(db.spectra).astype(np.float32))
+    spec_r, spec_i = _device_spectra(db)  # shared upload per database
     ys = _scan_render(
         spec_r,
         spec_i,
@@ -212,6 +231,11 @@ class StreamingSpatializer:
         self.r = _F32(0.5)
         self.old_azi = self.azi
         self.old_ele = self.ele
+        # raw cartesian coordinates, set only by set_position_cartesian:
+        # the oracle keeps the raw xyz and derives the distance factor from
+        # it (reference update_from_cartesian); reconstructing from the
+        # ROUNDED angles would move the radius by an ulp
+        self._coords: tuple[float, float, float] | None = None
         self.buf: np.ndarray | None = None
         self.count = 0
         self.clipping = False
@@ -230,12 +254,16 @@ class StreamingSpatializer:
             self.ele = _F32(round_half_away(_F32(ele)))
         if r is not None:
             self.r = _F32(r)
+        self._coords = None  # spherical-driven: radius via the xyz roundtrip
 
     def set_position_cartesian(self, xyz) -> None:
         from ..trajectory.spatial import cartesian_to_spherical
 
-        azi, ele, r = cartesian_to_spherical(np.asarray(xyz, dtype=_F32))
+        xyz = np.asarray(xyz, dtype=_F32)
+        azi, ele, r = cartesian_to_spherical(xyz)
         self.azi, self.ele, self.r = _F32(azi), _F32(ele), _F32(r)
+        # keep the RAW coordinates for the distance factor, like the oracle
+        self._coords = (float(xyz[0]), float(xyz[1]), float(xyz[2]))
 
     _CACHE_CAP = 4096  # bound the per-position memo for long-lived sessions
 
@@ -250,7 +278,17 @@ class StreamingSpatializer:
             self._interp_cache[key] = hit
         return hit
 
-    def _distance(self, key: tuple):
+    def _distance_current(self):
+        """Distance planes for the CURRENT position, memoized.
+
+        Spherical-driven positions reconstruct coordinates from the rounded
+        angles (the offline planner's semantics); cartesian-driven positions
+        use the raw xyz like the oracle's update_from_cartesian — the keys
+        are tagged so the two conventions never collide in the memo."""
+        if self._coords is not None:
+            key = ("c", *self._coords)
+        else:
+            key = ("s", float(self.azi), float(self.ele), float(self.r))
         hit = self._dist_cache.get(key)
         if hit is None:
             if len(self._dist_cache) >= self._CACHE_CAP:
@@ -260,8 +298,10 @@ class StreamingSpatializer:
             from ..ops.filters import distance_phase_split
 
             cfg = self.config
-            azi, ele, r = key
-            coords = spherical_to_cartesian(_F32(azi), _F32(ele), _F32(r))
+            if key[0] == "c":
+                coords = np.asarray(key[1:], dtype=_F32)
+            else:
+                coords = spherical_to_cartesian(self.azi, self.ele, self.r)
             scaled_r = np.float32(
                 radius_from_cartesian(coords) / _F32(cfg.distance_scale)
             )
@@ -281,25 +321,23 @@ class StreamingSpatializer:
         constructor before PortAudio starts (Jefferson/src/GPUSoundSource.cu:17-71).
         """
         cfg = self.config
-        cn = interpolation_calculations(self.ele, self.azi)
-        from ..ops.filters import distance_phase_split
-
-        u_hi, u_lo, inv_frac = distance_phase_split(
-            cfg.fsvs, np.float32(self.r / _F32(cfg.distance_scale))[None], cfg.num_bins
-        )
+        # warm through the SAME memoized paths process_block uses, so the
+        # first audible block pays neither a compile nor a host-cache miss
+        idx, w = self._interp(self.ele, self.azi)
+        u_hi, u_lo, inv_frac = self._distance_current()
         out, _ = self._step(
             self._spec_r,
             self._spec_i,
             self._hist,
             jnp.zeros(cfg.frames_per_buffer, jnp.float32),
-            jnp.asarray(cn.indices[0]),
-            jnp.asarray(cn.weights[0]),
-            jnp.asarray(cn.indices[0]),
-            jnp.asarray(cn.weights[0]),
+            idx,
+            w,
+            idx,
+            w,
             jnp.asarray(False),
-            jnp.asarray(u_hi[0]),
-            jnp.asarray(u_lo[0]),
-            jnp.asarray(inv_frac[0]),
+            u_hi,
+            u_lo,
+            inv_frac,
         )
         np.asarray(out)  # force completion
         out, _ = self._step_nx(  # the steady-state (non-crossfading) program
@@ -307,11 +345,11 @@ class StreamingSpatializer:
             self._spec_i,
             self._hist,
             jnp.zeros(cfg.frames_per_buffer, jnp.float32),
-            jnp.asarray(cn.indices[0]),
-            jnp.asarray(cn.weights[0]),
-            jnp.asarray(u_hi[0]),
-            jnp.asarray(u_lo[0]),
-            jnp.asarray(inv_frac[0]),
+            idx,
+            w,
+            u_hi,
+            u_lo,
+            inv_frac,
         )
         np.asarray(out)
 
@@ -324,11 +362,9 @@ class StreamingSpatializer:
         idx_n, w_n = self._interp(self.ele, self.azi)
         xfade = bool(self.old_azi != self.azi or self.old_ele != self.ele)
         self.crossfades += int(xfade)
-        # key on the full position: the float32 xyz roundtrip makes the
+        # keyed on the full position: the float32 xyz roundtrip makes the
         # effective radius minutely angle-dependent (reference semantics)
-        u_hi, u_lo, inv_frac = self._distance(
-            (float(self.azi), float(self.ele), float(self.r))
-        )
+        u_hi, u_lo, inv_frac = self._distance_current()
         if xfade:
             idx_o, w_o = self._interp(self.old_ele, self.old_azi)
             out, self._hist = self._step(
@@ -377,11 +413,17 @@ class StreamingSpatializer:
         the `% length` arithmetic."""
         cfg = self.config
         fpb = cfg.frames_per_buffer
+        if self.buf is None:
+            raise ValueError(
+                "set .buf (the wrapping playback buffer) before pulling blocks"
+            )
         length = len(self.buf)
         if length == 0:
             raise ValueError("playback buffer is empty")
         if self.count + fpb < length:
-            blk = self.buf[self.count : self.count + fpb]
+            # copy: the wrap branch's fancy-index below is a copy, and THE
+            # playhead API must not hand out live views of the buffer
+            blk = self.buf[self.count : self.count + fpb].copy()
             self.count += fpb
         else:
             # modular wrap (the reference's `% length` playhead,

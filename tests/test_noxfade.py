@@ -340,7 +340,7 @@ def test_live_block_step_noxfade_bit_identical(db, config):
         idx_n, w_n = sp._interp(ele, azi)
         idx_o, w_o = sp._interp(old2[1], old2[0])
         xf = bool(old2[0] != azi or old2[1] != ele)
-        uh, ul, df = sp._distance((float(azi), float(ele), float(sp.r)))
+        uh, ul, df = sp._distance_current()
         want, hist2 = legacy(
             sp._spec_r, sp._spec_i, hist2, jnp.asarray(blk),
             idx_n, w_n, idx_o, w_o, jnp.asarray(xf), uh, ul, df,

@@ -145,3 +145,75 @@ def test_process_next_wrap_unchanged_for_long_buffers(db, config):
     sp3.set_position(azi=10, ele=5, r=0.8)
     outs3 = [sp3.process_next() for _ in range(4)]
     np.testing.assert_array_equal(np.concatenate(outs2), np.concatenate(outs3))
+
+
+def test_cartesian_distance_uses_raw_coordinates(db, config):
+    """set_position_cartesian must derive the distance factor from the RAW
+    xyz (the oracle's update_from_cartesian semantics), not from a
+    reconstruction via the rounded angles — which moves the radius by an
+    ulp (review finding)."""
+    import numpy as np
+
+    from jefferson_tpu.ops.filters import distance_phase_split
+    from jefferson_tpu.trajectory.spatial import radius_from_cartesian
+
+    sp = StreamingSpatializer(db, config)
+    xyz = np.asarray([0.51, 0.0, 0.0], np.float32)
+    sp.set_position_cartesian(xyz)
+    uh, ul, df = (np.asarray(a) for a in sp._distance_current())
+    scaled = np.float32(
+        np.float32(radius_from_cartesian(xyz)) / np.float32(config.distance_scale)
+    )
+    wh, wl, wf = distance_phase_split(config.fsvs, scaled[None], config.num_bins)
+    np.testing.assert_array_equal(uh, wh[0])
+    np.testing.assert_array_equal(ul, wl[0])
+    np.testing.assert_array_equal(df, wf[0])
+    # switching back to spherical clears the raw coords (planner semantics)
+    sp.set_position(azi=270.0, ele=0.0, r=0.51)
+    assert sp._coords is None
+
+
+def test_cartesian_stream_matches_oracle(db, config, castanets):
+    """A live cartesian-controlled stream matches the oracle driven through
+    update_from_cartesian on the same xyz sequence."""
+    import numpy as np
+
+    from jefferson_tpu.oracle.reference import OracleSpatializer
+    from jefferson_tpu.rt.control import spherical_to_control_xyz
+    from jefferson_tpu.testing import precision_check
+
+    path = [spherical_to_control_xyz(a, 5.0, 0.9) for a in
+            (270.0, 270.0, 300.0, 330.0, 0.0, 30.0, 30.0, 60.0)]
+    sp = StreamingSpatializer(db, config)
+    sp.buf = castanets
+    orc = OracleSpatializer(db, config)
+    orc.buf = castanets
+    got, want = [], []
+    for xyz in path:
+        sp.set_position_cartesian(xyz)
+        got.append(sp.process_next())
+        orc.update_from_cartesian(np.asarray(xyz, np.float32))
+        orc.feed_from_buf()
+        out = orc.process()
+        orc.overlap_save()
+        want.append(out)
+    rep = precision_check(np.concatenate(got), np.concatenate(want), eps=1e-6)
+    assert rep.ok, str(rep)
+
+
+def test_next_block_returns_copies(db, config):
+    """THE playhead API must not hand out live views of the buffer (the
+    fast path used to return a view while the wrap path returned a copy —
+    in-place mutation by a caller corrupted future wraps intermittently)."""
+    import numpy as np
+
+    sp = StreamingSpatializer(db, config)
+    sp.buf = np.arange(4 * config.frames_per_buffer, dtype=np.float32)
+    ref = sp.buf.copy()
+    blk = sp.next_block()
+    blk[:] = -1.0  # caller mutates the returned block
+    np.testing.assert_array_equal(sp.buf, ref)  # buffer untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="buf"):
+        StreamingSpatializer(db, config).next_block()
