@@ -26,10 +26,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def xla_flags_with_device_count(flags: str, n: int) -> str:
+    """``flags`` with any existing host-device-count flag REPLACED by n.
+
+    The one shared implementation of the scrub-and-set dance (dryrun
+    parent, re-exec parent, child force, multihost worker): append-or-skip
+    variants let an inherited flag with a DIFFERENT count win silently."""
+    kept = [
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    kept.append(f"--xla_force_host_platform_device_count={n}")
+    return " ".join(kept)
+
+
 def make_mesh(n_devices: int | None = None, axis_names: tuple[str, ...] = ("src",)) -> Mesh:
     """1-D mesh over the first n devices (default: all)."""
     devs = jax.devices()
-    n = n_devices or len(devs)
+    n = len(devs) if n_devices is None else n_devices
+    if n < 1:
+        # 0 used to silently mean "all" and negatives silently dropped
+        # devices off the end — both mask a caller's arithmetic bug
+        raise ValueError(f"n_devices must be >= 1, got {n}")
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     if len(axis_names) == 1:
@@ -52,12 +70,12 @@ def force_virtual_cpu(n: int) -> None:
     ensure_virtual_devices and __graft_entry__'s dryrun): set the
     device-count flag before any backend is created, then force the
     platform via jax.config — this container's sitecustomize preloads jax
-    under JAX_PLATFORMS=axon, so env vars alone are too late."""
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
+    under JAX_PLATFORMS=axon, so env vars alone are too late.  An inherited
+    flag with a DIFFERENT count is REPLACED, not kept (a stale count from
+    the shell or an earlier re-exec used to win silently)."""
+    os.environ["XLA_FLAGS"] = xla_flags_with_device_count(
+        os.environ.get("XLA_FLAGS", ""), n
+    )
     jax.config.update("jax_platforms", "cpu")
 
 
@@ -77,17 +95,22 @@ def ensure_virtual_devices(n: int) -> None:
     """
     if os.environ.get("JT_VIRTUAL_MESH") == "1":
         force_virtual_cpu(n)
+        if len(jax.devices()) < n:
+            # the flag replacement above came too late (a backend already
+            # initialized with an inherited smaller count) — fail loudly
+            # instead of letting make_mesh(n) (or silent under-sharding)
+            # surface it far from the cause
+            raise RuntimeError(
+                f"virtual CPU mesh has {len(jax.devices())} device(s) < "
+                f"requested {n}: the jax backend initialized before "
+                f"ensure_virtual_devices({n}) could set the device count "
+                f"(call it before any other backend use)"
+            )
         return
     if len(jax.devices()) >= n:
         return
     env = dict(os.environ)
-    flags = [
-        f
-        for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    ]
-    flags.append(f"--xla_force_host_platform_device_count={n}")
-    env["XLA_FLAGS"] = " ".join(flags)
+    env["XLA_FLAGS"] = xla_flags_with_device_count(env.get("XLA_FLAGS", ""), n)
     env["JAX_PLATFORMS"] = "cpu"
     env["JT_VIRTUAL_MESH"] = "1"
     print(

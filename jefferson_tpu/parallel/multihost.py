@@ -47,27 +47,50 @@ def _free_port() -> int:
 def run_multiprocess_dryrun(
     num_processes: int = 2, local_devices: int = 4, timeout: float = 600.0
 ) -> None:
-    """Spawn the coordinated worker processes and raise if any fails."""
+    """Spawn the coordinated worker processes and raise if any fails.
+
+    The coordinator port is picked free-then-released (unavoidable TOCTOU:
+    jax's coordinator binds it seconds later inside process 0), so a lost
+    race to an unrelated service is retried ONCE on a fresh port instead of
+    surfacing as an opaque full-timeout failure."""
+    try:
+        _run_once(num_processes, local_devices, timeout)
+    except RuntimeError as e:
+        if "timeout" not in str(e):
+            raise
+        _run_once(num_processes, local_devices, timeout)
+
+
+def _run_once(num_processes: int, local_devices: int, timeout: float) -> None:
+    from .mesh import xla_flags_with_device_count
+
     port = _free_port()
     env = dict(os.environ)
     # children force the CPU platform themselves (sitecustomize preloads
-    # axon); scrub any inherited device-count flag so --local-devices rules
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
+    # axon); the count flag is REPLACED so --local-devices rules even over
+    # an inherited different count (shared helper — see mesh.py)
+    env["XLA_FLAGS"] = xla_flags_with_device_count(
+        env.get("XLA_FLAGS", ""), local_devices
     )
     env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONUNBUFFERED"] = "1"  # a SIGKILLed worker's log must be complete
     # the package is repo-rooted, not pip-installed: `-m jefferson_tpu...`
     # in the children needs the repo root on PYTHONPATH regardless of the
-    # caller's cwd (round-5 review: reproduced failure from examples/)
+    # caller's cwd (round-5 review: reproduced failure from examples/).
+    # NOTE: no trailing empty entry when PYTHONPATH is unset — an empty
+    # element means "cwd", re-adding the very cwd-dependence this fixes.
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    existing = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (os.pathsep + existing if existing else "")
     # stdout goes to unbuffered temp FILES, not pipes: a child emitting a
     # large traceback can never block on a full pipe, and the parent can
     # poll ALL children against one shared deadline instead of waiting on
     # them sequentially (one dead worker used to stall the dryrun for the
-    # full per-child timeout before the next child was even looked at)
-    logs = [tempfile.TemporaryFile(mode="w+") for _ in range(num_processes)]
+    # full per-child timeout before the next child was even looked at).
+    # Binary mode: a killed worker can end its stream mid-UTF-8 sequence,
+    # and a text-mode read() raising UnicodeDecodeError would mask the
+    # real failure.
+    logs = [tempfile.TemporaryFile(mode="w+b") for _ in range(num_processes)]
     procs = [
         subprocess.Popen(
             [
@@ -80,7 +103,6 @@ def run_multiprocess_dryrun(
             env=env,
             stdout=logs[i],
             stderr=subprocess.STDOUT,
-            text=True,
         )
         for i in range(num_processes)
     ]
@@ -105,7 +127,7 @@ def run_multiprocess_dryrun(
     def read(i: int) -> str:
         logs[i].flush()
         logs[i].seek(0)
-        out = logs[i].read()
+        out = logs[i].read().decode("utf-8", errors="replace")
         logs[i].close()
         return out
 
@@ -123,10 +145,11 @@ def run_multiprocess_dryrun(
 def _worker(process_id: int, num_processes: int, local_devices: int | None,
             coordinator: str) -> None:
     if local_devices:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={local_devices}"
-        ).strip()
+        from .mesh import xla_flags_with_device_count
+
+        os.environ["XLA_FLAGS"] = xla_flags_with_device_count(
+            os.environ.get("XLA_FLAGS", ""), local_devices
+        )
     import jax
 
     if local_devices:  # virtual-CPU mode (the dryrun); real hosts keep theirs
@@ -147,7 +170,13 @@ def _worker(process_id: int, num_processes: int, local_devices: int | None,
 
     devs = jax.devices()
     n_local = len(jax.local_devices())
-    assert len(devs) == num_processes * n_local, (len(devs), n_local)
+    # hard errors, not asserts: the gates must survive python -O (this
+    # worker is also the real multi-host launch template)
+    if len(devs) != num_processes * n_local:
+        raise RuntimeError(
+            f"global device count {len(devs)} != "
+            f"{num_processes} processes x {n_local} local devices"
+        )
     mesh = Mesh(
         np.array(devs).reshape(num_processes, n_local), ("host", "chip")
     )
@@ -209,11 +238,15 @@ def _worker(process_id: int, num_processes: int, local_devices: int | None,
     )
     outs, mixed, new_hists = jitted(spectra_dev, hists_dev, *rest_dev)
     jax.block_until_ready((outs, mixed, new_hists))
-    assert outs.shape == (s, nb, cfg.frames_per_buffer, 2)
-    assert new_hists.shape == (s, cfg.history_len)
+    if outs.shape != (s, nb, cfg.frames_per_buffer, 2):
+        raise RuntimeError(f"sharded outs shape {outs.shape}")
+    if new_hists.shape != (s, cfg.history_len):
+        raise RuntimeError(f"sharded new_hists shape {new_hists.shape}")
     mixed_np = np.asarray(mixed)  # replicated -> locally addressable
-    assert mixed_np.shape == (nb, cfg.frames_per_buffer, 2)
-    assert np.isfinite(mixed_np).all()
+    if mixed_np.shape != (nb, cfg.frames_per_buffer, 2):
+        raise RuntimeError(f"mixdown shape {mixed_np.shape}")
+    if not np.isfinite(mixed_np).all():
+        raise RuntimeError("non-finite values in the cross-process mixdown")
 
     # process 0: the cross-process psum must equal an unsharded single-device
     # render of the same inputs through the same chunk function
@@ -225,12 +258,29 @@ def _worker(process_id: int, num_processes: int, local_devices: int | None,
                 *[jnp.asarray(a) for a in rest_np],
             )
             ref_mixed = np.asarray(mix_sources(ref_outs))
+            ref_outs_np = np.asarray(ref_outs)
         d = float(np.abs(mixed_np - ref_mixed).max())
-        assert d < 1e-5, f"multi-process mixdown mismatch: {d}"
+        if d >= 1e-5:
+            raise RuntimeError(f"multi-process mixdown mismatch: {d}")
+        # ORDER-SENSITIVE check: the mixdown sum is permutation-invariant
+        # over sources, so it cannot see a source-placement bug (host-major
+        # slicing / mesh reshape mis-assigning rows).  Compare this
+        # process's addressable shard of the per-source outputs row-for-row
+        # against the unsharded reference.
+        shards = sorted(
+            outs.addressable_shards, key=lambda sh: sh.index[0].start or 0
+        )
+        got_local = np.concatenate([np.asarray(sh.data) for sh in shards])
+        d_rows = float(np.abs(got_local - ref_outs_np[lo : lo + sph]).max())
+        if d_rows >= 1e-5:
+            raise RuntimeError(
+                f"source-placement mismatch on process 0's shard: {d_rows}"
+            )
         print(
             f"[multihost] {num_processes} processes x {n_local} devices: "
             f"({s} src over ('host','chip') mesh, cross-process psum "
-            f"mixdown) max|diff| vs unsharded = {d:.2e} OK",
+            f"mixdown) max|diff| vs unsharded = {d:.2e}, "
+            f"per-source shard rows = {d_rows:.2e} OK",
             flush=True,
         )
     multihost_utils.sync_global_devices("jefferson_multihost_dryrun_done")
