@@ -32,14 +32,22 @@ def main(argv=None) -> int:
         print(f"FAIL: channel counts differ ({a.shape[1]} vs {b.shape[1]})")
         return 1
     n = min(len(a), len(b))
-    if len(a) != len(b):
-        print(f"note: lengths differ ({len(a)} vs {len(b)}); comparing first {n} frames")
+    length_ok = len(a) == len(b)
+    if not length_ok:
+        # a truncated or header-only render is a FAILURE, not a footnote —
+        # the reference gate's intent is sample-by-sample over the whole
+        # file; the prefix diff below is printed for diagnostics only
+        print(f"FAIL: lengths differ ({len(a)} vs {len(b)} frames); "
+              f"prefix diff over the first {n}:")
+    if n == 0:
+        print("Failed precision check")
+        return 1
     rep = precision_check(a[:n], b[:n], eps=args.eps)
     rms_ok = rep.rms <= args.rms
     print(f"max|diff| = {rep.max_abs_diff:.3e} @ frame {rep.max_index // a.shape[1]} "
           f"(gate {args.eps:.1e}) -> {'OK' if rep.ok else 'FAIL'}")
     print(f"rms = {rep.rms:.3e} (gate {args.rms:.1e}) -> {'OK' if rms_ok else 'FAIL'}")
-    if rep.ok and rms_ok:
+    if rep.ok and rms_ok and length_ok:
         print("Passed precision check")
         return 0
     print("Failed precision check")

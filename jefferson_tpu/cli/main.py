@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_trajectory(spec: str):
+    """Trajectory spec string -> Trajectory.
+
+    Raises ValueError on malformed specs — NOT SystemExit: this parser is
+    shared with the render daemon (scene sources), whose per-request
+    handler catches Exception; a SystemExit would escape it and silently
+    drop the client connection with no error reply.  CLI call sites
+    convert to SystemExit themselves."""
     from ..trajectory.trajectory import (
         AzimuthSweep,
         CircularOrbit,
@@ -116,8 +123,14 @@ def parse_trajectory(spec: str):
             for item in rest.split(","):
                 k, _, v = item.partition("=")
                 if k not in out:
-                    raise SystemExit(f"unknown trajectory parameter {k!r} for {kind!r}")
-                out[k] = float(v)
+                    raise ValueError(f"unknown trajectory parameter {k!r} for {kind!r}")
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    raise ValueError(
+                        f"trajectory parameter {k!r} for {kind!r} needs a "
+                        f"number, got {v!r}"
+                    ) from None
         return out
 
     if kind == "static":
@@ -135,14 +148,24 @@ def parse_trajectory(spec: str):
     if kind == "path":
         parts = rest.split(":")
         if len(parts) != 3:
-            raise SystemExit("path spec: path:x0,y0,z0:x1,y1,z1:duration")
-        a = tuple(float(v) for v in parts[0].split(","))
-        b = tuple(float(v) for v in parts[1].split(","))
-        return LinearPath(a, b, float(parts[2]))
+            raise ValueError("path spec: path:x0,y0,z0:x1,y1,z1:duration")
+        try:
+            a = tuple(float(v) for v in parts[0].split(","))
+            b = tuple(float(v) for v in parts[1].split(","))
+            return LinearPath(a, b, float(parts[2]))
+        except ValueError:
+            raise ValueError(
+                f"path spec needs numeric x,y,z:x,y,z:duration, got {rest!r}"
+            ) from None
     if kind == "events":
-        events = json.loads(Path(rest).read_text())
+        try:
+            events = json.loads(Path(rest).read_text())
+        except FileNotFoundError:
+            raise ValueError(f"events trajectory file {rest!r} not found") from None
+        except json.JSONDecodeError as e:
+            raise ValueError(f"events trajectory file {rest!r}: bad JSON: {e}") from None
         return PositionEvents([tuple(e) for e in events])
-    raise SystemExit(f"unknown trajectory kind {kind!r}")
+    raise ValueError(f"unknown trajectory kind {kind!r}")
 
 
 def load_hrtf(hrtf_dir, config, quiet=False):
@@ -170,8 +193,12 @@ def load_hrtf(hrtf_dir, config, quiet=False):
 
 
 def _enable_compilation_cache() -> None:
-    """Persist XLA compilations across CLI invocations (~20-40s saved per
-    run on TPU).  Opt out with JEFFERSON_NO_COMPILE_CACHE=1."""
+    """Persist XLA compilations across CLI invocations.  Helps only where
+    compiles run locally (CPU / direct-attached accelerators); through this
+    environment's remote compile service the cache does NOT shortcut the
+    20 s–5 min service draw (PERF.md daemon-restart measurement) — it is
+    kept on because it is harmless there and pays off everywhere else.
+    Opt out with JEFFERSON_NO_COMPILE_CACHE=1."""
     import os
 
     if os.environ.get("JEFFERSON_NO_COMPILE_CACHE"):
@@ -236,8 +263,6 @@ def render_scene_spec(
     so BatchRenderers persist across requests — a fresh instance per
     request re-jits (and retains) every program, measured as per-request
     RSS growth and re-paid compiles under the round-4 daemon soak."""
-    import numpy as np
-
     from ..engine.batch import BatchRenderer
     from ..engine.plan import fed_stream
 
@@ -305,11 +330,14 @@ def render_scene_spec(
 def render_scene(args, config) -> int:
     """Multi-source render: each source spatialized along its trajectory,
     summed into one stereo mix (per-source gain applied pre-render)."""
-    import numpy as np
-
     from ..io.wavio import write_wav
 
-    scene = json.loads(Path(args.scene).read_text())
+    try:
+        scene = json.loads(Path(args.scene).read_text())
+    except FileNotFoundError:
+        raise SystemExit(f"scene file {args.scene!r} not found")
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"scene file {args.scene!r}: bad JSON: {e}")
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
     t0 = time.time()
     try:
@@ -319,7 +347,9 @@ def render_scene(args, config) -> int:
             chunk_blocks=args.chunk_blocks, quiet=args.quiet,
             devices=args.devices,
         )
-    except ValueError as e:
+    except (ValueError, FileNotFoundError) as e:
+        # FileNotFoundError: a scene source or events-trajectory WAV/JSON
+        # path — a one-line error like every other scene validation failure
         raise SystemExit(str(e))
     sources = scene["sources"]
     dt = time.time() - t0
@@ -348,6 +378,43 @@ def main(argv=None) -> int:
         raise SystemExit(
             f"--chunk-blocks {args.chunk_blocks} must be a positive block count"
         )
+    # explicit-but-invalid rule (same as the scene/daemon validation): a
+    # zero/negative length silently wrote a header-only WAV "successfully"
+    if args.blocks is not None and args.blocks < 1:
+        raise SystemExit(f"--blocks {args.blocks} must be positive")
+    if args.duration is not None and not args.duration > 0:
+        raise SystemExit(f"--duration {args.duration} must be positive")
+    if args.scene is not None:
+        # flags the batched scene pipeline does not implement must error,
+        # not silently not-apply (a --scene -r render without reverb and a
+        # --scene --no-fused A/B on the fused path were both silent lies)
+        dropped = []
+        if args.reverb is not None or args.reverb_mode != "off":
+            dropped.append("-r/--reverb-mode")
+        if args.backend != "matmul":
+            dropped.append("--backend")
+        if args.no_fused:
+            dropped.append("--no-fused")
+        if args.no_resample:
+            dropped.append("--no-resample")
+        if args.viz:
+            dropped.append("--viz")
+        if args.profile_dir is not None:
+            dropped.append("--profile-dir")
+        if args.initial_old != "0,0":
+            dropped.append("--initial-old")
+        if args.selftest or args.selftest_full:
+            dropped.append("--selftest/--selftest-full")
+        if args.type != 0:
+            dropped.append("-t/--type")
+        if args.input is not None:
+            dropped.append("-i/--input")
+        if dropped:
+            raise SystemExit(
+                f"--scene does not support: {', '.join(dropped)} (scene "
+                f"sources render through the batched type-0 pipeline; put "
+                f"per-source options in the scene JSON)"
+            )
     if args.device == "cpu":
         import jax
 
@@ -401,7 +468,10 @@ def main(argv=None) -> int:
             print(f"reverb ({args.reverb_mode}): {len(ir)}-tap IR in {time.time()-t0:.2f}s",
                   file=sys.stderr)
 
-    traj = parse_trajectory(args.trajectory)
+    try:
+        traj = parse_trajectory(args.trajectory)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if args.blocks is not None:
         num_blocks = args.blocks
     elif args.duration is not None:
@@ -410,9 +480,22 @@ def main(argv=None) -> int:
         num_blocks = int(np.ceil(len(signal) / config.frames_per_buffer))
     positions = traj.sample(num_blocks, config)
 
-    initial_old = None if args.initial_old == "none" else tuple(
-        float(v) for v in args.initial_old.split(",")
-    )
+    if args.initial_old.lower() == "none":
+        initial_old = None
+    else:
+        try:
+            initial_old = tuple(float(v) for v in args.initial_old.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--initial-old needs 'azi,ele' numbers or 'none', got "
+                f"{args.initial_old!r}"
+            )
+        if len(initial_old) != 2:
+            # a 1- or 3-tuple dies deep in make_plan with an unpacking
+            # traceback far from the flag that caused it
+            raise SystemExit(
+                f"--initial-old needs exactly 'azi,ele', got {args.initial_old!r}"
+            )
 
     db = load_hrtf(args.hrtf_dir, config, args.quiet)
 

@@ -87,7 +87,10 @@ def main(argv=None) -> int:
         raise SystemExit(f"input WAV {args.input!r} is empty")
     db = load_hrtf(args.hrtf_dir, cfg)
     num_blocks = int(np.ceil(seconds / cfg.block_duration))
-    positions = parse_trajectory(args.trajectory).sample(num_blocks, cfg)
+    try:
+        positions = parse_trajectory(args.trajectory).sample(num_blocks, cfg)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     conv = None
     if args.reverb is not None:

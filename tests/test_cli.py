@@ -81,10 +81,19 @@ def test_trajectory_parsing():
     assert t.blocks_per_step == 5 and t.num_steps == 3
     t = parse_trajectory("path:0,0,1:1,0,-1:2.5")
     assert t.duration_s == 2.5
-    with pytest.raises(SystemExit):
+    # ValueError, NOT SystemExit: the parser is shared with the daemon,
+    # whose per-request handler catches Exception — SystemExit escaped it
+    # and silently dropped the client connection (review finding)
+    with pytest.raises(ValueError):
         parse_trajectory("spiral:x=1")
-    with pytest.raises(SystemExit):
+    with pytest.raises(ValueError):
         parse_trajectory("orbit:frequency=2")
+    with pytest.raises(ValueError, match="needs a number"):
+        parse_trajectory("static:azi=abc")
+    with pytest.raises(ValueError, match="needs a number"):
+        parse_trajectory("static:azi")
+    with pytest.raises(ValueError, match="not found"):
+        parse_trajectory("events:/nonexistent/events.json")
 
 
 def test_empty_scene_rejected(tmp_path):
@@ -250,3 +259,56 @@ def test_renderer_constructors_reject_bad_chunk_blocks(db, config):
         Renderer(db, config, chunk_blocks=0)
     with pytest.raises(ValueError, match="must be positive"):
         BatchRenderer(db, config, chunk_blocks=-1)
+
+
+def test_scene_rejects_unsupported_flags(tmp_path, castanets, config):
+    """Flags the batched scene pipeline does not implement must error, not
+    silently not-apply (a --scene -r render without reverb was a silent
+    lie; review finding)."""
+    from jefferson_tpu.io.wavio import write_wav
+
+    src = tmp_path / "s.wav"
+    write_wav(src, castanets[:3000], config.sample_rate)
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps({"sources": [
+        {"input": str(src), "trajectory": "static:azi=0"}]}))
+    base = ["--scene", str(scene), "-o", str(tmp_path / "o.wav"), "--quiet",
+            "--blocks", "4"]
+    for extra in (["-r", str(src)], ["--no-fused"], ["--viz"],
+                  ["-t", "3"], ["-i", str(src)], ["--initial-old", "none"]):
+        with pytest.raises(SystemExit, match="scene does not support"):
+            _run(base + extra)
+    _run(base)  # and without them the same scene renders
+
+
+def test_single_source_blocks_validation(tmp_path, castanets, config):
+    from jefferson_tpu.io.wavio import write_wav
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:3000], config.sample_rate)
+    base = ["-i", str(src), "-o", str(tmp_path / "o.wav"), "--quiet"]
+    with pytest.raises(SystemExit, match="--blocks 0 must be positive"):
+        _run(base + ["--blocks", "0"])
+    with pytest.raises(SystemExit, match="--duration -1.0 must be positive"):
+        _run(base + ["--duration", "-1"])
+    with pytest.raises(SystemExit, match="initial-old"):
+        _run(base + ["--blocks", "2", "--initial-old", "0,0,0"])
+    with pytest.raises(SystemExit, match="needs a number"):
+        _run(base + ["--blocks", "2", "--trajectory", "static:azi=abc"])
+
+
+def test_check_fails_on_length_mismatch(tmp_path, castanets, config):
+    """jefferson-check must FAIL on truncated/empty renders, not pass on
+    the overlapping prefix (review finding)."""
+    from jefferson_tpu.cli.check import main as check_main
+    from jefferson_tpu.io.wavio import write_wav
+
+    full = np.stack([castanets[:2000]] * 2, axis=-1)
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(a, full, config.sample_rate)
+    write_wav(b, full[:1500], config.sample_rate)  # truncated render
+    assert check_main([str(a), str(b)]) == 1
+    write_wav(b, full[:0], config.sample_rate)  # header-only render
+    assert check_main([str(a), str(b)]) == 1
+    write_wav(b, full, config.sample_rate)
+    assert check_main([str(a), str(b)]) == 0
