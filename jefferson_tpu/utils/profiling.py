@@ -29,7 +29,12 @@ class RTFMeter:
         self._t0 = time.perf_counter()
 
     def stop(self, blocks: int = 1) -> float:
+        if self._t0 is None:
+            # stop-without-start (or a double stop) must not TypeError or
+            # silently attribute the intervening gap to sum_s
+            raise RuntimeError("RTFMeter.stop() without a matching start()")
         dt = time.perf_counter() - self._t0
+        self._t0 = None
         self.sum_s += dt
         self.num_calls += blocks
         return dt

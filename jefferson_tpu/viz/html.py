@@ -44,11 +44,14 @@ def scene_html(
     positions: (B, 3) per-block (azi_deg, ele_deg, r); samples: (N, 2) f32.
     """
     pos = np.asarray(positions, dtype=np.float64)
+    if pos.size == 0:
+        raise ValueError("scene_html needs at least one position")
     samples = np.asarray(samples, dtype=np.float32)
     if samples.ndim == 1:
         samples = samples[:, None].repeat(2, axis=1)
     sr = config.sample_rate
-    dur = samples.shape[0] / sr
+    # never 0: the player's tick() divides by DUR (NaN frame index)
+    dur = max(samples.shape[0] / sr, 1e-6)
 
     azi = np.deg2rad(pos[:, 0])
     r = pos[:, 2]
@@ -127,4 +130,4 @@ requestAnimationFrame(tick);
 </script>
 </body></html>
 """
-    Path(path).write_text(html)
+    Path(path).write_text(html, encoding="utf-8")

@@ -124,9 +124,11 @@ def watch(
     """Poll a daemon's stream_status and rewrite ``out_svg`` until the
     stream ends (or ``max_polls``).  Returns the final status reply.
 
-    ``three_d``: additionally rewrite ``<out>.json`` each poll and write
-    the perspective canvas page ``<out>.3d.html`` once (mouse-orbit/zoom
-    with the reference's camera semantics — viz.scene3d).
+    ``three_d``: additionally rewrite ``<out>.json`` AND its ``<out>.js``
+    sibling each poll (the 3-D page polls the .js via script-tag injection
+    — keep both together if you copy/serve the artifacts) and write the
+    perspective canvas page ``<out>.3d.html`` once (mouse-orbit/zoom with
+    the reference's camera semantics — viz.scene3d).
 
     Writes are atomic (tmp + replace) so a browser refreshing mid-write
     never sees a truncated file.
@@ -138,14 +140,16 @@ def watch(
     out_svg = Path(out_svg)
     if write_html:
         out_svg.with_suffix(".html").write_text(
-            live_html(out_svg, interval_ms=max(int(interval_s * 1000), 50))
+            live_html(out_svg, interval_ms=max(int(interval_s * 1000), 50)),
+            encoding="utf-8",
         )
     out_json = out_svg.with_suffix(".json")
     if three_d:
         from .scene3d import live3d_html
 
         out_svg.with_suffix(".3d.html").write_text(
-            live3d_html(out_json, interval_ms=max(int(interval_s * 1000), 50))
+            live3d_html(out_json, interval_ms=max(int(interval_s * 1000), 50)),
+            encoding="utf-8",
         )
     trail: list[tuple[float, float]] = []
     trail3: list[list[float]] = []
@@ -162,23 +166,24 @@ def watch(
         trail.append(_audio_space_xz(status))
         del trail[:-trail_len]
         tmp = out_svg.with_suffix(".svg.tmp")
-        tmp.write_text(live_scene_svg(status, trail))
+        tmp.write_text(live_scene_svg(status, trail), encoding="utf-8")
         tmp.replace(out_svg)
         if three_d:
             from .scene3d import live3d_state
 
-            trail3.append([float(status["x"]), float(status.get("y", 0.0)),
-                           float(status["z"])])
+            trail3.append([float(status.get("x", 0.0)),
+                           float(status.get("y", 0.0)),
+                           float(status.get("z", -0.5))])
             del trail3[:-trail_len]
             payload = _json.dumps(live3d_state(status, trail3))
             tmpj = out_json.with_suffix(".json.tmp")
-            tmpj.write_text(payload)
+            tmpj.write_text(payload, encoding="utf-8")
             tmpj.replace(out_json)
             # .js sibling: what the 3-D page actually polls (script-tag
             # injection works from file://, where fetch() is blocked)
             out_js = out_json.with_suffix(".js")
             tmps = out_js.with_suffix(".js.tmp")
-            tmps.write_text(f"window.JT3D_STATE = {payload};")
+            tmps.write_text(f"window.JT3D_STATE = {payload};", encoding="utf-8")
             tmps.replace(out_js)
         if not status.get("alive", False):
             break
@@ -200,9 +205,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-html", action="store_true",
                    help="skip the self-refreshing HTML wrapper")
     p.add_argument("--3d", dest="three_d", action="store_true",
-                   help="also write a perspective 3-D canvas view "
-                        "(<out>.3d.html polling <out>.json; mouse-orbit + "
-                        "wheel zoom, the reference's camera semantics)")
+                   help="also write a perspective 3-D canvas view: "
+                        "<out>.3d.html polls the <out>.js state sibling "
+                        "(script-tag injection — works from file://; "
+                        "<out>.json carries the same state for programmatic "
+                        "readers); mouse-orbit + wheel zoom, the "
+                        "reference's camera semantics")
     args = p.parse_args(argv)
     status = watch(
         args.socket, args.output, session=args.session,

@@ -32,7 +32,8 @@ def decimate_waveform(x: np.ndarray, bins: int = 1024) -> np.ndarray:
         pad = np.zeros(bins, np.float32)
         pad[:n] = x
         return pad
-    return x[:edge].reshape(bins if n >= bins else 1, -1).mean(axis=1)
+    # reaching here implies n >= bins (edge == 0 covered the short case)
+    return x[:edge].reshape(bins, -1).mean(axis=1)
 
 
 def scene_svg(
@@ -43,6 +44,8 @@ def scene_svg(
 ) -> None:
     """Write a top-down SVG of the trajectory: (B, 3) spherical positions."""
     pos = np.asarray(positions, dtype=np.float64)
+    if pos.size == 0:
+        raise ValueError("scene_svg needs at least one position")
     azi = np.deg2rad(pos[:, 0])
     r = pos[:, 2]
     # reference convention: azi 0 = -z (ahead), +x to the right of the listener
@@ -71,7 +74,7 @@ def scene_svg(
 <text x="{cx + 10}" y="{cy + 4}" font-size="11" fill="#222">listener</text>
 </svg>
 """
-    Path(path).write_text(svg)
+    Path(path).write_text(svg, encoding="utf-8")
 
 
 def waveform_svg(
@@ -108,4 +111,4 @@ def waveform_svg(
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}" '
         f'viewBox="0 0 {width} {height}">' + "".join(parts) + "</svg>"
     )
-    Path(path).write_text(svg)
+    Path(path).write_text(svg, encoding="utf-8")

@@ -142,11 +142,15 @@ def scene3d_html(
     from .html import _wav_bytes
 
     pos = np.asarray(positions, dtype=np.float64)
+    if pos.size == 0:
+        raise ValueError("scene3d_html needs at least one position")
     samples = np.asarray(samples, dtype=np.float32)
     if samples.ndim == 1:
         samples = samples[:, None].repeat(2, axis=1)
     sr = config.sample_rate
-    dur = samples.shape[0] / sr
+    # never 0: the player's tick() divides by DUR (0 -> NaN frame index,
+    # a TypeError every animation frame)
+    dur = max(samples.shape[0] / sr, 1e-6)
     xyz = np.stack(
         [spherical_to_cartesian(p[0], p[1], p[2]) for p in pos]
     ).astype(np.float64)
@@ -194,7 +198,7 @@ requestAnimationFrame(tick);
 </script>
 </body></html>
 """
-    Path(path).write_text(html)
+    Path(path).write_text(html, encoding="utf-8")
 
 
 def live3d_html(state_path: str | Path, interval_ms: int = 100,
@@ -218,6 +222,8 @@ def live3d_html(state_path: str | Path, interval_ms: int = 100,
 window.JT3D_STATE = {{x: 0, y: 0, z: -0.5, trail: [], label: 'waiting for stream\\u2026'}};
 function poll() {{
   const el = document.createElement('script');
+  el.async = false;  // keep poll order: an async pair can execute out of
+                     // order and regress the state to an older snapshot
   el.src = '{name}?' + Date.now();
   el.onload = el.onerror = () => el.remove();
   document.body.appendChild(el);
