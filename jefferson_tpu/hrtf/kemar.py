@@ -178,6 +178,12 @@ def load_full(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRTFDa
                     raise ValueError(f"bad HRIR file {_full_filename(root, ele, azi, ear)}")
                 if taps is None:
                     taps = np.zeros((NUM_HRTF, 2, x.shape[0]), dtype=np.float32)
+                if x.shape[0] != taps.shape[2]:
+                    raise ValueError(
+                        f"HRIR length mismatch: "
+                        f"{_full_filename(root, ele, azi, ear)} has "
+                        f"{x.shape[0]} taps, first file had {taps.shape[2]}"
+                    )
                 taps[j, ch, : x.shape[0]] = x[:, 0]
             j += 1
     return HRTFDatabase.from_hrirs(taps, config, source=f"full:{root}")
@@ -206,6 +212,11 @@ def load_compact(root: str | Path, config: EngineConfig = DEFAULT_CONFIG) -> HRT
                 raise ValueError(f"bad compact HRIR file {path}")
             if taps is None:
                 taps = np.zeros((NUM_HRTF, 2, x.shape[0]), dtype=np.float32)
+            if x.shape[0] != taps.shape[2]:
+                raise ValueError(
+                    f"HRIR length mismatch: {path} has {x.shape[0]} taps, "
+                    f"first file had {taps.shape[2]}"
+                )
             if swap:
                 taps[j, 0, : x.shape[0]] = x[:, 1]
                 taps[j, 1, : x.shape[0]] = x[:, 0]
@@ -253,7 +264,9 @@ def synthetic_database(
     smoothness matters: interpolation, crossfade and localization tests all
     assume neighboring grid filters are correlated, as in the real data.
     """
-    n_taps = n_taps or config.hrtf_len
+    n_taps = config.hrtf_len if n_taps is None else n_taps
+    if n_taps < 1:
+        raise ValueError(f"n_taps must be >= 1, got {n_taps}")
     rng = np.random.default_rng(seed)
     t = np.arange(n_taps, dtype=np.float32)
     env = np.exp(-t / 40.0)

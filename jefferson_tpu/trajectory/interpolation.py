@@ -7,8 +7,9 @@ cpuInterpolateLoops (reference: Jefferson/src/CPUSoundSource.cpp:255-273).
 The reference's quirky integer semantics are reproduced deliberately:
 
   * ``phi``/``theta`` use C truncation-toward-zero on float->int conversion,
-    so e.g. azi=355 at increment 6.43 yields theta0 = theta1 = 353 and a
-    *negative* omegaB — the engine must do what the reference does, not what
+    so e.g. azi=354 at increment 6.43 yields theta0 = theta1 = 353 and a
+    *negative* omegaB (-0.1555; azi=355 is the benign neighbor with
+    omegaB=+0.7776) — the engine must do what the reference does, not what
     textbook bilinear interpolation would do.
   * omegaA+omegaB do not generally sum to 1 for fractional increments
     because theta is truncated to whole degrees before the weight division.
@@ -74,11 +75,13 @@ def interpolation_calculations(ele, azi) -> InterpCoeffs:
         )
 
     # phi[0] = int(ele)/10*10; phi[1] = int(ele+9)/10*10  (C integer division)
-    ele_i = _trunc_i(ele)
-    phi0 = (ele_i.astype(np.int64) // 10 * 10).astype(np.int32)
-    phi0 = np.where(ele_i < 0, -((-ele_i) // 10 * 10), phi0).astype(np.int32)
-    e9 = _trunc_i(ele + _F32(9.0))
-    phi1 = np.where(e9 < 0, -((-e9) // 10 * 10), e9 // 10 * 10).astype(np.int32)
+    def c_div10_mul10(v):
+        # C's truncating integer division: one definition for both phis
+        # (and the native interp_one port, which must stay bit-exact)
+        return np.where(v < 0, -((-v) // 10 * 10), v // 10 * 10).astype(np.int32)
+
+    phi0 = c_div10_mul10(_trunc_i(ele))
+    phi1 = c_div10_mul10(_trunc_i(ele + _F32(9.0)))
 
     omega_e = ((ele - phi0.astype(_F32)) / _F32(10.0)).astype(_F32)
     omega_f = ((phi1.astype(_F32) - ele) / _F32(10.0)).astype(_F32)

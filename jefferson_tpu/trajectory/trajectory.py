@@ -29,6 +29,17 @@ class Trajectory:
         """Start time of each block in seconds."""
         return np.arange(num_blocks) * config.block_duration
 
+    @staticmethod
+    def _wrap_azi(azi: np.ndarray) -> np.ndarray:
+        """Wrap NEGATIVE azimuths into [0, 360) — the reference's own
+        ``if azi < 0: azi += 360`` (SoundSource.cu:28-33); pick_hrtf's
+        linear scan has no wraparound, so an unwrapped azi=-90 silently
+        collapses onto the azi-0 filter (dead ahead).  Values >= 360 are
+        deliberately left alone: rounding up to exactly 360 then snapping
+        to the 355 filter is contract (interpolation.py docstring)."""
+        azi = np.asarray(azi, dtype=np.float64)
+        return np.where(azi < 0, azi % 360.0, azi)
+
 
 @dataclasses.dataclass
 class StaticPosition(Trajectory):
@@ -41,6 +52,7 @@ class StaticPosition(Trajectory):
     def sample(self, num_blocks, config=DEFAULT_CONFIG):
         out = np.empty((num_blocks, 3), dtype=np.float64)
         out[:] = (self.azi, self.ele, self.r)
+        out[:, 0] = self._wrap_azi(out[:, 0])
         return out
 
 
@@ -63,7 +75,9 @@ class PositionEvents(Trajectory):
         times = np.array([e[0] for e in ev])
         vals = np.array([[e[1], e[2], e[3]] for e in ev], dtype=np.float64)
         idx = np.clip(np.searchsorted(times, t, side="right") - 1, 0, len(ev) - 1)
-        return vals[idx]
+        out = vals[idx]
+        out[:, 0] = self._wrap_azi(out[:, 0])
+        return out
 
 
 @dataclasses.dataclass
@@ -77,6 +91,10 @@ class CircularOrbit(Trajectory):
     direction: int = 1  # +1 clockwise (increasing azimuth)
 
     def sample(self, num_blocks, config=DEFAULT_CONFIG):
+        if not self.period_s > 0:
+            # t/0 yields NaN azimuths that pick_hrtf silently snaps to
+            # ele -40 / azi 0 (argmin over all-NaN) instead of erroring
+            raise ValueError(f"period_s must be > 0, got {self.period_s}")
         t = self._times(num_blocks, config)
         azi = (self.start_azi + self.direction * 360.0 * t / self.period_s) % 360.0
         out = np.empty((num_blocks, 3), dtype=np.float64)
@@ -86,11 +104,32 @@ class CircularOrbit(Trajectory):
         return out
 
 
+def _cartesian_positions(xyz: np.ndarray) -> np.ndarray:
+    """Raw xyz samples -> planner (azi, ele, r) with CARTESIAN-drive
+    distance semantics.
+
+    The planner reconstructs coordinates through the reference's QUIRKY
+    spherical_to_cartesian (no cos(ele) on the horizontal components), so
+    its effective distance radius is r*sqrt(1 + sin^2(ele_rounded)) — NOT
+    the true |xyz| the reference's cartesian-driven update uses
+    (updateFromCartesian keeps the raw coordinates; the live
+    set_position_cartesian path matches it).  A cartesian trajectory is
+    that drive mode offline, so r is pre-divided by the quirk factor:
+    the planner's round-trip then lands on the true |xyz| (up to f32).
+    Spherical-driven trajectories keep the quirky radius — that IS their
+    reference semantics (updateFromSpherical)."""
+    azi, ele, r = cartesian_to_spherical(xyz)
+    quirk = np.sqrt(1.0 + np.sin(np.deg2rad(ele.astype(np.float64))) ** 2)
+    return np.stack([azi, ele, r / quirk], axis=-1).astype(np.float64)
+
+
 @dataclasses.dataclass
 class LinearPath(Trajectory):
     """Straight-line Cartesian flyby from start_xyz to end_xyz over duration_s,
     holding the end point afterwards.  Uses the reference's xyz->spherical
-    conversion incl. rounding quirks (Jefferson/src/SoundSource.cu:20-36)."""
+    conversion incl. rounding quirks (Jefferson/src/SoundSource.cu:20-36);
+    the distance radius follows the CARTESIAN drive semantics (true |xyz| —
+    see _cartesian_positions)."""
 
     start_xyz: tuple[float, float, float]
     end_xyz: tuple[float, float, float]
@@ -100,21 +139,20 @@ class LinearPath(Trajectory):
         t = self._times(num_blocks, config)
         a = np.clip(t / max(self.duration_s, 1e-9), 0.0, 1.0)[:, None]
         xyz = (1 - a) * np.asarray(self.start_xyz) + a * np.asarray(self.end_xyz)
-        azi, ele, r = cartesian_to_spherical(xyz)
-        return np.stack([azi, ele, r], axis=-1).astype(np.float64)
+        return _cartesian_positions(xyz)
 
 
 @dataclasses.dataclass
 class CartesianFunction(Trajectory):
-    """Arbitrary xyz(t) callable -> spherical via the reference conversion."""
+    """Arbitrary xyz(t) callable -> spherical via the reference conversion
+    (cartesian-drive distance semantics, see _cartesian_positions)."""
 
     fn: Callable[[np.ndarray], np.ndarray]  # (B,) times -> (B, 3) xyz
 
     def sample(self, num_blocks, config=DEFAULT_CONFIG):
         t = self._times(num_blocks, config)
         xyz = np.asarray(self.fn(t), dtype=np.float64)
-        azi, ele, r = cartesian_to_spherical(xyz)
-        return np.stack([azi, ele, r], axis=-1).astype(np.float64)
+        return _cartesian_positions(xyz)
 
 
 @dataclasses.dataclass
