@@ -90,8 +90,12 @@ class EngineConfig:
         return self.sample_rate / self.speed_of_sound
 
     def __post_init__(self) -> None:
-        if self.frames_per_buffer <= 0 or self.hrtf_len <= 0:
-            raise ValueError("frames_per_buffer and hrtf_len must be positive")
+        if self.frames_per_buffer < 2 or self.hrtf_len <= 0:
+            # fpb >= 2: every crossfade ramp divides by (fpb - 1) — a
+            # 1-frame block would turn each crossfading block into NaN
+            raise ValueError(
+                "frames_per_buffer must be >= 2 and hrtf_len positive"
+            )
         if math.log2(self.pad_len) != int(math.log2(self.pad_len)):
             raise AssertionError("pad_len must be a power of two")
 

@@ -59,6 +59,10 @@ def make_plan(
     if pos.ndim != 2 or pos.shape[1] != 3:
         raise ValueError(f"positions must be (B, 3) of (azi, ele, r), got {pos.shape}")
     b = pos.shape[0]
+    if b == 0:
+        # a 0-block plan used to come back MALFORMED (idx_old had one row
+        # from the initial-old seed while every other field had zero)
+        raise ValueError("positions must contain at least one block")
     azi = round_half_away(pos[:, 0].astype(_F32)).astype(_F32)
     ele = round_half_away(pos[:, 1].astype(_F32)).astype(_F32)
     r_in = pos[:, 2].astype(_F32)
@@ -66,7 +70,7 @@ def make_plan(
     radii = radius_from_cartesian(coords)
 
     if initial_old is None:
-        old0_azi, old0_ele = (azi[0], ele[0]) if b else (_F32(0), _F32(0))
+        old0_azi, old0_ele = azi[0], ele[0]
     else:
         old0_azi = _F32(round_half_away(_F32(initial_old[0])))
         old0_ele = _F32(round_half_away(_F32(initial_old[1])))
@@ -75,7 +79,16 @@ def make_plan(
     xfade = (old_azi != azi) | (old_ele != ele)
 
     cn = interpolation_calculations(ele, azi)
-    co = interpolation_calculations(old_ele, old_azi)
+    # old rows = [initial_old] + new rows shifted by one: computed AS that
+    # shift (one fresh row + reuse), so the chunk kernels' invariant
+    # 'old-position arrays equal the previous block's new arrays'
+    # (CLAUDE.md) holds by construction — and the dominant host planning
+    # cost halves for long renders
+    c0 = interpolation_calculations(
+        np.asarray([old0_ele], _F32), np.asarray([old0_azi], _F32)
+    )
+    idx_old = np.concatenate([c0.indices, cn.indices[:-1]]).astype(np.int32)
+    w_old = np.concatenate([c0.weights, cn.weights[:-1]]).astype(_F32)
     nearest = pick_hrtf(ele, azi).astype(np.int32)
 
     scaled_r = (radii / _F32(config.distance_scale)).astype(_F32)
@@ -88,8 +101,8 @@ def make_plan(
         radii=radii,
         idx_new=cn.indices.astype(np.int32),
         w_new=cn.weights,
-        idx_old=co.indices.astype(np.int32),
-        w_old=co.weights,
+        idx_old=idx_old,
+        w_old=w_old,
         xfade=xfade,
         nearest=nearest,
         u_hi=u_hi,
@@ -120,6 +133,19 @@ def dedup_rows(idx: np.ndarray, w: np.ndarray):
     )
 
 
+def _compact_table(ids: np.ndarray, u_pad: int, what: str):
+    """Unique ids padded to ``u_pad`` (repeat-last) + a remap LUT — the one
+    shared implementation behind every one-hot compact-table builder (the
+    padding/overflow policy must stay uniform across the variants)."""
+    uniq = np.unique(ids)
+    if len(uniq) > u_pad:
+        raise ValueError(f"{what}: {len(uniq)} unique filters exceed the bucket {u_pad}")
+    lut = np.zeros(int(ids.max()) + 1, np.int32)
+    lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+    pad = np.concatenate([uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]).astype(np.int32)
+    return pad, lut
+
+
 def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray, u_pad: int | None = None):
     """Unique filter ids + remapped bracket indices for the one-hot kernel.
 
@@ -136,16 +162,9 @@ def compact_filter_ids(idx_old: np.ndarray, idx_last: np.ndarray, u_pad: int | N
     idx_old = np.asarray(idx_old, np.int32)
     idx_last = np.asarray(idx_last, np.int32)
     all_ids = np.concatenate([idx_old.reshape(-1), idx_last.reshape(-1)])
-    uniq = np.unique(all_ids)
     if u_pad is None:
-        u_pad = max(8, 1 << int(np.ceil(np.log2(len(uniq)))))
-    elif len(uniq) > u_pad:
-        raise ValueError(f"{len(uniq)} unique filters exceed the bucket {u_pad}")
-    lut = np.zeros(int(all_ids.max()) + 1, np.int32)
-    lut[uniq] = np.arange(len(uniq), dtype=np.int32)
-    uniq_pad = np.concatenate(
-        [uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]
-    ).astype(np.int32)
+        u_pad = max(8, 1 << int(np.ceil(np.log2(len(np.unique(all_ids))))))
+    uniq_pad, lut = _compact_table(all_ids, u_pad, "chunk")
     return uniq_pad, lut[idx_old], lut[idx_last], u_pad
 
 
@@ -185,14 +204,8 @@ def compact_filter_ids_grouped(
             else [idx_old[start + tb : stop : tb], idx_last]
         )
         ids = np.concatenate([idx_old[start:stop].reshape(-1), bnds.reshape(-1)])
-        uniq = np.unique(ids)
-        if len(uniq) > u_pad:
-            raise ValueError(f"group {g}: {len(uniq)} unique filters > bucket {u_pad}")
-        lut = np.zeros(int(ids.max()) + 1, np.int32)
-        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
-        tables.append(
-            np.concatenate([uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]).astype(np.int32)
-        )
+        table, lut = _compact_table(ids, u_pad, f"group {g}")
+        tables.append(table)
         ridx[start:stop] = lut[idx_old[start:stop]]
         rbnd[start // tb : stop // tb] = lut[bnds]
     return np.concatenate(tables), ridx, rbnd
@@ -224,14 +237,8 @@ def compact_filter_ids_grouped_sources(
         ids = np.concatenate(
             [idx_old[start:stop].reshape(-1), idx_last[start:stop].reshape(-1)]
         )
-        uniq = np.unique(ids)
-        if len(uniq) > u_pad:
-            raise ValueError(f"group {g}: {len(uniq)} unique filters > bucket {u_pad}")
-        lut = np.zeros(int(ids.max()) + 1, np.int32)
-        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
-        tables.append(
-            np.concatenate([uniq, np.repeat(uniq[-1:], u_pad - len(uniq))]).astype(np.int32)
-        )
+        table, lut = _compact_table(ids, u_pad, f"group {g}")
+        tables.append(table)
         ridx[start:stop] = lut[idx_old[start:stop]]
         rlast[start:stop] = lut[idx_last[start:stop]]
     return np.concatenate(tables), ridx, rlast

@@ -68,9 +68,18 @@ assert list(AZIMUTH_COUNTS) == [56, 60, 72, 72, 72, 72, 72, 60, 56, 45, 36, 24, 
 
 
 def round_half_away(x):
-    """C++ std::round semantics: halves round away from zero (NumPy rounds to even)."""
+    """C round() semantics: halves round away from zero (NumPy rounds to
+    even).  Computed EXACTLY via floor + an exact fractional compare — the
+    folk floor(|x|+0.5) trick misrounds float32 inputs within an ulp below
+    a .5 boundary (|x|+0.5 itself rounds UP to the tie: e.g. f32
+    0.49999997 -> 1.0 instead of the reference round()'s 0.0).  The native
+    port uses std::round, which is this function by definition."""
     x = np.asarray(x)
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+    a = np.abs(x)
+    fl = np.floor(a)
+    # a - fl is exact in floating point; 0.5 is representable, so the
+    # comparison is the true (error-free) half-away tie test
+    return np.sign(x) * np.where(a - fl >= 0.5, fl + 1, fl)
 
 
 def pick_hrtf(obj_ele, obj_azi) -> np.ndarray:

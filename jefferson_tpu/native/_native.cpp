@@ -290,8 +290,12 @@ int az_offset(int row) {
 }
 
 float round_half_away_f(float x) {
-  float r = std::floor(std::fabs(x) + 0.5f);
-  return x < 0.0f ? -r : (x > 0.0f ? r : 0.0f * r);
+  // std::round IS half-away-from-zero — the reference's own round()
+  // (SoundSource.cu) — and is exact; the former floor(|x|+0.5f) trick
+  // misrounded f32 inputs within an ulp below a .5 boundary (the +0.5f
+  // itself rounded up to the tie).  Kept bit-exact with the NumPy
+  // round_half_away (hrtf/kemar.py).
+  return std::round(x);
 }
 
 // pick_hrtf(ele, azi) — first-minimum linear scans, float32 arithmetic

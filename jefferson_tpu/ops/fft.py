@@ -103,12 +103,12 @@ def rfft_split(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
 @functools.lru_cache(maxsize=8)
 def _subblock_dft_matrices(n: int, sub: int):
-    """DFT basis of a length-``sub`` block zero-padded to n: (sub, bins) planes."""
-    bins = n // 2 + 1
-    k = np.arange(bins)[None, :]
-    t = np.arange(sub)[:, None]
-    ang = 2.0 * np.pi * t * k / n
-    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+    """DFT basis of a length-``sub`` block zero-padded to n: (sub, bins)
+    planes — exactly the first ``sub`` rows of the full basis, SLICED from
+    it so the sliding forward and the direct rfft_split stay numerically
+    in lockstep by construction (the tail-association invariant depends on
+    these two paths agreeing)."""
+    return tuple(np.ascontiguousarray(m[:sub]) for m in _dft_matrices(n))
 
 
 @functools.lru_cache(maxsize=8)
