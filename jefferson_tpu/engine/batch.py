@@ -21,7 +21,7 @@ from ..config import EngineConfig
 from ..pallas.fused_step import maybe_lane512
 from ..hrtf.kemar import HRTFDatabase
 from .plan import compact_filter_ids, fed_stream, make_plan
-from .renderer import _fd_complex_chunk
+from .renderer import _StrikeMixin, _fd_complex_chunk
 
 
 def batched_chunk_fn(config: EngineConfig, num_blocks: int, with_xfade: bool = True):
@@ -165,8 +165,9 @@ def batched_chunk_fn_fused(
     from .renderer import _resolve_fwd512, _resolve_lane512, _resolve_tail_tree
 
     lane512 = _resolve_lane512(lane512, config, gather=not onehot)
-    # the fully-fused step needs tb | num_blocks; the fused_apply fallback
-    # keeps the classic layout
+    # the fully-fused step needs num_blocks | tb (tiles own whole sources,
+    # the kernel's tb % nb == 0 assert); the fused_apply fallback keeps the
+    # classic layout
     lane512 = lane512 and tb % num_blocks == 0
     fwd512 = _resolve_fwd512(fwd512, lane512) and onehot
     tail_tree = _resolve_tail_tree(tail_tree)
@@ -506,7 +507,7 @@ def mix_sources(outs: jax.Array) -> jax.Array:
     return jnp.sum(outs, axis=0)
 
 
-class BatchRenderer:
+class BatchRenderer(_StrikeMixin):
     """Render S concurrent independent source streams, optionally sharded.
 
     signals: (S, n) float32 — one mono stream per source.
@@ -573,19 +574,6 @@ class BatchRenderer:
         # renderer._MAX_FUSED_STRIKES): flaky compiles retry next render,
         # deterministic failures stop being attempted
         self._fused_strikes: dict[tuple, int] = {}
-
-    def _variant_ok(self, variant: tuple) -> bool:
-        from .renderer import _MAX_FUSED_STRIKES
-
-        return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
-
-    def _variant_result(self, variant: tuple, ok: bool) -> int:
-        if ok:
-            self._fused_strikes.pop(variant, None)
-            return 0
-        n = self._fused_strikes.get(variant, 0) + 1
-        self._fused_strikes[variant] = n
-        return n
 
     def _get_fn(self, nb: int, dedup_key=None, fused_tb=None, onehot=False,
                 group_tiles=None, nd=None, xf=True, ncf=None):
@@ -714,16 +702,35 @@ class BatchRenderer:
         s, b_total = positions.shape[0], positions.shape[1]
         plans = [make_plan(positions[i], cfg) for i in range(s)]
         # chunk size: explicit int pins it; None resolves per render (the
-        # target is per-DEVICE rows, so a mesh divides the source count)
+        # target is per-DEVICE rows, so a mesh divides the source count).
+        # A mesh the source count does NOT divide can never dispatch a
+        # fused kernel (s_local = 0 in the chunk loop), so auto sizing must
+        # use the XLA default there — the fused-step chunk numbers would
+        # just multiply host dispatches on the XLA path (CLAUDE.md)
         n_dev_cb = self.mesh.size if self.mesh is not None else 1
+        mesh_divides = s % n_dev_cb == 0
         cb = (
             self.chunk_blocks
             if self.chunk_blocks is not None
             else _auto_chunk(
-                s // n_dev_cb if s % n_dev_cb == 0 else s, b_total, plans,
-                fused=self.fused,
+                s // n_dev_cb if mesh_divides else s, b_total, plans,
+                fused=self.fused and mesh_divides,
             )
         )
+        b_real = b_total
+        if b_total % cb:
+            # pad the final partial chunk to the fixed chunk size (output
+            # trimmed at return): every distinct partial size minted its
+            # own programs, retained in self._jitted — in a daemon serving
+            # varied durations that is a compile per novel b_total % cb
+            # (20 s–5 min each through the remote service) and the RSS
+            # growth class CLAUDE.md's one-program rule exists to prevent.
+            # The single-source Renderer already pads its final chunk.
+            from .plan import pad_plan
+
+            pad_b = cb - (b_total % cb)
+            plans = [pad_plan(p, pad_b) for p in plans]
+            b_total += pad_b
         # compact distance (bit-identical; renderer.dedup_distance): dedup
         # the (u_hi, u_lo, inv_frac) triples across the WHOLE batch (tiles
         # span sources) — constant-radius scenes yield a handful of uniques
@@ -907,7 +914,7 @@ class BatchRenderer:
                 else:
                     cf_args = ()
                 try:
-                    y, hists = fn(
+                    y, hists_f = fn(
                         self._spectra,
                         hists,
                         sharded["fed"],
@@ -927,9 +934,15 @@ class BatchRenderer:
                         sharded["inv_frac"],
                         *cf_args,
                     )
+                    # materialize BEFORE recording success or rebinding
+                    # hists: dispatch is async, and a run-stage failure
+                    # surfacing at asarray must leave hists unpoisoned for
+                    # the fallback and count as a strike
+                    y_np = np.asarray(y)
                     self._variant_result(
                         ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf), True)
-                    outs.append(np.asarray(y))
+                    hists = hists_f
+                    outs.append(y_np)
                     continue
                 except Exception as e:
                     from .renderer import _is_fused_fallback_error, _warn_fused_fallback
@@ -955,7 +968,12 @@ class BatchRenderer:
                 group_tiles = None
                 g_srcs = g_upad = None
                 if onehot_plan is not None and onehot_plan[0] == "shared":
-                    onehot = True
+                    # the one-hot STEP kernel's tiles own whole sources
+                    # (tb % nb == 0, its trace-time assert); explicit
+                    # chunk_blocks > 256 gives tb < nb, which must route to
+                    # the gather blend instead of crashing the render (the
+                    # grouped branch below already guards this)
+                    onehot = tb_f % nb == 0
                 elif onehot_plan is not None:
                     # wide scene: per-source-group compact tables inside the
                     # same dispatch (round 3; see plan.compact_filter_ids_
@@ -983,13 +1001,20 @@ class BatchRenderer:
                         onehot = True
                         tb_f = tb_g
                         group_tiles = (g_srcs * nb) // tb_f
-                skey = ("mover", nb, tb_f, onehot, group_tiles)
+                # strike keys carry the FULL program geometry (incl. the
+                # table bucket and compact-distance nd — distinct compiles
+                # whose failures must accumulate independently, like the
+                # single-source renderer's okey)
+                upad_key = (g_upad if group_tiles is not None
+                            else onehot_plan[1]) if onehot else None
+                skey = ("mover", nb, tb_f, onehot, group_tiles, upad_key,
+                        nd if onehot else None)
                 if onehot and not self._variant_ok(skey):
                     # this one-hot geometry is struck: downgrade to the
                     # gather blend (a different program that may still work)
                     onehot, group_tiles = False, None
                     tb_f = pick_fused_tile(s_local * nb, nb)
-                    skey = ("mover", nb, tb_f, False, None)
+                    skey = ("mover", nb, tb_f, False, None, None, None)
                 if tb_f is None or not self._variant_ok(skey):
                     tb_f = None  # fall to the XLA dispatch below
             if tb_f is not None and dedup_chunks is None:
@@ -1026,7 +1051,7 @@ class BatchRenderer:
                     head = (self._shard(idx_old_np),)
                     last = self._shard(idx_last_np)
                 try:
-                    y, hists = fn(
+                    y, hists_f = fn(
                         self._spectra,
                         hists,
                         sharded["fed"],
@@ -1042,8 +1067,12 @@ class BatchRenderer:
                                   self._shard(np.ascontiguousarray(dsel_all[:, sl])))
                         ),
                     )
+                    # materialize before success/hists commit (async
+                    # run-stage failure must fall back clean)
+                    y_np = np.asarray(y)
                     self._variant_result(skey, True)
-                    outs.append(np.asarray(y))
+                    hists = hists_f
+                    outs.append(y_np)
                     continue
                 except Exception as e:
                     from .renderer import _is_fused_fallback_error, _warn_fused_fallback
@@ -1112,5 +1141,5 @@ class BatchRenderer:
             )
             outs.append(np.asarray(y))
         if self.mix:
-            return np.concatenate(outs, axis=0).reshape(b_total * fpb, 2)
-        return np.concatenate(outs, axis=1).reshape(s, b_total * fpb, 2)
+            return np.concatenate(outs, axis=0).reshape(b_total * fpb, 2)[: b_real * fpb]
+        return np.concatenate(outs, axis=1).reshape(s, b_total * fpb, 2)[:, : b_real * fpb]

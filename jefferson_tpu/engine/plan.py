@@ -111,6 +111,27 @@ def make_plan(
     )
 
 
+def pad_plan(p: RenderPlan, pad_b: int) -> RenderPlan:
+    """Extend a plan by ``pad_b`` blocks repeating the final position with
+    xfade=False.  The padded region's old rows are the last real block's
+    NEW row, so the chunk kernels' roll invariant (old[b+1] == new[b])
+    holds across the pad boundary; callers trim the padded output."""
+    if pad_b <= 0:
+        return p
+    rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad_b, axis=0)])
+    return dataclasses.replace(
+        p,
+        num_blocks=p.num_blocks + pad_b,
+        azi=rep(p.azi), ele=rep(p.ele), radii=rep(p.radii),
+        idx_new=rep(p.idx_new), w_new=rep(p.w_new),
+        idx_old=np.concatenate([p.idx_old, np.repeat(p.idx_new[-1:], pad_b, 0)]),
+        w_old=np.concatenate([p.w_old, np.repeat(p.w_new[-1:], pad_b, 0)]),
+        xfade=np.concatenate([p.xfade, np.zeros(pad_b, bool)]),
+        nearest=rep(p.nearest),
+        u_hi=rep(p.u_hi), u_lo=rep(p.u_lo), inv_frac=rep(p.inv_frac),
+    )
+
+
 def dedup_rows(idx: np.ndarray, w: np.ndarray):
     """Unique (indices, weights) rows -> (uniq_idx, uniq_w, inverse).
 

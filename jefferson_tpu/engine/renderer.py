@@ -934,7 +934,27 @@ def _td_direct(segs: jax.Array, h: jax.Array, fpb: int, taps: int) -> jax.Array:
     )
 
 
-class Renderer:
+class _StrikeMixin:
+    """Per-geometry fused-variant strike accounting — ONE implementation
+    shared by Renderer and BatchRenderer (the semantics must not diverge;
+    instances provide ``self._fused_strikes`` in __init__)."""
+
+    _fused_strikes: dict
+
+    def _variant_ok(self, variant: tuple) -> bool:
+        return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
+
+    def _variant_result(self, variant: tuple, ok: bool) -> int:
+        """Record a fused-variant outcome; returns the new strike count."""
+        if ok:
+            self._fused_strikes.pop(variant, None)
+            return 0
+        n = self._fused_strikes.get(variant, 0) + 1
+        self._fused_strikes[variant] = n
+        return n
+
+
+class Renderer(_StrikeMixin):
     """Offline file-to-file renderer (the reference's DEBUGMODE-3 manual
     callback mode made primary, reference: Jefferson/src/main.cu:149-154).
 
@@ -1057,18 +1077,6 @@ class Renderer:
             _fd_basic_chunk, config=cfg, num_blocks=nb, backend=self.backend
         )
         self._mk_td = lambda nb: jit_chunk(_td_chunk, config=cfg, num_blocks=nb)
-
-    def _variant_ok(self, variant: tuple) -> bool:
-        return self._fused_strikes.get(variant, 0) < _MAX_FUSED_STRIKES
-
-    def _variant_result(self, variant: tuple, ok: bool) -> int:
-        """Record a fused-variant outcome; returns the new strike count."""
-        if ok:
-            self._fused_strikes.pop(variant, None)
-            return 0
-        n = self._fused_strikes.get(variant, 0) + 1
-        self._fused_strikes[variant] = n
-        return n
 
     # --- public API -------------------------------------------------------
     def render(
@@ -1321,7 +1329,7 @@ class Renderer:
                             cb, tb_o, onehot_group // tb_o, onehot_u_pad, nd
                         )
                     try:
-                        y, hist = self._fd_onehot_grp[key](
+                        y, hist_f = self._fd_onehot_grp[key](
                             self._spectra,
                             hist,
                             fed,
@@ -1332,8 +1340,14 @@ class Renderer:
                             jnp.asarray(wbnd),
                             *tail_args,
                         )
+                        # materialize BEFORE recording success or
+                        # rebinding hist: dispatch is async, and a run-stage
+                        # failure surfacing at asarray must leave hist
+                        # unpoisoned for the fallback and count as a strike
+                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         self._variant_result(okey, True)
-                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        hist = hist_f
+                        out[start * fpb : stop * fpb] = y_np
                         continue
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
@@ -1354,7 +1368,7 @@ class Renderer:
                     if key not in self._fd_onehot:
                         self._fd_onehot[key] = self._mk_fd_onehot(cb, tb_o, nd)
                     try:
-                        y, hist = self._fd_onehot[key](
+                        y, hist_f = self._fd_onehot[key](
                             self._spectra,
                             hist,
                             fed,
@@ -1365,8 +1379,14 @@ class Renderer:
                             jnp.asarray(last_w),
                             *tail_args,
                         )
+                        # materialize BEFORE recording success or
+                        # rebinding hist: dispatch is async, and a run-stage
+                        # failure surfacing at asarray must leave hist
+                        # unpoisoned for the fallback and count as a strike
+                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         self._variant_result(okey, True)
-                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        hist = hist_f
+                        out[start * fpb : stop * fpb] = y_np
                         continue
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
@@ -1410,7 +1430,7 @@ class Renderer:
                     rows_i = plan.idx_old[sl] if gxf else plan.idx_new[sl]
                     rows_w = plan.w_old[sl] if gxf else plan.w_new[sl]
                     try:
-                        y, hist = self._fd_fused[key](
+                        y, hist_f = self._fd_fused[key](
                             self._spectra,
                             hist,
                             fed,
@@ -1423,8 +1443,14 @@ class Renderer:
                             pad(plan.u_lo[sl], nb),
                             pad(plan.inv_frac[sl], nb),
                         )
+                        # materialize BEFORE recording success or
+                        # rebinding hist: dispatch is async, and a run-stage
+                        # failure surfacing at asarray must leave hist
+                        # unpoisoned for the fallback and count as a strike
+                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                         self._variant_result(gkey, True)
-                        out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        hist = hist_f
+                        out[start * fpb : stop * fpb] = y_np
                         continue
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
@@ -1472,7 +1498,7 @@ class Renderer:
                         else:
                             cf_args = ()
                         try:
-                            y, hist = self._fd_dedup_fused[key](
+                            y, hist_f = self._fd_dedup_fused[key](
                                 self._spectra,
                                 hist,
                                 fed,
@@ -1489,8 +1515,12 @@ class Renderer:
                                 None,
                                 *cf_args,
                             )
+                            # materialize before success/hist commit
+                            # (async run-stage failure must fall back clean)
+                            y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
                             self._variant_result(dkey, True)
-                            out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                            hist = hist_f
+                            out[start * fpb : stop * fpb] = y_np
                             continue
                         except Exception as e:
                             if not _is_fused_fallback_error(e):

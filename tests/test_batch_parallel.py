@@ -464,23 +464,26 @@ def test_batch_grouped_single_source_groups_nonpow2_chunk(db, config, castanets,
 
 
 def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
-    """A deterministically-failing partial-final-chunk program accumulates
-    strikes independently of the succeeding full-size chunks (success on
-    one geometry must not reset another's count)."""
+    """A deterministically-failing program geometry accumulates strikes
+    independently: the one-hot program's failures must not be reset by the
+    (different) gather program's successes in the same renders.
+
+    (Partial-final-chunk geometries no longer exist to test — the batch
+    renderer pads the last chunk to the fixed size, see
+    test_partial_final_chunk_compiles_one_program.)"""
     import jefferson_tpu.engine.batch as batch_mod
     from jefferson_tpu.engine.renderer import _MAX_FUSED_STRIKES
 
-    signals, positions = _wide_scene(config, castanets, s=4, blocks=24)
-    # 24 blocks with chunk 16 -> a 16-block program and an 8-block program
+    signals, positions = _wide_scene(config, castanets, s=4, blocks=32)
     real_factory = batch_mod.batched_chunk_fn_fused
     calls = {"bad": 0}
 
     def factory(config_, nb, tb, onehot=False, group_tiles=None, **kw):
         fn = real_factory(config_, nb, tb, onehot=onehot, group_tiles=group_tiles, **kw)
-        if nb == 8:  # the partial-final-chunk program fails deterministically
+        if onehot:  # the one-hot program fails deterministically
             def bad(*a, **k):
                 calls["bad"] += 1
-                raise RuntimeError("deterministic Mosaic failure at nb=8")
+                raise RuntimeError("deterministic Mosaic failure (onehot)")
             return bad
         return fn
 
@@ -489,10 +492,33 @@ def test_batch_strike_cap_is_per_geometry(db, config, castanets, monkeypatch):
     for _ in range(6):
         out = br.render(signals, positions)
         assert np.isfinite(out).all()
-    # the nb=8 one-hot geometry gets _MAX_FUSED_STRIKES attempts, then the
-    # dispatcher downgrades to the (different) gather program which gets its
-    # own strikes — after both are capped, no further attempts
-    assert calls["bad"] == 2 * _MAX_FUSED_STRIKES, calls
+    # the one-hot geometry gets _MAX_FUSED_STRIKES attempts, then the
+    # dispatcher downgrades to the gather program (which succeeds) and the
+    # struck key is never retried — gather successes must NOT reset it
+    assert calls["bad"] == _MAX_FUSED_STRIKES, calls
+
+
+def test_partial_final_chunk_compiles_one_program(db, config, castanets):
+    """A render whose length does not divide the chunk size PADS the final
+    chunk (output trimmed): distinct partial sizes used to mint a fresh
+    program each (the daemon compile/RSS leak class), and the padded
+    render must be bit-identical to the unpadded reference."""
+    signals, positions = _wide_scene(config, castanets, s=4, blocks=24)
+    br = BatchRenderer(db, chunk_blocks=16, fused=True, dedup=False)
+    out = br.render(signals, positions)  # 24 = 16 + 8 -> padded to 32
+    assert out.shape == (4, 24 * config.frames_per_buffer, 2)
+    # only full-size (nb=16) programs were compiled
+    assert all(k[0] == 16 for k in br._jitted), list(br._jitted)
+    # bit-identical to manually padding the render to 32 blocks the same
+    # way (repeat the final position; the feed continues wrapping) and
+    # trimming — i.e. the pad+trim mechanics add nothing of their own
+    pos_pad = np.concatenate(
+        [positions, np.repeat(positions[:, -1:], 8, axis=1)], axis=1
+    )
+    ref = BatchRenderer(db, chunk_blocks=16, fused=True, dedup=False).render(
+        signals, pos_pad
+    )[:, : 24 * config.frames_per_buffer]
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_grouped_tile_policy_prefers_gather_at_shrunken_tiles(db, config):
@@ -525,3 +551,23 @@ def test_grouped_tile_policy_prefers_gather_at_shrunken_tiles(db, config):
     want = BatchRenderer(db, config, chunk_blocks=16, fused=False).render(sigs, pos)
     rep = precision_check(got, want, eps=5e-7)
     assert rep.ok, str(rep)
+
+
+def test_explicit_large_chunk_routes_to_gather(db, config, castanets):
+    """chunk_blocks > 256 gives a tile SMALLER than the chunk (tb | nb
+    fails the one-hot step kernel's whole-source-tiles contract): the
+    shared one-hot election must route to the gather blend instead of
+    crashing the render with the kernel's trace-time assert (review
+    finding; the grouped branch already guarded this)."""
+    s, b = 2, 512
+    rng = np.random.default_rng(4)
+    pos = np.empty((s, b, 3))
+    for k in range(s):
+        # few unique filters -> the plan ELECTS shared one-hot
+        pos[k, :, 0] = np.where((np.arange(b) // 64) % 2 == 0, 30.0 + 5 * k, 35.0 + 5 * k)
+        pos[k, :, 1] = 0.0
+        pos[k, :, 2] = 1.0
+    sigs = np.stack([castanets[: b * 128], np.roll(castanets, 500)[: b * 128]])
+    br = BatchRenderer(db, config, chunk_blocks=512, fused=True, dedup=False)
+    out = br.render(sigs, pos)
+    assert out.shape == (s, b * 128, 2) and np.isfinite(out).all()
