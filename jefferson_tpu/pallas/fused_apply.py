@@ -117,11 +117,9 @@ def _kernel(
             gn,
         )
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
-    fn = iota / f32(fpb - 1)
-    xf = xf_ref[:]  # (TB, 1)
-    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))  # (TB, fpb)
-    b = jnp.where(xf > 0, fn, f32(1.0))
+    from .fused_step import _xfade_weights
+
+    a, b = _xfade_weights(xf_ref, fpb)  # (TB, fpb) old/new crossfade ramps
 
     for c in range(2):  # L, R
         off_r, off_i = 2 * c * stride, (2 * c + 1) * stride

@@ -140,6 +140,58 @@ FWD512_DEFAULT = False
 TAIL_TREE_DEFAULT = True
 
 
+def _stream_subs(stream, b: int, n_tiles: int, tb: int, q: int,
+                 fpb: int, rows: int, rows_pad: int):
+    """Per-tile sub-block sample rows for the SINGLE-STREAM wrappers: a
+    halo gather of each tile's rows (tiles overlap by q-1 sub-blocks),
+    padded to the 8-row sublane multiple — one implementation for all
+    three stream forms (they previously copy-pasted it)."""
+    subs_full = stream.reshape(b + q - 1, fpb)
+    idx2 = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
+    subs_t = subs_full[idx2]
+    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    return subs_t.reshape(n_tiles * rows_pad, fpb)
+
+
+def _pad_rows8(a):
+    """(n, 4) per-tile rows -> (n*8, 4) with 7 zero rows after each (the
+    kernels read one boundary/patch row per tile at 8-row stride)."""
+    a3 = jnp.pad(a[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    return a3.reshape(-1, a.shape[-1])
+
+
+def _select_distance(uh_ref, ul_ref, f_ref, dsel_ref, n_dist, tb: int, bins: int):
+    """Distance planes for a tile: the compact-table selection (n_dist
+    unique triples, each row receiving the ramp from ITS exact triple —
+    bit-identical to per-row) or the per-row form.  ONE implementation for
+    both kernel families: op order here is contract (CLAUDE.md lockstep
+    with ops/filters.distance_factors_split)."""
+    if n_dist is not None:
+        drk, dik = _distance_planes(uh_ref, ul_ref, f_ref, 8, bins)
+        sel = dsel_ref[:]
+        dr = jnp.broadcast_to(drk[0:1], (tb, bins))
+        di = jnp.broadcast_to(dik[0:1], (tb, bins))
+        for j in range(1, n_dist):
+            m = sel == j
+            dr = jnp.where(m, drk[j : j + 1], dr)
+            di = jnp.where(m, dik[j : j + 1], di)
+        return dr, di
+    return _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+
+
+def _xfade_weights(xf_ref, fpb: int):
+    """Per-row crossfade ramps (a = old side, b = new side); rows with
+    xf <= 0 get (0, 1).  Shared by every crossfading kernel — the ramp
+    form is the reference's f[n] = n/(fpb-1) contract."""
+    f32 = jnp.float32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
+    fn = iota / f32(fpb - 1)
+    xf = xf_ref[:]
+    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
+    b = jnp.where(xf > 0, fn, f32(1.0))
+    return a, b
+
+
 def _tail_dots(qr, qi, icr_ref, ici_ref, eb: int, tree: bool):
     """The tail-IDFT contraction pair y = qr @ icr[:eb] + qi @ ici[:eb].
 
@@ -340,29 +392,13 @@ def _onehot_kernel(
     False keeps the two-matmul form (same numerics either way)."""
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
-    g_sources = tb // nb
 
     xr, xi, xn_r, xn_i, eb = _forward_planes(
         subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref,
         tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         lane512=lane512, fwd512=fwd512,
     )
-    if n_dist is not None:
-        # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
-        # triples (constant-radius workloads), selected per row — each row
-        # receives the ramp computed from ITS exact triple, so this is
-        # BIT-IDENTICAL to the per-row form while removing ~tb*2*bins
-        # cos/sin evaluations per tile (PERF.md Roofline)
-        drk, dik = _distance_planes(uh_ref, ul_ref, f_ref, 8, bins)
-        sel = dsel_ref[:]
-        dr = jnp.broadcast_to(drk[0:1], (tb, bins))
-        di = jnp.broadcast_to(dik[0:1], (tb, bins))
-        for j in range(1, n_dist):
-            m = sel == j
-            dr = jnp.where(m, drk[j : j + 1], dr)
-            di = jnp.where(m, dik[j : j + 1], di)
-    else:
-        dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    dr, di = _select_distance(uh_ref, ul_ref, f_ref, dsel_ref, n_dist, tb, bins)
     if lane512:
         dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
         dr, di = dr[:, :eb], di[:, :eb]
@@ -423,11 +459,7 @@ def _onehot_kernel(
         g_new = jax.lax.dot_general(w_new, table_ref[:], (((1,), (0,)), ((), ())),
                                     precision=hp, preferred_element_type=f32)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
-    fn = iota / f32(fpb - 1)
-    xf = xf_ref[:]
-    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
-    b = jnp.where(xf > 0, fn, f32(1.0))
+    a, b = _xfade_weights(xf_ref, fpb)
 
     def q_planes(g, off_r, off_i):
         gr = g[:, off_r : off_r + eb]
@@ -446,13 +478,10 @@ def _onehot_kernel(
               for c in range(2) for g in (g_old, g_new)]  # lane512 gated off
         big_qr = jnp.concatenate([q[0] for q in qs], axis=0)
         big_qi = jnp.concatenate([q[1] for q in qs], axis=0)
-        y = jax.lax.dot_general(
-            big_qr, icr_ref[:], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        ) + jax.lax.dot_general(
-            big_qi, ici_ref[:], (((1,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=f32,
-        )
+        # same contraction policy as the unstacked tail (tail_tree respected
+        # — a plain dot here silently reverted the association and made
+        # mstack A/Bs compare different numerics; review finding)
+        y = _tail_dots(big_qr, big_qi, icr_ref, ici_ref, eb, tail_tree)
         for c in range(2):
             y_old = y[(2 * c) * tb : (2 * c + 1) * tb]
             y_new = y[(2 * c + 1) * tb : (2 * c + 2) * tb]
@@ -529,19 +558,13 @@ def fused_step_stream_onehot_xfade(
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
-    subs_full = stream.reshape(b + q - 1, fpb)
-    idx2 = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
-    subs_t = subs_full[idx2]
-    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
-    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+    subs = _stream_subs(stream, b, n_tiles, tb, q, fpb, rows, rows_pad)
 
     # per-tile boundary new row (one-hot inputs): next tile's first old row,
     # last tile takes the final new row
     rbnd = jnp.concatenate([ridx[tb::tb], ridx_last], axis=0)  # (n_tiles, 4)
     wbnd = jnp.concatenate([w[tb::tb], w_last], axis=0)
-    r3 = jnp.pad(rbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
-    w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
-    rbnd, wbnd = r3.reshape(-1, 4), w3.reshape(-1, 4)
+    rbnd, wbnd = _pad_rows8(rbnd), _pad_rows8(wbnd)
 
     cfr, cfi, twr, twi, icr, ici = _kernel_bases(
         pad_len, fpb, bins, q, lane512, fwd512
@@ -612,6 +635,7 @@ def fused_step_stream_onehot_grouped_xfade(
     lane512: bool = False,
     fwd512: bool = False,
     tail_tree: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """GROUPED one-hot form for wide movers: each group of ``group_tiles``
     tiles blends against its OWN compact table (a block-sliced row range of
@@ -619,8 +643,11 @@ def fused_step_stream_onehot_grouped_xfade(
     VMEM gate still run as ONE kernel dispatch.  Host-side sub-chunking was
     measured and rejected — 16 relay dispatches per 8192 blocks cost 5.3x
     one big chunk (scripts/bench_onehot_cliff.py).  Kernel body is
-    identical to the ungrouped form; only the table BlockSpec differs."""
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    identical to the ungrouped form; only the table BlockSpec differs.
+    ``interpret``: force the Pallas interpreter / compiled Mosaic like
+    every sibling wrapper (None = interpret off-TPU)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
     q = pad_len // fpb
     b = dsel.shape[0] if n_dist is not None else uh.shape[0]
     dsel_arr = dsel if n_dist is not None else jnp.zeros((8, 1), jnp.int32)
@@ -635,15 +662,9 @@ def fused_step_stream_onehot_grouped_xfade(
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
-    subs_full = stream.reshape(b + q - 1, fpb)
-    idx2 = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
-    subs_t = subs_full[idx2]
-    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
-    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+    subs = _stream_subs(stream, b, n_tiles, tb, q, fpb, rows, rows_pad)
 
-    r3 = jnp.pad(rbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
-    w3 = jnp.pad(wbnd[:, None, :], ((0, 0), (0, 7), (0, 0)))
-    rbnd_p, wbnd_p = r3.reshape(-1, 4), w3.reshape(-1, 4)
+    rbnd_p, wbnd_p = _pad_rows8(rbnd), _pad_rows8(wbnd)
 
     cfr, cfi, twr, twi, icr, ici = _kernel_bases(
         pad_len, fpb, bins, q, lane512, fwd512
@@ -744,6 +765,11 @@ def fused_step_onehot_xfade(
     if group_tiles is None:
         u_pad = table.shape[0]
     else:
+        # groups must tile the render exactly: a remainder would make the
+        # table BlockSpec index i // group_tiles address rows past the end
+        # of the stacked table for the trailing tiles (silent out-of-bounds
+        # block read) — the grouped stream wrapper asserts this too
+        assert (b // tb) % group_tiles == 0, (b, tb, group_tiles)
         n_groups = (b // tb) // group_tiles
         assert table.shape[0] % n_groups == 0
         u_pad = table.shape[0] // n_groups
@@ -769,11 +795,15 @@ def fused_step_onehot_xfade(
     )
 
     if mstack_tail is None:
-        # measured dead end (PERF.md): on chip the M-stacked tails are
-        # BIT-IDENTICAL (max diff 0.0 — MXU K-accumulation is M-invariant)
-        # but throughput-neutral (1.636 vs 1.650 ms at 256x64/U=128):
-        # Mosaic's pipeline already hides the per-matmul launch overhead,
-        # so the stacked q-plane copies buy nothing.  Kept measurable.
+        # measured dead end (PERF.md): on chip the M-stacked tails were
+        # BIT-IDENTICAL to the then-default plain contraction (max diff 0.0
+        # — MXU K-accumulation is M-invariant) but throughput-neutral
+        # (1.636 vs 1.650 ms at 256x64/U=128): Mosaic's pipeline already
+        # hides the per-matmul launch overhead, so the stacked q-plane
+        # copies buy nothing.  Kept measurable; the stacked branch follows
+        # the SAME tail_tree contraction policy as the unstacked one, so
+        # the M-invariance equivalence still holds under today's tree
+        # default.
         mstack_tail = False
     elif mstack_tail and (u_pad > 128 or lane512):
         # enforce the documented gate: the stacked q-planes cost ~4 MB of
@@ -871,31 +901,13 @@ def _kernel(
     else:
         cfr_ref, cfi_ref, twr_ref, twi_ref, icr_ref, ici_ref, out_ref = rest
     f32 = jnp.float32
-    g_sources = tb // nb
-
-    hp = jax.lax.Precision.HIGHEST
     xr, xi, xn_r, xn_i, eb = _forward_planes(
         subs_ref, cfr_ref, cfi_ref, twr_ref, twi_ref,
         tb=tb, nb=nb, q=q, rows_pad=rows_pad, bins=bins,
         lane512=lane512, fwd512=fwd512,
     )
 
-    if n_dist is not None:
-        # compact distance: ramps for the few unique (u_hi, u_lo, inv_frac)
-        # triples (constant-radius workloads), selected per row — each row
-        # receives the ramp computed from ITS exact triple, so this is
-        # BIT-IDENTICAL to the per-row form while removing ~tb*2*bins
-        # cos/sin evaluations per tile (see _onehot_kernel)
-        drk, dik = _distance_planes(uh_ref, ul_ref, f_ref, 8, bins)
-        sel = dsel_ref[:]
-        dr = jnp.broadcast_to(drk[0:1], (tb, bins))
-        di = jnp.broadcast_to(dik[0:1], (tb, bins))
-        for j in range(1, n_dist):
-            m = sel == j
-            dr = jnp.where(m, drk[j : j + 1], dr)
-            di = jnp.where(m, dik[j : j + 1], di)
-    else:
-        dr, di = _distance_planes(uh_ref, ul_ref, f_ref, tb, bins)
+    dr, di = _select_distance(uh_ref, ul_ref, f_ref, dsel_ref, n_dist, tb, bins)
     if lane512:
         # Nyquist split — see LANE512_DEFAULT / _onehot_kernel
         dn_r, dn_i = dr[:, eb:bins], di[:, eb:bins]
@@ -943,11 +955,7 @@ def _kernel(
             gn,
         )
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fpb), 1).astype(f32)
-    fn = iota / f32(fpb - 1)
-    xf = xf_ref[:]
-    a = jnp.where(xf > 0, 1.0 - fn, f32(0.0))
-    b = jnp.where(xf > 0, fn, f32(1.0))
+    a, b = _xfade_weights(xf_ref, fpb)
 
     for c in range(2):
         y_old = tail(go, c)
@@ -1001,11 +1009,7 @@ def fused_step_stream_xfade(
 
     rows = tb + q - 1
     rows_pad = _round_up(rows, 8)
-    subs_full = stream.reshape(b + q - 1, fpb)
-    idx = (jnp.arange(n_tiles) * tb)[:, None] + jnp.arange(rows)[None, :]
-    subs_t = subs_full[idx]  # (n_tiles, rows, fpb) — q-1 halo rows duplicated
-    subs_t = jnp.pad(subs_t, ((0, 0), (0, rows_pad - rows), (0, 0)))
-    subs = subs_t.reshape(n_tiles * rows_pad, fpb)
+    subs = _stream_subs(stream, b, n_tiles, tb, q, fpb, rows, rows_pad)
 
     if with_xfade:
         # per-tile boundary new row: old[(i+1)*tb], last tile takes g_last
