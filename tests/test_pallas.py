@@ -88,3 +88,54 @@ def test_fused_apply_duplicate_brackets(db, config):
                     jnp.asarray(np.zeros(b, bool)), config, tb=32, interpret=True)
     )
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_onehot_grouped_tiling_must_divide(db, config):
+    """group_tiles must tile the render exactly: a remainder would make the
+    grouped table BlockSpec (index i // group_tiles) read past the stacked
+    table for the trailing tiles — the wrapper asserts instead of shipping a
+    silent out-of-bounds block read."""
+    from jefferson_tpu.engine.plan import compact_filter_ids, make_plan
+    from jefferson_tpu.engine.renderer import cat_table, pick_fused_tile
+    from jefferson_tpu.pallas.fused_step import fused_step_onehot_xfade
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    rng = np.random.default_rng(11)
+    cfg = config
+    fpb = cfg.frames_per_buffer
+    s, nb = 4, 8
+    plans = [
+        make_plan(CircularOrbit(period_s=0.3 + 0.1 * i, ele=5, r=1.0).sample(nb, cfg), cfg)
+        for i in range(s)
+    ]
+    hist = (cfg.pad_len // fpb - 1) * fpb
+    streams = jnp.asarray(
+        (rng.standard_normal((s, nb * fpb + hist)) * 0.2).astype(np.float32)
+    )
+    tb = pick_fused_tile(s * nb, nb)
+    n_tiles = (s * nb) // tb
+    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(
+        np.stack([p.idx_old for p in plans]),
+        np.stack([p.idx_new[-1] for p in plans]),
+    )
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    table = jnp.take(cat_table(spectra), jnp.asarray(uniq_ids), axis=0)
+    b = s * nb
+    col = lambda a: jnp.asarray(np.concatenate(a).astype(np.float32)[:, None])
+    args = (
+        streams,
+        col([p.u_hi for p in plans]), col([p.u_lo for p in plans]),
+        col([p.inv_frac for p in plans]),
+        table, jnp.asarray(ridx.reshape(b, 4)),
+        jnp.asarray(np.concatenate([p.w_old for p in plans])),
+        jnp.asarray(ridx_last), jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+        col([p.xfade for p in plans]),
+    )
+    kw = dict(nb=nb, pad_len=cfg.pad_len, bins=cfg.num_bins, fpb=fpb, tb=tb,
+              interpret=True)
+    bad = n_tiles + 1  # never divides n_tiles
+    with pytest.raises(AssertionError):
+        fused_step_onehot_xfade(*args, group_tiles=bad, **kw)
