@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_step import _tail_dots
+from .fused_step import _tail_dots, _xfade_weights
 
 
 def plane_stride(bins: int) -> int:
@@ -116,8 +116,6 @@ def _kernel(
             jnp.broadcast_to(patch_ref[j : j + 1, :], (tb, c4)),
             gn,
         )
-
-    from .fused_step import _xfade_weights
 
     a, b = _xfade_weights(xf_ref, fpb)  # (TB, fpb) old/new crossfade ramps
 
