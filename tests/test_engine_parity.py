@@ -229,3 +229,44 @@ def test_compact_distance_bit_identical(db, config, castanets):
                       64 * config.block_duration).sample(64, config)
     planv = make_plan(posv, config)
     assert dedup_distance(planv.u_hi, planv.u_lo, planv.inv_frac) is None
+
+
+def test_fd_basic_fft_backend_parity(db, config, castanets):
+    """The nearest-HRTF FD path (-t 1) through the complex/FFT-HLO backend
+    (the matmul-backend form is gated by test_static_source_parity; this
+    pins _fd_basic_chunk's fft arm, reference CPUSoundSource.cpp:113-142)."""
+    pos = CircularOrbit(period_s=0.4, ele=10, r=1.0).sample(40, config)
+    got = Renderer(db, chunk_blocks=40, backend="fft").render(
+        castanets, pos, ProcessType.TPU_FD_BASIC
+    )
+    want = render_oracle(
+        castanets, db, [tuple(p) for p in pos], config, ProcessType.CPU_FD_BASIC
+    )
+    rep = precision_check(got, want, eps=2e-7)
+    assert rep.ok, rep
+
+
+def test_unaligned_geometry_fused_parity():
+    """Non-power-of-two block sizes make history_len % fpb != 0, which the
+    fused-step kernels can't tile (sub-block rows would straddle tiles) —
+    the dispatch must route to the XLA-forward + fused-apply arm
+    (_apply_maybe_full_fuse's unaligned branch) and stay inside the oracle
+    gate."""
+    import jefferson_tpu as jt
+
+    cfg = jt.EngineConfig(frames_per_buffer=100)
+    assert cfg.history_len % cfg.frames_per_buffer != 0  # 924 % 100
+    db = jt.synthetic_database(cfg)
+    nb = 24
+    pos = CircularOrbit(period_s=0.1, ele=5, r=1.0).sample(nb, cfg)
+    sig = (np.random.default_rng(0).standard_normal(nb * 100) * 0.2).astype(
+        np.float32
+    )
+    r = Renderer(db, cfg, chunk_blocks=nb, fused=True)
+    got = r.render(sig, pos)
+    want = render_oracle(sig, db, [tuple(p) for p in pos], cfg)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, rep
+    # pins the arm: the one-hot/dedup forms need the aligned geometry, so
+    # the render must have gone through the gather-fused programs
+    assert r._fd_fused and not r._fd_onehot and not r._fd_dedup_fused
