@@ -214,3 +214,35 @@ def test_fused_strike_cap(db, config, castanets, capsys):
     assert calls["n"] == 2 * _MAX_FUSED_STRIKES, calls
     err = capsys.readouterr().err
     assert "disabled for this instance" in err
+
+
+def test_grouped_onehot_fallback(db, config, castanets, capsys):
+    """A compile-class failure of the GROUPED one-hot program falls down the
+    same ladder (gather-fused next) with the message surfaced and the render
+    still correct — the grouped arm has its own program cache and strike key
+    (okey carries nd), so it must absorb strikes independently."""
+    from jefferson_tpu.bench.sweep import mover_positions
+
+    pos = mover_positions(1024)  # full-sphere wide mover -> grouped tables
+    sig = castanets[:40000]
+    want = Renderer(db, chunk_blocks=1024, fused=False).render(sig, pos)
+
+    r = Renderer(db, chunk_blocks=1024, fused=True)
+    r._mk_fd_onehot_grp = _raising(RuntimeError("grouped: tpu_compile_helper exit 1"))
+    got = r.render(sig, pos)
+    err = capsys.readouterr().err
+    assert "tpu_compile_helper exit 1" in err
+    assert not r._fd_onehot_grp and r._fd_fused, \
+        "expected the gather-fused programs after the grouped failure"
+    assert r.fused, "one flaky compile must not disable fused for the instance"
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
+
+
+def test_grouped_onehot_genuine_bug_propagates(db, config, castanets):
+    from jefferson_tpu.bench.sweep import mover_positions
+
+    r = Renderer(db, chunk_blocks=1024, fused=True)
+    r._mk_fd_onehot_grp = _raising(ValueError("genuine shape bug in the grouped wrapper"))
+    with pytest.raises(ValueError, match="genuine shape bug"):
+        r.render(castanets[:40000], mover_positions(1024))
