@@ -246,3 +246,32 @@ def test_streaming_writer_riff_limit_guard(tmp_path):
         w.write(np.zeros((4, 2), np.float32))
     w._data_size = 24  # restore truth so close() patches a sane header
     w.close()
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 2 ** -15), (24, 2 ** -23), (32, 2 ** -30)])
+def test_pcm_roundtrip_pure_python(tmp_path, stereo_signal, bits, tol):
+    """The pure-Python codec (what a build without the native extension
+    runs): float64 input routes around the native encoder, dtype=float64
+    around the native decoder.  Round-trips each PCM depth and cross-checks
+    the fallback decode against the native one."""
+    p = tmp_path / f"py{bits}.wav"
+    sig64 = stereo_signal.astype(np.float64)
+    write_wav(p, sig64, 44100, bits=bits)          # Python encoder
+    y64, sr = read_wav(p, dtype=np.float64)        # Python decoder
+    assert sr == 44100 and y64.dtype == np.float64
+    assert np.max(np.abs(y64 - sig64)) <= tol
+    y32, _ = read_wav(p)                           # native decoder (float32)
+    assert np.max(np.abs(y32.astype(np.float64) - y64)) <= 2 ** -24
+
+
+def test_float64_format_roundtrip(tmp_path, stereo_signal):
+    """IEEE float64 WAVs (bits=64) round-trip exactly through the Python
+    codec (the native extension is float32-only and must not be elected)."""
+    p = tmp_path / "f64.wav"
+    sig64 = stereo_signal.astype(np.float64) * (1 + 2 ** -40)  # needs >24 bits
+    write_wav(p, sig64, 48000, bits=64, float_format=True)
+    y, sr = read_wav(p, dtype=np.float64)
+    assert sr == 48000
+    np.testing.assert_array_equal(y, sig64)
+    info = read_wav_info(p)
+    assert info.float_format and info.bits == 64
