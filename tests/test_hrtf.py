@@ -157,3 +157,28 @@ def test_load_reference_compact_set():
     # mirror sanity on the real data
     i90, i270 = pick_hrtf(0, 90), pick_hrtf(0, 270)
     np.testing.assert_array_equal(db.hrirs[i90, 0], db.hrirs[i270, 1])
+
+
+def test_loaders_reject_inconsistent_trees(tmp_path):
+    """Corrupt trees fail loudly: wrong sample rate and per-file length
+    mismatches raise with the offending path named (both layouts)."""
+    croot = tmp_path / "compact"
+    _write_fake_kemar(croot, "compact")
+    bad = croot / "elev0" / "H0e090a.wav"
+    taps = np.zeros((32, 2), np.float32)
+    write_wav(bad, taps, 48000, bits=16)  # wrong rate
+    with pytest.raises(ValueError, match="bad compact HRIR file.*H0e090a"):
+        load_compact(croot)
+    write_wav(bad, np.zeros((16, 2), np.float32), 44100, bits=16)  # short
+    with pytest.raises(ValueError, match="length mismatch.*H0e090a"):
+        load_compact(croot)
+
+    froot = tmp_path / "full"
+    _write_fake_kemar(froot, "full")
+    badf = froot / "elev0" / "L0e090a.wav"
+    write_wav(badf, np.zeros(32, np.float32), 22050, bits=16)
+    with pytest.raises(ValueError, match="bad HRIR file.*L0e090a"):
+        load_full(froot)
+    write_wav(badf, np.zeros(16, np.float32), 44100, bits=16)
+    with pytest.raises(ValueError, match="length mismatch.*L0e090a"):
+        load_full(froot)
