@@ -419,3 +419,47 @@ def test_shutdown_not_blocked_by_idle_connection(db, config, tmp_path):
         assert not t.is_alive(), "serve() did not return with an idle client"
     finally:
         idle.close()
+
+
+def test_render_service_devices_must_divide_chunk():
+    """Renderer(mesh=...) shards the block axis, so chunk_blocks must split
+    evenly over --devices (serve.py's constructor validation)."""
+    with pytest.raises(ValueError, match="must divide evenly"):
+        RenderService(hrtf_dir=None, chunk_blocks=63, devices=2)
+    RenderService(hrtf_dir=None, chunk_blocks=64, devices=2)  # valid
+
+
+def test_stream_start_capacity_and_shutdown_gates(db, config, castanets, tmp_path):
+    """stream_start is refused (cleanly, over the wire) when the daemon is
+    at capacity or already shutting down."""
+    import time
+
+    from jefferson_tpu.io.wavio import write_wav as _ww
+
+    sock = tmp_path / "gate.sock"
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+    t = threading.Thread(target=serve, args=(sock, service), daemon=True)
+    t.start()
+    for _ in range(200):
+        try:
+            assert request(sock, {"cmd": "ping"})["pong"]
+            break
+        except (ConnectionRefusedError, FileNotFoundError, OSError):
+            time.sleep(0.05)
+    src = tmp_path / "in.wav"
+    _ww(src, castanets[:4096], config.sample_rate)
+    try:
+        service.max_streams = 0
+        r = request(sock, {"cmd": "stream_start", "input": str(src),
+                           "output": str(tmp_path / "o1.wav")})
+        assert not r["ok"] and "too many active stream sessions" in r["error"]
+        service.max_streams = 8
+
+        service._shutting_down = True
+        r = request(sock, {"cmd": "stream_start", "input": str(src),
+                           "output": str(tmp_path / "o2.wav")})
+        assert not r["ok"] and "shutting down" in r["error"]
+        service._shutting_down = False
+    finally:
+        request(sock, {"cmd": "shutdown"})
+        t.join(timeout=5)
