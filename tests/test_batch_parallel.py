@@ -571,3 +571,28 @@ def test_explicit_large_chunk_routes_to_gather(db, config, castanets):
     br = BatchRenderer(db, config, chunk_blocks=512, fused=True, dedup=False)
     out = br.render(sigs, pos)
     assert out.shape == (s, b * 128, 2) and np.isfinite(out).all()
+
+
+def test_sharded_wide_movers_gather_form(db, config, castanets):
+    """Wide full-sphere movers whose per-shard tiles shrink below
+    GROUPED_MIN_TB must route to the GATHER-fused batched form under the
+    mesh (the non-onehot shard_map operand layout) and match unsharded."""
+    rng = np.random.default_rng(11)
+    s, nb = 8, 16
+    signals = np.stack(
+        [castanets[: nb * config.frames_per_buffer] for _ in range(s)]
+    )
+    positions = np.stack([
+        np.stack([rng.uniform(0, 360, nb), rng.uniform(-40, 90, nb),
+                  np.full(nb, 1.0)], axis=1)
+        for _ in range(s)
+    ]).astype(np.float32)
+    mesh = make_mesh(8)
+    br = BatchRenderer(db, chunk_blocks=nb, mesh=mesh, fused=True)
+    got = br.render(signals, positions)
+    gather_keys = [k for k in br._jitted
+                   if k[1] is None and k[2] is not None and not k[3]]
+    assert gather_keys, f"expected the gather-fused form, programs: {list(br._jitted)}"
+    want = BatchRenderer(db, chunk_blocks=nb).render(signals, positions)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
