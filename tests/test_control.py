@@ -209,3 +209,65 @@ def test_keythread_close_stops_reader():
     finally:
         os.close(r)
         os.close(w)
+
+
+def test_tty_key_loop_over_pipe():
+    """Drive the live key loop through a plain pipe: immediate keys apply,
+    a CSI split across reads survives one timeout window (laggy ssh), a
+    lone ESC quits after two empty windows, and the stop event exits."""
+    import os
+    import threading
+    import time
+
+    from jefferson_tpu.rt.control import SourceControl, tty_key_loop
+
+    keys_seen = []
+    c = SourceControl()
+    r, w = os.pipe()
+    t = threading.Thread(
+        target=tty_key_loop, args=(c, r),
+        kwargs={"on_key": lambda k, xyz: keys_seen.append(k)}, daemon=True,
+    )
+    t.start()
+    try:
+        os.write(w, b"w")                       # plain move key
+        deadline = time.time() + 2.0
+        while "w" not in keys_seen and time.time() < deadline:
+            time.sleep(0.01)
+        assert "w" in keys_seen
+        assert np.isclose(c.coordinates()[1], KEY_STEP)
+
+        os.write(w, b"\x1b[")                   # split arrow: CSI prefix...
+        time.sleep(0.08)                        # ...one empty select window
+        os.write(w, b"C")                       # ...final byte arrives late
+        deadline = time.time() + 2.0
+        while "right" not in keys_seen and time.time() < deadline:
+            time.sleep(0.01)
+        assert "right" in keys_seen
+        assert np.isclose(c.coordinates()[0], KEY_STEP)
+
+        os.write(w, b"\x1b")                    # lone ESC: quits after two
+        t.join(timeout=3.0)                     # empty 50 ms windows
+        assert not t.is_alive() and c.quit
+    finally:
+        os.close(w)
+        os.close(r)
+
+
+def test_tty_key_loop_stop_event():
+    import os
+    import threading
+
+    from jefferson_tpu.rt.control import SourceControl, tty_key_loop
+
+    c = SourceControl()
+    r, w = os.pipe()
+    stop = threading.Event()
+    t = threading.Thread(target=tty_key_loop, args=(c, r),
+                         kwargs={"stop": stop}, daemon=True)
+    t.start()
+    stop.set()
+    t.join(timeout=3.0)
+    assert not t.is_alive() and not c.quit
+    os.close(w)
+    os.close(r)
