@@ -137,3 +137,31 @@ def test_plan_crossfade_flags(config):
     plan = make_plan(np.asarray(pos, dtype=np.float64), config)
     # block 0: initial_old=(0,0) equals position -> no crossfade
     np.testing.assert_array_equal(plan.xfade, [False, False, True, False, True])
+
+
+def test_plan_layer_validation_and_edges():
+    """The plan layer's defensive edges: malformed positions, zero-block
+    plans, no-op padding, compact-bucket overflow, non-mono feeds."""
+    import pytest
+
+    from jefferson_tpu import DEFAULT_CONFIG
+    from jefferson_tpu.engine.plan import (
+        _compact_table,
+        fed_stream,
+        make_plan,
+        pad_plan,
+    )
+
+    with pytest.raises(ValueError, match=r"positions must be \(B, 3\)"):
+        make_plan(np.zeros((4, 2)), DEFAULT_CONFIG)
+    with pytest.raises(ValueError, match="at least one block"):
+        make_plan(np.zeros((0, 3)), DEFAULT_CONFIG)
+
+    p = make_plan([(30.0, 0.0, 1.0)] * 4, DEFAULT_CONFIG)
+    assert pad_plan(p, 0) is p  # no-op padding returns the plan unchanged
+
+    with pytest.raises(ValueError, match="unique filters exceed the bucket"):
+        _compact_table(np.arange(16, dtype=np.int32), 8, "test")
+
+    with pytest.raises(ValueError, match="mono"):
+        fed_stream(np.zeros((64, 2), np.float32), 1, DEFAULT_CONFIG)
