@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="jefferson",
         description="TPU-native binaural spatializer (file-to-file)",
     )
+    from .. import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"jefferson_tpu {__version__}")
     p.add_argument("-t", "--type", type=int, default=0, choices=range(6),
                    help="process type: 0=TPU FD interpolating, 1=TPU FD nearest, "
                         "2=TPU time-domain, 3/4/5=CPU oracle equivalents (default 0)")

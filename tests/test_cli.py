@@ -312,3 +312,14 @@ def test_check_fails_on_length_mismatch(tmp_path, castanets, config):
     assert check_main([str(a), str(b)]) == 1
     write_wav(b, full, config.sample_rate)
     assert check_main([str(a), str(b)]) == 0
+
+
+def test_version_flag(capsys):
+    import pytest
+
+    from jefferson_tpu import __version__
+
+    with pytest.raises(SystemExit) as e:
+        cli_main(["--version"])
+    assert e.value.code == 0
+    assert f"jefferson_tpu {__version__}" in capsys.readouterr().out
