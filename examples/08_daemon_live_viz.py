@@ -19,6 +19,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root import
 
+import os
+
+if not os.environ.get("JEFFERSON_EXAMPLES_TPU"):
+    import jax
+
+    # The live block loop is latency-bound, not throughput-bound: its
+    # production placement is the host CPU (PERF.md "Live single-block
+    # loop" — a relay-attached TPU pays ~43 ms/block in transport alone).
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import jefferson_tpu as jt
