@@ -177,6 +177,59 @@ def test_ensure_virtual_devices_noop():
     assert len(jax.devices()) == 8
 
 
+def test_xla_flags_device_count_replacement():
+    """The shared scrub-and-set helper REPLACES any inherited count flag and
+    preserves unrelated flags (an inherited different count must not win)."""
+    from jefferson_tpu.parallel.mesh import xla_flags_with_device_count
+
+    out = xla_flags_with_device_count(
+        "--xla_foo=1 --xla_force_host_platform_device_count=2 --xla_bar", 8
+    )
+    parts = out.split()
+    assert "--xla_force_host_platform_device_count=8" in parts
+    assert "--xla_force_host_platform_device_count=2" not in parts
+    assert "--xla_foo=1" in parts and "--xla_bar" in parts
+    # count-flag occurrences collapse to exactly one
+    assert sum("xla_force_host_platform_device_count" in p for p in parts) == 1
+    # empty input yields just the flag
+    assert xla_flags_with_device_count("", 4).split() == [
+        "--xla_force_host_platform_device_count=4"
+    ]
+
+
+def test_make_mesh_validation_and_factorization():
+    """make_mesh rejects bad device counts / axis ranks and factors 2-D
+    meshes near-square (6 devices -> 2x3, never 1x6)."""
+    import pytest
+    from jefferson_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        make_mesh(0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        make_mesh(-2)
+    with pytest.raises(ValueError, match="have"):
+        make_mesh(len(jax.devices()) + 1)
+    with pytest.raises(ValueError, match="1-D or 2-D"):
+        make_mesh(8, ("a", "b", "c"))
+    mesh = make_mesh(6, ("src", "blk"))
+    assert mesh.devices.shape == (2, 3)
+    assert make_mesh(8, ("src", "blk")).devices.shape == (2, 4)
+    # prime counts degrade to 1 x n rather than failing
+    assert make_mesh(7, ("src", "blk")).devices.shape == (1, 7)
+
+
+def test_replicated_sharding_spec():
+    """replicated() replicates every axis; source_sharding shards only the
+    leading axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from jefferson_tpu.parallel.mesh import make_mesh, replicated, source_sharding
+
+    mesh = make_mesh(8)
+    assert replicated(mesh).spec == P()
+    assert source_sharding(mesh, 3).spec == P("src", None, None)
+
+
 def test_block_axis_sharding(db, config, castanets):
     """One render's blocks sharded over the mesh ('sp'-style): GSPMD handles
     the sliding-window halo between block shards; output matches unsharded."""

@@ -128,3 +128,44 @@ def test_native_plan_core_bit_exact(native):
     got_dps = native.distance_phase_split(44100.0 / 343.0, r, 513)
     for g, v in zip(got_dps, want_dps):
         np.testing.assert_array_equal(g, v)
+
+
+def test_dispatch_fallback_arms_match_native(native, tmp_path):
+    """The pure-Python arms of the native/__init__ dispatch layer (what a
+    no-toolchain install runs) produce the SAME results as the extension:
+    decode_wav, encode_pcm, fed_stream, build_segments — plus the fallback
+    malformed-WAV rejection."""
+    from jefferson_tpu.io import wavio
+
+    rng = np.random.default_rng(11)
+    x = (rng.random((1234, 2)).astype(np.float32) * 1.6 - 0.8).astype(np.float32)
+    p = tmp_path / "t.wav"
+    wavio.write_wav(p, x, 48000, bits=24)
+    data = p.read_bytes()
+
+    s = np.arange(777, dtype=np.float32)
+    hist = np.linspace(-1, 1, 896).astype(np.float32)
+
+    got_native = {
+        "decode": native.decode_wav(data),
+        "encode": native.encode_pcm(x, 16),
+        "fed": native.fed_stream(s, 20, 128),
+    }
+    got_native["seg"] = native.build_segments(got_native["fed"], hist, 128, 1024)
+
+    old = native.HAVE_NATIVE
+    try:
+        native.HAVE_NATIVE = False
+        dec, sr = native.decode_wav(data)
+        assert sr == got_native["decode"][1]
+        np.testing.assert_array_equal(dec, got_native["decode"][0])
+        assert native.encode_pcm(x, 16) == got_native["encode"]
+        fed = native.fed_stream(s, 20, 128)
+        np.testing.assert_array_equal(fed, got_native["fed"])
+        np.testing.assert_array_equal(
+            native.build_segments(fed, hist, 128, 1024), got_native["seg"]
+        )
+        with pytest.raises(ValueError):
+            native.decode_wav(b"RIFFxxxxWAVEjunkjunk")
+    finally:
+        native.HAVE_NATIVE = old
