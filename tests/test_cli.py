@@ -323,3 +323,37 @@ def test_version_flag(capsys):
         cli_main(["--version"])
     assert e.value.code == 0
     assert f"jefferson_tpu {__version__}" in capsys.readouterr().out
+
+
+def test_cli_error_paths(tmp_path, wav_in):
+    """The one-line SystemExit guards on the main CLI entry: missing input,
+    broken scene files, reverb-mode without an IR, and a nonexistent HRTF
+    dir all fail loudly with the documented messages."""
+    with pytest.raises(SystemExit, match="missing -i/--input"):
+        _run(["-o", tmp_path / "o.wav"])
+    with pytest.raises(SystemExit, match="not found"):
+        _run(["--scene", tmp_path / "nope.json", "-o", tmp_path / "o.wav"])
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(SystemExit, match="bad JSON"):
+        _run(["--scene", bad, "-o", tmp_path / "o.wav"])
+    with pytest.raises(SystemExit, match="requires -r/--reverb"):
+        _run(["-i", wav_in, "-o", tmp_path / "o.wav", "--reverb-mode", "linear"])
+    with pytest.raises(SystemExit, match="does not exist"):
+        _run(["-i", wav_in, "-o", tmp_path / "o.wav",
+              "--hrtf-dir", tmp_path / "no_such_hrtf"])
+    with pytest.raises(SystemExit, match="must be positive"):
+        _run(["-i", wav_in, "-o", tmp_path / "o.wav", "--blocks", "0"])
+    with pytest.raises(SystemExit, match="must be positive"):
+        _run(["-i", wav_in, "-o", tmp_path / "o.wav", "--duration", "-1"])
+
+
+def test_events_trajectory_bad_json(tmp_path):
+    bad = tmp_path / "ev.json"
+    bad.write_text("[[0, 10,")
+    with pytest.raises(ValueError, match="bad JSON"):
+        parse_trajectory(f"events:{bad}")
+    with pytest.raises(ValueError, match="path spec"):
+        parse_trajectory("path:0,0,1:1,0,-1")  # missing duration part
+    with pytest.raises(ValueError, match="numeric"):
+        parse_trajectory("path:a,b,c:1,0,-1:2.0")
