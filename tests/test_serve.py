@@ -463,3 +463,58 @@ def test_stream_start_capacity_and_shutdown_gates(db, config, castanets, tmp_pat
     finally:
         request(sock, {"cmd": "shutdown"})
         t.join(timeout=5)
+
+
+def test_malformed_json_line_gets_error_not_drop(daemon):
+    """A syntactically broken request line gets a clean {'ok': false,
+    'bad json'} reply and the CONNECTION SURVIVES for the next request
+    (blank lines are skipped, not answered)."""
+    import socket as _socket
+
+    sock, service = daemon
+    c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+    c.connect(str(sock))
+    try:
+        f = c.makefile("rwb")
+        f.write(b"\n{not json\n")
+        f.flush()
+        resp = json.loads(f.readline())
+        assert not resp["ok"] and "bad json" in resp["error"]
+        f.write(json.dumps({"cmd": "ping"}).encode() + b"\n")
+        f.flush()
+        assert json.loads(f.readline())["pong"]
+    finally:
+        c.close()
+
+
+def test_daemon_render_resamples_foreign_rate(daemon, config, castanets, tmp_path):
+    """A foreign-rate input WAV is resampled to the engine rate (same rule
+    as the CLI), not rendered pitch-shifted."""
+    src = tmp_path / "in22k.wav"
+    write_wav(src, castanets[:8000], 22050)
+    out = tmp_path / "out22k.wav"
+    sock, service = daemon
+    resp = request(sock, {"cmd": "render", "input": str(src),
+                          "output": str(out), "blocks": 16})
+    assert resp["ok"], resp
+    got, sr = read_wav(out)
+    assert sr == config.sample_rate and got.shape == (16 * 128, 2)
+    assert np.isfinite(got).all()
+
+
+def test_daemon_scene_accepts_file_path(daemon, config, castanets, tmp_path):
+    """{'cmd': 'scene', 'scene': '<path>'} loads the scene JSON from disk
+    (the CLI --scene file convention, available over the wire too)."""
+    src = tmp_path / "s.wav"
+    write_wav(src, castanets[:8000], config.sample_rate)
+    scene_path = tmp_path / "scene.json"
+    scene_path.write_text(json.dumps({
+        "sources": [{"input": str(src), "trajectory": "static:azi=45"}],
+    }))
+    out = tmp_path / "scene_out.wav"
+    sock, service = daemon
+    resp = request(sock, {"cmd": "scene", "scene": str(scene_path),
+                          "output": str(out), "blocks": 16})
+    assert resp["ok"] and resp["sources"] == 1 and resp["blocks"] == 16, resp
+    got, sr = read_wav(out)
+    assert sr == config.sample_rate and np.isfinite(got).all()
