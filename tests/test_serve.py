@@ -518,3 +518,58 @@ def test_daemon_scene_accepts_file_path(daemon, config, castanets, tmp_path):
     assert resp["ok"] and resp["sources"] == 1 and resp["blocks"] == 16, resp
     got, sr = read_wav(out)
     assert sr == config.sample_rate and np.isfinite(got).all()
+
+
+def test_shutdown_stops_live_sessions_and_reports_pending(db, config, castanets, tmp_path):
+    """Shutdown quits live stream sessions (flushed WAVs, listed in
+    stopped_sessions) and reports — not claims stopped — a session whose
+    thread outlives the 10 s join as pending, with the unflushed warning."""
+    import time
+
+    sock = tmp_path / "shut.sock"
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+    t = threading.Thread(target=serve, args=(sock, service), daemon=True)
+    t.start()
+    for _ in range(200):
+        try:
+            assert request(sock, {"cmd": "ping"})["pong"]
+            break
+        except (ConnectionRefusedError, FileNotFoundError, OSError):
+            time.sleep(0.05)
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:8192], config.sample_rate)
+    out = tmp_path / "live.wav"
+    r = request(sock, {"cmd": "stream_start", "input": str(src),
+                       "output": str(out), "seconds": 30.0})
+    assert r["ok"], r
+    sid = r["session"]
+    # let the paced loop emit at least one block so the flushed WAV below
+    # has content (a quit before block 0 flushes a valid but empty file)
+    for _ in range(400):
+        st = request(sock, {"cmd": "stream_status", "session": sid})
+        if st.get("ok") and st["blocks"] >= 1:
+            break
+        time.sleep(0.025)
+    assert st["blocks"] >= 1, st
+    # a stuck session: ignores quit, stays alive through the (shortened)
+    # join window — monkey the session thread's join to time out instantly
+    class _Stuck:
+        def __init__(self):
+            self.quit = False
+    stuck_thread = threading.Thread(target=time.sleep, args=(15.0,), daemon=True)
+    stuck_thread.start()
+    with service._slock:
+        streams = dict(service._streams)
+        streams["stuck"] = {**streams[sid], "control": _Stuck(),
+                            "thread": stuck_thread}
+        service._streams = streams
+
+    resp = request(sock, {"cmd": "shutdown"}, timeout=60.0)
+    t.join(timeout=15)
+    assert resp["ok"] and resp["shutdown"]
+    assert sid in resp["stopped_sessions"], resp
+    assert resp.get("pending_sessions") == ["stuck"], resp
+    assert "unflushed" in resp.get("warning", ""), resp
+    # the real session's writer flushed: a valid, finite WAV on disk
+    got, sr = read_wav(out)
+    assert sr == config.sample_rate and np.isfinite(got).all() and len(got) > 0
