@@ -275,3 +275,67 @@ def test_float64_format_roundtrip(tmp_path, stereo_signal):
     np.testing.assert_array_equal(y, sig64)
     info = read_wav_info(p)
     assert info.float_format and info.bits == 64
+
+
+def test_wave_format_extensible_decodes(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE resolves the true tag from the SubFormat GUID
+    (PCM here) on BOTH decode paths (float32 -> native when built, float64 ->
+    pure Python), and a truncated extensible fmt chunk raises cleanly."""
+    import struct
+
+    from jefferson_tpu.io.wavio import read_wav
+
+    # 40-byte extensible fmt: base fields + cbSize=22 + valid bits +
+    # channel mask + SubFormat GUID whose first two bytes are the PCM tag
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    fmt_body = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 88200, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4)
+        + guid
+    )
+    samples = np.array([0, 16384, -16384, -32768, 32767], dtype="<i2")
+    p = tmp_path / "ext.wav"
+    p.write_bytes(_wav_bytes(fmt_body, samples.tobytes()))
+    want = samples.astype(np.float64) / 32768.0
+    for dtype in (np.float32, np.float64):  # native arm + pure-Python arm
+        got, sr = read_wav(p, dtype=dtype)
+        assert sr == 44100
+        np.testing.assert_allclose(got[:, 0], want.astype(dtype), atol=0, rtol=0)
+
+    short = fmt_body[:24]  # extensible tag but no SubFormat to read
+    p2 = tmp_path / "ext_trunc.wav"
+    p2.write_bytes(_wav_bytes(short, samples.tobytes()))
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        read_wav(p2, dtype=np.float64)
+
+
+def test_u8_pcm_decodes_and_unsupported_tags_raise(tmp_path):
+    """8-bit PCM is unsigned-midpoint normalized identically on both decode
+    paths; unknown format tags and oddball PCM depths raise."""
+    import struct
+
+    from jefferson_tpu.io.wavio import read_wav
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 22050, 22050, 1, 8)
+    raw = bytes([0, 64, 128, 192, 255])
+    p = tmp_path / "u8.wav"
+    p.write_bytes(_wav_bytes(fmt8, raw))
+    want = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    for dtype in (np.float32, np.float64):
+        got, sr = read_wav(p, dtype=dtype)
+        assert sr == 22050
+        np.testing.assert_allclose(got[:, 0], want.astype(dtype), atol=0, rtol=0)
+
+    # A-law (tag 6) is not supported — clean ValueError, not garbage audio
+    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    p2 = tmp_path / "alaw.wav"
+    p2.write_bytes(_wav_bytes(fmt_alaw, raw))
+    with pytest.raises(ValueError, match="unsupported WAVE format"):
+        read_wav(p2)
+
+    # PCM at an unhandled depth (12-bit) raises on the pure-Python arm
+    fmt12 = struct.pack("<HHIIHH", 1, 1, 8000, 12000, 2, 12)
+    p3 = tmp_path / "pcm12.wav"
+    p3.write_bytes(_wav_bytes(fmt12, raw * 2))
+    with pytest.raises(ValueError, match="bit depth"):
+        read_wav(p3, dtype=np.float64)
