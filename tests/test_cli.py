@@ -357,3 +357,29 @@ def test_events_trajectory_bad_json(tmp_path):
         parse_trajectory("path:0,0,1:1,0,-1")  # missing duration part
     with pytest.raises(ValueError, match="numeric"):
         parse_trajectory("path:a,b,c:1,0,-1:2.0")
+
+
+def test_viz_flag_writes_all_artifacts(tmp_path, wav_in):
+    """--viz writes the four self-contained artifacts next to the output
+    WAV: top-down SVG, waveform SVG, synced HTML player, 3-D player."""
+    out = tmp_path / "v.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", "8",
+               "--trajectory", "orbit:period=1", "--viz", "--quiet"])
+    assert rc == 0
+    for suffix in (".scene.svg", ".wave.svg", ".html", ".3d.html"):
+        p = tmp_path / f"v.wav{suffix}"
+        assert p.exists() and p.stat().st_size > 200, suffix
+    html = (tmp_path / "v.wav.html").read_text()
+    assert "<audio" in html or "AudioContext" in html or "<svg" in html
+
+
+def test_initial_old_parsing(tmp_path, wav_in):
+    """--initial-old accepts 'none' and 'azi,ele'; rejects non-numeric and
+    wrong arity (the 0,0,0 case is covered elsewhere)."""
+    out = tmp_path / "io.wav"
+    assert _run(["-i", wav_in, "-o", out, "--blocks", "2",
+                 "--initial-old", "none", "--quiet"]) == 0
+    assert _run(["-i", wav_in, "-o", out, "--blocks", "2",
+                 "--initial-old", "30,-10", "--quiet"]) == 0
+    with pytest.raises(SystemExit, match="initial-old"):
+        _run(["-i", wav_in, "-o", out, "--blocks", "2", "--initial-old", "a,b"])
