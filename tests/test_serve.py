@@ -573,3 +573,27 @@ def test_shutdown_stops_live_sessions_and_reports_pending(db, config, castanets,
     # the real session's writer flushed: a valid, finite WAV on disk
     got, sr = read_wav(out)
     assert sr == config.sample_rate and np.isfinite(got).all() and len(got) > 0
+
+
+def test_live_viz_cli_main(daemon, db, config, castanets, tmp_path):
+    """jefferson-live-viz's entry point: follows a short stream to its end
+    (exit 0, artifacts written) and exits 1 with the error printed when no
+    session is live."""
+    from jefferson_tpu.viz.live import main as live_main
+
+    sock, service = daemon
+    src = tmp_path / "lvm_in.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = tmp_path / "lvm_out.wav"
+    svg = tmp_path / "lvm.svg"
+    resp = request(sock, {"cmd": "stream_start", "input": str(src),
+                          "output": str(out), "seconds": 0.25, "paced": True})
+    assert resp["ok"], resp
+    rc = live_main(["--socket", str(sock), "-o", str(svg),
+                    "--session", resp["session"], "--interval", "0.01", "--3d"])
+    assert rc == 0
+    assert svg.exists() and svg.with_suffix(".3d.html").exists()
+    # unknown session: the error path prints the daemon error and returns 1
+    rc = live_main(["--socket", str(sock), "-o", str(svg),
+                    "--session", "no-such-session", "--interval", "0.01"])
+    assert rc == 1

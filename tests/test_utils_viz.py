@@ -65,3 +65,22 @@ def test_rtf_meter_exception_neutral():
     with m.measure(blocks=1):
         pass
     assert m.num_calls == 4
+
+
+def test_rtf_meter_report_and_guards():
+    """report() prints the counters; stop() without start() raises instead
+    of attributing the gap; rtf is inf before any measurement."""
+    import io
+
+    import pytest
+
+    m = RTFMeter()
+    assert m.rtf == float("inf")
+    with pytest.raises(RuntimeError, match="without a matching start"):
+        m.stop()
+    with m.measure(blocks=4):
+        pass
+    buf = io.StringIO()
+    m.report(label="unit", file=buf)
+    text = buf.getvalue()
+    assert "unit: 4 blocks" in text and "x real time" in text
