@@ -202,3 +202,81 @@ def test_rt_cli_flushes_writer_on_playout_exception(db, config, castanets,
     assert sr == config.sample_rate
     assert y.shape[0] == 3 * config.frames_per_buffer
     assert np.isfinite(y).all()
+
+
+class _FakeSD:
+    """Minimal sounddevice stand-in: a blocking OutputStream that drives the
+    registered callback synchronously (frames overridable to test the
+    blocksize guard)."""
+
+    class CallbackStop(Exception):
+        pass
+
+    class CallbackAbort(Exception):
+        pass
+
+    def __init__(self, frames=None):
+        self._frames = frames
+        self.last_outdata = None
+
+    def OutputStream(self, samplerate, blocksize, channels, dtype,
+                     callback, finished_callback, device):
+        fake = self
+
+        class _Stream:
+            def __enter__(self):
+                while True:
+                    out = np.full((blocksize, channels), np.nan, np.float32)
+                    try:
+                        callback(out, fake._frames or blocksize, None, None)
+                    except (fake.CallbackStop, fake.CallbackAbort):
+                        fake.last_outdata = out
+                        break
+                finished_callback()
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        return _Stream()
+
+
+def test_play_through_fake_sounddevice(db, config, castanets, monkeypatch):
+    """play() drives the device callback to num_blocks, zero-fills the final
+    (post-stop) buffer instead of emitting garbage, and returns the stats."""
+    import jefferson_tpu.rt.playout as pl
+
+    fake = _FakeSD()
+    monkeypatch.setattr(pl, "_sounddevice", lambda: fake)
+    play = AudioPlayout([_src(db, config, castanets)], config)
+    stats = play.play(num_blocks=3)
+    assert stats.blocks == 3
+    # the stop buffer was zeroed (constructed as NaN; garbage would be audible)
+    assert fake.last_outdata is not None
+    np.testing.assert_array_equal(fake.last_outdata, 0.0)
+
+
+def test_play_blocksize_mismatch_surfaces(db, config, castanets, monkeypatch):
+    """A device delivering foreign blocksizes aborts with the clear error,
+    not an audible glitch loop."""
+    import jefferson_tpu.rt.playout as pl
+
+    monkeypatch.setattr(pl, "_sounddevice", lambda: _FakeSD(frames=64))
+    play = AudioPlayout([_src(db, config, castanets)], config)
+    with pytest.raises(RuntimeError, match="device blocksize 64"):
+        play.play(num_blocks=3)
+
+
+def test_play_source_error_surfaces(config, monkeypatch):
+    """An exception inside a source crosses the callback boundary and is
+    re-raised from play() (the reference glitches forever instead)."""
+    import jefferson_tpu.rt.playout as pl
+
+    monkeypatch.setattr(pl, "_sounddevice", lambda: _FakeSD())
+
+    def boom():
+        raise ValueError("synthetic source failure")
+
+    play = AudioPlayout([boom], config)
+    with pytest.raises(ValueError, match="synthetic source failure"):
+        play.play(num_blocks=2)
