@@ -280,3 +280,41 @@ def test_play_source_error_surfaces(config, monkeypatch):
     play = AudioPlayout([boom], config)
     with pytest.raises(ValueError, match="synthetic source failure"):
         play.play(num_blocks=2)
+
+
+def test_rt_cli_keys_without_tty(db, config, castanets, tmp_path, monkeypatch, capsys):
+    """--keys on a non-TTY stdin degrades to the programmatic-control notice
+    and still renders (the key thread is simply absent)."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:6000], config.sample_rate)
+    out = tmp_path / "keys.wav"
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+    rc = main(["-i", str(src), "-o", str(out), "--seconds", "0.2", "--keys"])
+    assert rc == 0
+    assert "stdin is not a TTY" in capsys.readouterr().err
+    y, sr = read_wav(out)
+    assert sr == config.sample_rate and np.isfinite(y).all()
+
+
+def test_rt_cli_input_validation(db, config, castanets, tmp_path, monkeypatch):
+    """--seconds <= 0, empty inputs, and bad trajectories exit with the
+    one-line messages."""
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    empty = tmp_path / "empty.wav"
+    write_wav(empty, np.zeros(0, np.float32), config.sample_rate)
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+    out = tmp_path / "o.wav"
+    with pytest.raises(SystemExit, match="must be > 0"):
+        main(["-i", str(src), "-o", str(out), "--seconds", "0"])
+    with pytest.raises(SystemExit, match="is empty"):
+        main(["-i", str(empty), "-o", str(out), "--seconds", "0.2"])
+    with pytest.raises(SystemExit, match="unknown trajectory"):
+        main(["-i", str(src), "-o", str(out), "--seconds", "0.2",
+              "--trajectory", "spiral:x=1"])
