@@ -92,3 +92,33 @@ def test_dedup_partial_final_chunk(db, config, castanets):
         on.render(castanets, pos, initial_old=(0.0, 0.0)),
         off.render(castanets, pos, initial_old=(0.0, 0.0)),
     )
+
+
+def test_dedup_distance_edges():
+    """Empty input -> None (no triples to dedup); a cap above the kernel's
+    hardcoded 8 operand rows is an assertion, not a silent misshape; over-cap
+    workloads return None (per-row ramps stay)."""
+    import pytest
+
+    from jefferson_tpu.engine.renderer import dedup_distance
+
+    e = np.zeros(0, np.float32)
+    assert dedup_distance(e, e, e) is None
+
+    hi = np.arange(16, dtype=np.float32)
+    assert dedup_distance(hi, hi, hi) is None  # 16 unique > cap
+
+    with pytest.raises(AssertionError, match="exceeds the kernel's 8 rows"):
+        dedup_distance(hi, hi, hi, cap=16)
+
+
+def test_pick_fused_tile_degenerate_inputs():
+    """Non-positive batch/segment and indivisible large segments yield None
+    instead of a bogus tile."""
+    from jefferson_tpu.engine.renderer import pick_fused_tile
+
+    assert pick_fused_tile(0, 8) is None
+    assert pick_fused_tile(64, 0) is None
+    assert pick_fused_tile(-8, 8) is None
+    # seg >= max_tb but not divisible by any sublane-aligned tile
+    assert pick_fused_tile(520, 260) is None

@@ -78,3 +78,29 @@ def test_mesh_factorizations():
     assert m1.shape == {"src": 1}
     with pytest.raises(ValueError):
         make_mesh(1024)
+
+
+def test_config_and_testing_helper_guards():
+    """EngineConfig rejects sub-2 block sizes (crossfade ramps divide by
+    fpb-1); ProcessType property table; precision_check shape gate and
+    rms_error round out the functions.cpp helper surface."""
+    from jefferson_tpu import EngineConfig, ProcessType
+    from jefferson_tpu.testing import precision_check, rms_error
+
+    with pytest.raises(ValueError, match="frames_per_buffer"):
+        EngineConfig(frames_per_buffer=1)
+    with pytest.raises(ValueError, match="hrtf_len"):
+        EngineConfig(hrtf_len=0)
+
+    assert ProcessType.TPU_FD_COMPLEX.is_interpolating
+    assert ProcessType.CPU_FD_COMPLEX.is_interpolating
+    assert not ProcessType.TPU_FD_BASIC.is_interpolating
+    assert not ProcessType.CPU_TD.is_interpolating
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        precision_check(np.zeros(3), np.zeros(4))
+    a = np.array([0.0, 3.0, 4.0])
+    assert rms_error(a, np.zeros(3)) == pytest.approx(np.sqrt(25.0 / 3.0))
+    # empty buffers: a degenerate comparison is OK, not a crash
+    rep = precision_check(np.zeros(0), np.zeros(0))
+    assert rep.ok and rep.max_abs_diff == 0.0 and rep.first_bad_index == -1

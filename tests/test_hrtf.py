@@ -182,3 +182,24 @@ def test_loaders_reject_inconsistent_trees(tmp_path):
     write_wav(badf, np.zeros(16, np.float32), 44100, bits=16)
     with pytest.raises(ValueError, match="length mismatch.*L0e090a"):
         load_full(froot)
+
+
+def test_database_validation_branches(tmp_path, config):
+    """from_hrirs shape gates, missing-tree detection, synthetic n_taps gate,
+    and the num_hrtf property all fail/report the obvious way."""
+    from jefferson_tpu.hrtf.kemar import (
+        NUM_HRTF, HRTFDatabase, load_database, synthetic_database,
+    )
+
+    db8 = synthetic_database(config, n_taps=8, seed=3)
+    assert db8.num_hrtf == NUM_HRTF
+    with pytest.raises(ValueError, match="bad HRIR shape"):
+        HRTFDatabase.from_hrirs(np.zeros((4, 3, 16), np.float32), config)
+    with pytest.raises(ValueError, match="bad HRIR shape"):
+        HRTFDatabase.from_hrirs(
+            np.zeros((4, 2, config.pad_len + 1), np.float32), config
+        )
+    with pytest.raises(ValueError, match="n_taps must be >= 1"):
+        synthetic_database(config, n_taps=0)
+    with pytest.raises(FileNotFoundError, match="no HRTF database"):
+        load_database(tmp_path)  # empty dir: neither SOFA nor KEMAR tree

@@ -124,3 +124,14 @@ def test_streaming_state_stays_on_device(dry, ir):
     conv.process(dry[:256])
     for name in ("_hr", "_hi", "_ring_r", "_ring_i", "_overlap"):
         assert isinstance(getattr(conv, name), jax.Array), name
+
+
+def test_reverb_oracle_normalize_restores_input_rms(dry, ir):
+    """normalize=True (the reference's intended RMS renorm) scales the wet
+    output back to the dry signal's RMS; normalize=False leaves it raw."""
+    wet = reverb_oracle(dry, ir, normalize=True)
+    rms_in = float(np.sqrt(np.mean(np.asarray(dry, np.float64) ** 2)))
+    rms_wet = float(np.sqrt(np.mean(np.asarray(wet, np.float64) ** 2)))
+    assert abs(rms_wet - rms_in) < 1e-4 * max(rms_in, 1e-9)
+    raw = reverb_oracle(dry, ir, normalize=False)
+    assert not np.allclose(raw, wet)

@@ -338,3 +338,47 @@ def test_sofa_auto_mapping_dense_stays_nearest(db, config, tmp_path):
     loaded = load_sofa(path, config)
     assert loaded.source.endswith(":nearest")
     np.testing.assert_array_equal(loaded.hrirs, db.hrirs)
+
+
+def test_sofa_empty_and_malformed_position_sets(config, tmp_path):
+    """Zero measurements, ill-shaped SourcePosition, and non-spherical
+    coordinate types are rejected with their own messages."""
+    import h5py as _h5
+
+    path = tmp_path / "empty.sofa"
+    with _h5.File(path, "w") as f:
+        f.create_dataset("Data.IR", data=np.zeros((0, 2, 8)))
+        f.create_dataset("Data.SamplingRate", data=np.array([44100.0]))
+        d = f.create_dataset("SourcePosition", data=np.zeros((0, 3)))
+        d.attrs["Type"] = np.bytes_("spherical")
+    with pytest.raises(ValueError, match="no measurements"):
+        load_sofa(path, config)
+
+    path2 = tmp_path / "badpos.sofa"
+    with _h5.File(path2, "w") as f:
+        f.create_dataset("Data.IR", data=np.zeros((2, 2, 8)))
+        f.create_dataset("Data.SamplingRate", data=np.array([44100.0]))
+        d = f.create_dataset("SourcePosition", data=np.zeros((2,)))  # 1-D
+        d.attrs["Type"] = np.bytes_("spherical")
+    with pytest.raises(ValueError, match="SourcePosition must be"):
+        load_sofa(path2, config)
+
+    path3 = tmp_path / "cart.sofa"
+    with _h5.File(path3, "w") as f:
+        f.create_dataset("Data.IR", data=np.zeros((2, 2, 8)))
+        f.create_dataset("Data.SamplingRate", data=np.array([44100.0]))
+        d = f.create_dataset("SourcePosition", data=np.zeros((2, 3)))
+        d.attrs["Type"] = np.bytes_("cartesian")
+    with pytest.raises(ValueError, match="unsupported SourcePosition type"):
+        load_sofa(path3, config)
+
+
+def test_sofa_onset_delay_silent_ir_is_zero():
+    """A silent IR pair has no onset: _onset_delay reports 0, not argmax
+    noise (the delay-aligned interp3 path must not shift silence)."""
+    from jefferson_tpu.hrtf.sofa import _onset_delay
+
+    assert _onset_delay(np.zeros((2, 64))) == 0
+    ir = np.zeros((2, 64))
+    ir[1, 10] = 1.0
+    assert _onset_delay(ir) == 10

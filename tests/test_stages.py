@@ -165,3 +165,19 @@ def test_plan_layer_validation_and_edges():
 
     with pytest.raises(ValueError, match="mono"):
         fed_stream(np.zeros((64, 2), np.float32), 1, DEFAULT_CONFIG)
+
+
+def test_blend_channel_reference_shape_matches_einsum():
+    """The kept per-plane blend (ops/filters.blend_channel) equals the
+    einsum/gather forms it documents itself against."""
+    import jax.numpy as jnp
+
+    from jefferson_tpu.ops.filters import blend_channel
+
+    rng = np.random.default_rng(11)
+    table = rng.standard_normal((32, 17)).astype(np.float32)
+    idx = rng.integers(0, 32, size=(6, 4)).astype(np.int32)
+    w = rng.random((6, 4), dtype=np.float32)
+    got = np.asarray(blend_channel(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(w)))
+    want = np.einsum("bk,bkf->bf", w, table[idx])
+    np.testing.assert_allclose(got, want, atol=1e-6)
