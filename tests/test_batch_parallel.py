@@ -649,3 +649,73 @@ def test_sharded_wide_movers_gather_form(db, config, castanets):
     want = BatchRenderer(db, chunk_blocks=nb).render(signals, positions)
     rep = precision_check(got, want, eps=5e-7)
     assert rep.ok, str(rep)
+
+
+def test_ensure_virtual_devices_child_marker(monkeypatch):
+    """The re-exec'd child branch: with the marker set and the count already
+    satisfiable it forces the CPU platform in place; an unsatisfiable count
+    fails loudly instead of silently under-sharding."""
+    import os
+
+    import pytest
+
+    from jefferson_tpu.parallel import mesh as m
+
+    monkeypatch.setenv("XLA_FLAGS", os.environ.get("XLA_FLAGS", ""))
+    monkeypatch.setenv("JT_VIRTUAL_MESH", "1")
+    m.ensure_virtual_devices(8)  # conftest's backend already has 8 devices
+    assert (
+        "--xla_force_host_platform_device_count=8"
+        in os.environ["XLA_FLAGS"].split()
+    )
+    # the backend initialized with 8 devices, so a late 16 must raise
+    with pytest.raises(RuntimeError, match="initialized before"):
+        m.ensure_virtual_devices(16)
+
+
+def test_ensure_virtual_devices_reexec_command_and_env(monkeypatch):
+    """Too few devices, no marker: the helper re-execs sys.argv in a child
+    configured for the virtual mesh — count flag REPLACED, platform forced,
+    marker set, `python -m` package context preserved — and exits with the
+    child's return code."""
+    import sys
+    import types
+
+    import __main__
+    import pytest
+
+    from jefferson_tpu.parallel import mesh as m
+
+    calls = {}
+
+    def fake_call(cmd, env=None):
+        calls["cmd"], calls["env"] = list(cmd), dict(env)
+        return 7
+
+    monkeypatch.setattr(m.subprocess, "call", fake_call)
+    monkeypatch.delenv("JT_VIRTUAL_MESH", raising=False)
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_foo=1 --xla_force_host_platform_device_count=8"
+    )
+
+    monkeypatch.setattr(
+        __main__, "__spec__", types.SimpleNamespace(name="some.module"),
+        raising=False,
+    )
+    with pytest.raises(SystemExit) as ei:
+        m.ensure_virtual_devices(16)
+    assert ei.value.code == 7
+    assert calls["cmd"][:3] == [sys.executable, "-m", "some.module"]
+    env = calls["env"]
+    assert env["JT_VIRTUAL_MESH"] == "1"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    flags = env["XLA_FLAGS"].split()
+    assert "--xla_force_host_platform_device_count=16" in flags
+    assert "--xla_force_host_platform_device_count=8" not in flags
+    assert "--xla_foo=1" in flags  # unrelated flags survive
+
+    # plain-script invocation (no __spec__): re-exec sys.argv directly
+    monkeypatch.setattr(__main__, "__spec__", None, raising=False)
+    with pytest.raises(SystemExit):
+        m.ensure_virtual_devices(16)
+    assert calls["cmd"] == [sys.executable] + sys.argv

@@ -271,3 +271,48 @@ def test_tty_key_loop_stop_event():
     assert not t.is_alive() and not c.quit
     os.close(w)
     os.close(r)
+
+
+def test_keythread_pty_owns_terminal_state(monkeypatch):
+    """KeyThread over a real pty: cbreak is entered on construction, keys
+    flow through the live reader thread, and close() joins the thread and
+    restores the ORIGINAL terminal settings (the daemon-thread-finally
+    hazard its docstring documents)."""
+    import os
+    import pty
+    import sys
+    import termios
+    import threading
+    import time
+
+    from jefferson_tpu.rt.control import KeyThread, SourceControl
+
+    master, slave = pty.openpty()
+    try:
+        fake_stdin = os.fdopen(slave, "rb", buffering=0, closefd=False)
+        monkeypatch.setattr(sys, "stdin", fake_stdin)
+        before = termios.tcgetattr(slave)
+        assert before[3] & termios.ICANON  # sanity: starts canonical
+
+        c = SourceControl()
+        seen = []
+        got_key = threading.Event()
+
+        def on_key(key, xyz):
+            seen.append((key, xyz))
+            got_key.set()
+
+        with KeyThread(c, on_key=on_key) as kt:
+            during = termios.tcgetattr(slave)
+            assert not (during[3] & termios.ICANON)  # cbreak active
+            os.write(master, b"w")
+            assert got_key.wait(timeout=3.0), "key never reached the loop"
+        assert seen and seen[0][0] == "w"
+        assert not kt.thread.is_alive()
+        after = termios.tcgetattr(slave)
+        assert after[3] & termios.ICANON  # original settings back
+        # idempotent: a second close must not double-restore or hang
+        kt.close()
+    finally:
+        os.close(master)
+        os.close(slave)
