@@ -719,3 +719,26 @@ def test_ensure_virtual_devices_reexec_command_and_env(monkeypatch):
     with pytest.raises(SystemExit):
         m.ensure_virtual_devices(16)
     assert calls["cmd"] == [sys.executable] + sys.argv
+
+
+def test_batch_unaligned_geometry_vmap_fallback(castanets):
+    """history_len % fpb != 0: the batched chunk fn takes the vmapped
+    per-source fallback (no shared sliding DFT) and stays exact against the
+    single-source renderer on the same geometry."""
+    from jefferson_tpu import EngineConfig, synthetic_database
+
+    cfg = EngineConfig(frames_per_buffer=96, hrtf_len=256)  # hist 416 % 96 != 0
+    assert cfg.history_len % cfg.frames_per_buffer != 0
+    db96 = synthetic_database(cfg, n_taps=256, seed=9)
+    s, blocks = 2, 12
+    signals = np.stack([np.roll(castanets, 500 * i)[:4000] for i in range(s)])
+    positions = np.stack([
+        CircularOrbit(period_s=0.4 + 0.1 * i, ele=5, r=1.0).sample(blocks, cfg)
+        for i in range(s)
+    ])
+    got = BatchRenderer(db96, cfg, chunk_blocks=6).render(signals, positions)
+    single = Renderer(db96, cfg, chunk_blocks=6)
+    for i in range(s):
+        want = single.render(signals[i], positions[i])
+        rep = precision_check(got[i], want, eps=1e-7)
+        assert rep.ok, f"source {i}: {rep}"

@@ -383,3 +383,69 @@ def test_initial_old_parsing(tmp_path, wav_in):
                  "--initial-old", "30,-10", "--quiet"]) == 0
     with pytest.raises(SystemExit, match="initial-old"):
         _run(["-i", wav_in, "-o", out, "--blocks", "2", "--initial-old", "a,b"])
+
+
+def test_non_quiet_render_and_scene_summaries(tmp_path, wav_in, castanets, capsys):
+    """Without --quiet the CLI narrates its work: render summary, scene
+    source resample notice, scene summary, and the --duration block count."""
+    out = tmp_path / "out.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 6,
+               "--trajectory", "static:azi=10,ele=0,r=1", "--chunk-blocks", 6])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "x real time ->" in err and "TPU_FD_COMPLEX: 6 blocks" in err
+
+    # scene: one 22.05 kHz source (resample notice) + --duration sizing
+    foreign = tmp_path / "f22k.wav"
+    write_wav(foreign, castanets[:8000], 22050, bits=16)
+    scene = {"sources": [
+        {"input": str(foreign), "trajectory": "static:azi=0,ele=0,r=1"},
+    ]}
+    spath = tmp_path / "scene.json"
+    spath.write_text(json.dumps(scene))
+    sout = tmp_path / "scene_out.wav"
+    # 3.5 blocks' worth of seconds: ceil() must size the scene at 4 blocks
+    # (an exact 4-block duration would be at the mercy of float rounding)
+    duration = 3.5 * 128 / 44100.0
+    rc2 = _run(["--scene", spath, "-o", sout, "--duration", f"{duration:.8f}",
+                "--chunk-blocks", 4])
+    assert rc2 == 0
+    err2 = capsys.readouterr().err
+    assert "resampled" in err2 and "22050 -> 44100" in err2
+    assert "scene: 1 sources, 4 blocks" in err2
+    y, sr = read_wav(sout)
+    assert sr == 44100 and y.shape == (4 * 128, 2)
+
+
+def test_scene_mesh_shrink_warning(capsys):
+    """--devices that doesn't divide the source count shrinks to the largest
+    divisor, loudly when not quiet."""
+    from jefferson_tpu.cli.main import scene_mesh
+
+    m = scene_mesh(num_sources=6, devices=4, quiet=False)
+    assert m is not None and m.shape == {"src": 3}
+    assert "shrunk to 3" in capsys.readouterr().err
+    # quiet path stays silent; devices<=1 means no mesh at all
+    assert scene_mesh(6, 4, quiet=True).shape == {"src": 3}
+    assert capsys.readouterr().err == ""
+    assert scene_mesh(6, 1) is None
+    assert scene_mesh(5, 3, quiet=True) is None  # shrinks all the way to 1
+
+
+def test_reverb_reference_mode_and_ir_resample(tmp_path, wav_in, castanets, capsys):
+    """-r with --reverb-mode reference: a foreign-rate IR is resampled (with
+    a notice) and the reference-semantics convolution runs."""
+    ir = np.zeros(400, np.float32)
+    ir[0], ir[200] = 1.0, 0.5
+    ir_path = tmp_path / "ir22k.wav"
+    write_wav(ir_path, ir, 22050, bits=16)
+    out = tmp_path / "wet.wav"
+    rc = _run(["-i", wav_in, "-o", out, "--blocks", 6, "-r", ir_path,
+               "--reverb-mode", "reference",
+               "--trajectory", "static:azi=0,ele=0,r=1", "--chunk-blocks", 6])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "resampled reverb IR 22050 -> 44100" in err
+    assert "reverb (reference):" in err
+    y, _ = read_wav(out)
+    assert np.abs(y).max() > 1e-4

@@ -597,3 +597,43 @@ def test_live_viz_cli_main(daemon, db, config, castanets, tmp_path):
     rc = live_main(["--socket", str(sock), "-o", str(svg),
                     "--session", "no-such-session", "--interval", "0.01"])
     assert rc == 1
+
+
+def test_move_dispatch_isolates_handler_exceptions(db, config, monkeypatch):
+    """A crash inside the lock-free move/stream_status handlers comes back
+    as a typed error response, never a dropped connection."""
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+
+    def boom(req):
+        raise RuntimeError("handler blew up")
+
+    monkeypatch.setattr(service, "_move", boom)
+    resp = service.handle({"cmd": "move", "id": 9, "azi": 0, "ele": 0})
+    assert resp == {"id": 9, "ok": False, "error": "RuntimeError: handler blew up"}
+
+    monkeypatch.setattr(service, "_stream_start", boom)
+    resp2 = service.handle({"cmd": "stream_start"})
+    assert resp2["ok"] is False and "handler blew up" in resp2["error"]
+    assert service.stats["errors"] >= 1
+
+
+def test_serve_cli_request_mode(daemon):
+    """`jefferson-serve --request` is a one-shot client: prints the JSON
+    response and exits 0/1 on ok/error."""
+    import io
+    from contextlib import redirect_stdout
+
+    from jefferson_tpu.serve import main
+
+    sock, _service = daemon
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--socket", str(sock), "--request", '{"cmd": "ping"}'])
+    assert rc == 0
+    assert json.loads(buf.getvalue())["pong"]
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = main(["--socket", str(sock), "--request", '{"cmd": "definitely-not-a-cmd"}'])
+    assert rc2 == 1
+    assert "unknown cmd" in json.loads(buf2.getvalue())["error"]

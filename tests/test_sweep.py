@@ -128,3 +128,34 @@ def test_scene_gate_dispatch_pin_detects_wrong_path(db, config, castanets):
             castanets, db, config, scenario="hold", num_sources=8,
             num_blocks=128, chunk_blocks=64, fused=False, require_dispatch=True,
         )
+
+
+def test_sweep_cli_write_dir(db, config, castanets, tmp_path, capsys, monkeypatch):
+    """--write-dir emits the four scenario WAVs (the reference's
+    waveFileTesting, precision_test.cu:2203-2250) alongside the gate."""
+    import json
+
+    import jefferson_tpu.cli.main as cli_main
+    from jefferson_tpu.bench import sweep as sweep_mod
+    from jefferson_tpu.io.wavio import read_wav, write_wav
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:24000, None].repeat(2, 1), config.sample_rate)
+    monkeypatch.setattr(sweep_mod, "load_hrtf", lambda *a, **k: db, raising=False)
+    monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
+    outdir = tmp_path / "waves"
+    rc = sweep_mod.main(["-i", str(src), "--blocks", "6", "--steps", "2",
+                         "--no-mover", "--no-scene",
+                         "--write-dir", str(outdir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads([l for l in out.splitlines() if l.startswith("{")][-1])["ok"]
+    wavs = sorted(p.name for p in outdir.glob("*.wav"))
+    assert wavs == [
+        "sweep_azi0_ele0.wav", "sweep_azi0_ele5.wav",
+        "sweep_azi3_ele0.wav", "sweep_azi3_ele5.wav",
+    ]
+    y, sr = read_wav(outdir / "sweep_azi0_ele0.wav")
+    # blocks x (steps + 1): the start position plus one hold per step
+    # (reference precision_test.cu:2102-2124 runs 172 x 73)
+    assert sr == config.sample_rate and y.shape == (6 * 3 * 128, 2)
