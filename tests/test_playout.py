@@ -318,3 +318,69 @@ def test_rt_cli_input_validation(db, config, castanets, tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="unknown trajectory"):
         main(["-i", str(src), "-o", str(out), "--seconds", "0.2",
               "--trajectory", "spiral:x=1"])
+
+
+def test_rt_cli_keys_over_pty_drives_readout_and_quit(db, config, castanets,
+                                                      tmp_path, monkeypatch,
+                                                      capsys):
+    """--keys on a real pty: the key thread starts, a move key updates the
+    live position readout, and 'q' ends the session early; the terminal is
+    restored afterwards."""
+    import os
+    import pty
+    import sys
+    import termios
+    import threading
+
+    from jefferson_tpu.io.wavio import write_wav
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:24000], config.sample_rate)
+    out = tmp_path / "keys_pty.wav"
+    monkeypatch.setenv("JEFFERSON_HRTF_DIR", "")
+
+    master, slave = pty.openpty()
+    try:
+        fake_stdin = os.fdopen(slave, "rb", buffering=0, closefd=False)
+        monkeypatch.setattr(sys, "stdin", fake_stdin)
+        before = termios.tcgetattr(slave)
+
+        def feed():
+            # bytes written while the pty is still CANONICAL are held in the
+            # line buffer and never reach the raw queue — wait until
+            # KeyThread's setcbreak is visible before pressing keys
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if not (termios.tcgetattr(slave)[3] & termios.ICANON):
+                    break
+                time.sleep(0.05)
+            os.write(master, b"w")
+            # ... and let at least one block stream out before quitting (the
+            # first block sits behind the jit compile), so the partial
+            # render is non-empty
+            while time.time() < deadline:
+                if out.exists() and out.stat().st_size > 4096:
+                    break
+                time.sleep(0.05)
+            time.sleep(0.1)
+            os.write(master, b"q")
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        rc = main(["-i", str(src), "-o", str(out), "--seconds", "30", "--keys"])
+        t.join(timeout=5)
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "[    w]" in err and "azi" in err  # live readout printed
+        after = termios.tcgetattr(slave)
+        assert after[3] & termios.ICANON  # terminal restored on exit
+        y, sr = read_wav(out)
+        # 'q' ended a 30 s session early: a short, finite partial render
+        assert sr == config.sample_rate and np.isfinite(y).all()
+        assert 0 < y.shape[0] < 30 * config.sample_rate
+    finally:
+        os.close(master)
+        os.close(slave)
