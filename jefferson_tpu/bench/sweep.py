@@ -283,8 +283,14 @@ def main(argv=None) -> int:
 
     db = load_hrtf(args.hrtf_dir, config, quiet=False)
     t0 = time.time()
+    # ONE renderer across the sweep and mover gates (and --write-dir): its
+    # jit caches are per-instance, so a second instance re-pays identical
+    # chunk-program compiles — 20 s-5 min each through the remote service
+    # (cli --selftest-full threads a shared renderer for the same reason)
+    renderer = Renderer(db, config)
     reports = run_benchmark_sweep(
-        signal, db, config, blocks_per_step=args.blocks, num_steps=args.steps, eps=args.eps
+        signal, db, config, blocks_per_step=args.blocks, num_steps=args.steps,
+        eps=args.eps, renderer=renderer,
     )
     names = [f"azi{int(a)}_ele{int(e)}" for a, e in SCENARIOS]
     if not args.no_mover:
@@ -292,6 +298,7 @@ def main(argv=None) -> int:
             run_mover_gate(
                 signal, db, config,
                 num_blocks=args.blocks * (args.steps + 1), eps=args.eps,
+                renderer=renderer,
             )
         )
         names.append("mover")
@@ -338,7 +345,6 @@ def main(argv=None) -> int:
 
         outdir = pathlib.Path(args.write_dir)
         outdir.mkdir(parents=True, exist_ok=True)
-        renderer = Renderer(db, config)
         for azi, ele in SCENARIOS:
             traj = AzimuthSweep(
                 start_azi=azi, ele=ele, r=0.5, step_deg=5.0,

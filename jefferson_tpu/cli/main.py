@@ -310,7 +310,15 @@ def render_scene_spec(
     num_blocks = int(num_blocks)
     feds = np.stack([fed_stream(s, num_blocks, config) for s in signals])
     positions = np.stack([t.sample(num_blocks, config) for t in trajs])
-    cb = None if chunk_blocks is None else min(chunk_blocks, num_blocks)
+    # quantize the effective chunk to the next power of two >= num_blocks
+    # (capped at the request): a bare min(chunk_blocks, num_blocks) minted
+    # one cache key — one persistent BatchRenderer + compiled program set —
+    # per NOVEL short duration, churning the daemon's 8-entry LRU out of
+    # warm entries (round-5 review).  The renderer pads the final chunk,
+    # so any cb >= num_blocks is one padded chunk; pow2 quantization
+    # bounds both the padding (< 2x) and the key space (log2(chunk)).
+    cb = (None if chunk_blocks is None
+          else min(chunk_blocks, 1 << max(0, int(np.ceil(np.log2(num_blocks))))))
     mesh = scene_mesh(len(sources), devices, quiet=quiet)
     key = (cb, None if mesh is None else mesh.size)
     if renderer_cache is not None and key in renderer_cache:

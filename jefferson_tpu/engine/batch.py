@@ -689,6 +689,12 @@ class BatchRenderer(_StrikeMixin):
     def _shard(self, x: np.ndarray) -> jax.Array:
         if self.mesh is None:
             return jnp.asarray(x)
+        if np.shape(x)[0] % self.mesh.size:
+            # a mesh that does not divide the leading axis cannot shard it
+            # evenly (jax rejects the uneven device_put) — replicate, which
+            # is the XLA-fallback degradation render() already plans for
+            # when mesh_divides is False
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
         axis = self.mesh.axis_names[0]
         spec = P(axis, *([None] * (np.ndim(x) - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))

@@ -1120,6 +1120,14 @@ class Renderer(_StrikeMixin):
         fpb = cfg.frames_per_buffer
         b_total = plan.num_blocks
         cb = min(self.chunk_blocks, b_total) if b_total else self.chunk_blocks
+        if self.mesh is not None and cb % self.mesh.size:
+            # short renders (b_total < chunk_blocks) must keep the chunk a
+            # mesh multiple, or dev()'s divisibility guard silently drops
+            # every per-block operand to P() replication and the N-chip
+            # sharding is lost; pad up — the constructor guarantees
+            # chunk_blocks itself is a mesh multiple, so this never exceeds
+            # it, and the padded tail is trimmed like any partial chunk
+            cb += self.mesh.size - cb % self.mesh.size
         fed_all = fed_stream(signal, b_total, cfg)
         # block-axis mesh: shard every per-block (and per-sample) chunk
         # argument over the mesh; replicate the small broadcast arrays.

@@ -105,6 +105,12 @@ class RenderService:
         self._streams: dict[str, dict] = {}  # active live stream sessions
         self._stream_seq = 0
         self.max_streams = 8
+        # ended-but-unstopped sessions stay in _streams so a later
+        # stream_stop can still collect their deadline stats (an unrelated
+        # client's stream_start must NOT evict them — round-5 review: that
+        # made the stats API load-dependent).  They hold the playback
+        # buffer alive, so retention is bounded: oldest ended pruned first.
+        self.max_ended_retained = 8
         # set under _slock by shutdown; _stream_start's registration (also
         # under _slock) rejects once it is up, so no session can slip in
         # between shutdown's snapshot and the join pass (round-4 advisor)
@@ -197,16 +203,15 @@ class RenderService:
 
         from .cli.main import parse_trajectory
         from .config import ProcessType
-        from .io.wavio import read_wav_mono, write_wav
+        from .io.resample import read_wav_mono_at
+        from .io.wavio import write_wav
 
         cfg = self.config
-        signal, sr = read_wav_mono(req["input"])
+        # the shared load policy (downmix + resample) of the rt loop and
+        # stream_start — one helper, not a re-implementation (round-5 review)
+        signal = read_wav_mono_at(req["input"], cfg.sample_rate)
         if len(signal) == 0:
             raise ValueError(f"input WAV {req['input']!r} is empty")
-        if sr != cfg.sample_rate:
-            from .io.resample import resample
-
-            signal = resample(signal, sr, cfg.sample_rate)
         traj = parse_trajectory(req.get("trajectory", "static:azi=0,ele=0,r=0.5"))
         # explicit-but-invalid fields must error, not be reinterpreted as
         # absent (a falsy `blocks: 0` used to silently render one full pass
@@ -268,15 +273,14 @@ class RenderService:
 
         # cheap pre-check (authoritative capacity check happens under _slock
         # at registration); the heavy prep below runs UNLOCKED so a large
-        # WAV read never stalls renders or other stream commands
-        if len(self._streams) >= self.max_streams:
-            with self._slock:
-                self._streams = {
-                    k: v for k, v in self._streams.items() if v["thread"].is_alive()
-                }
-            if len(self._streams) >= self.max_streams:
-                return {"ok": False,
-                        "error": f"too many active stream sessions ({self.max_streams})"}
+        # WAV read never stalls renders or other stream commands.  Capacity
+        # counts LIVE sessions only — ended-but-unstopped sessions are
+        # retained for their stats and never block a start.
+        streams_snap = self._streams  # copy-on-write snapshot
+        if sum(1 for v in streams_snap.values()
+               if v["thread"].is_alive()) >= self.max_streams:
+            return {"ok": False,
+                    "error": f"too many active stream sessions ({self.max_streams})"}
         cfg = self.config
         # pure request-field validation BEFORE the WAV read: a malformed
         # request must not pay a multi-minute read + resample to be rejected
@@ -321,18 +325,26 @@ class RenderService:
             if self._shutting_down:
                 writer.close()
                 return {"ok": False, "error": "daemon is shutting down"}
-            live = {k: v for k, v in self._streams.items() if v["thread"].is_alive()}
-            if len(live) >= self.max_streams:
+            streams = dict(self._streams)
+            if sum(1 for v in streams.values()
+                   if v["thread"].is_alive()) >= self.max_streams:
                 writer.close()
-                self._streams = live
                 return {"ok": False,
                         "error": f"too many active stream sessions ({self.max_streams})"}
+            # keep ended sessions queryable (their stream_stop stats), but
+            # bound the retention: prune the OLDEST ended beyond the cap
+            # (dict insertion order == session start order)
+            ended = [k for k, v in streams.items()
+                     if not v["thread"].is_alive()]
+            for k in ended[: max(0, len(ended) - self.max_ended_retained)]:
+                del streams[k]
             sid = f"s{self._stream_seq}"
             self._stream_seq += 1
-            self._streams = {**live, sid: {
+            streams[sid] = {
                 "thread": t, "control": control, "play": play, "spat": spat,
                 "output": req["output"], "blocks": num_blocks,
-            }}
+            }
+            self._streams = streams
             # start INSIDE the registration lock: every thread visible in
             # _streams has started, so shutdown's join can never hit an
             # unstarted thread (join-before-start raises RuntimeError and

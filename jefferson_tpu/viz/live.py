@@ -159,7 +159,16 @@ def watch(
         req = {"cmd": "stream_status"}
         if session is not None:
             req["session"] = session
-        status = request(socket_path, req)
+        try:
+            status = request(socket_path, req)
+        except OSError as e:
+            # a daemon shutting down mid-watch unlinks its socket; the next
+            # poll's connect then raises (ConnectionRefusedError /
+            # FileNotFoundError) — end the watch like any other stream end
+            # instead of crashing the CLI with a raw traceback
+            status = {"ok": False,
+                      "error": f"daemon unreachable: {type(e).__name__}: {e}"}
+            break
         polls += 1
         if not status.get("ok"):
             break

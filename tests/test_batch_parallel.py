@@ -742,3 +742,35 @@ def test_batch_unaligned_geometry_vmap_fallback(castanets):
         want = single.render(signals[i], positions[i])
         rep = precision_check(got[i], want, eps=1e-7)
         assert rep.ok, f"source {i}: {rep}"
+
+
+def test_batch_render_mesh_not_dividing_sources(db, config, castanets):
+    """A 1-D source mesh that does NOT divide the source count degrades to
+    the planned XLA path with replicated operands instead of crashing in
+    device_put (round-5 review: the uneven shard was a ValueError)."""
+    s, blocks = 6, 8
+    signals = np.stack([np.roll(castanets, 900 * i)[:4000] for i in range(s)])
+    positions = np.stack([
+        StaticPosition(azi=15 * i, ele=0, r=1.0).sample(blocks, config)
+        for i in range(s)
+    ])
+    br = BatchRenderer(db, config, chunk_blocks=8, mesh=make_mesh(4, ("src",)))
+    got = br.render(signals, positions)
+    single = Renderer(db, config, chunk_blocks=8)
+    for i in range(s):
+        rep = precision_check(got[i], single.render(signals[i], positions[i]),
+                              eps=1e-6)
+        assert rep.ok, f"source {i}: {rep}"
+
+
+def test_renderer_short_render_keeps_block_mesh_chunk_even(db, config, castanets):
+    """A render shorter than chunk_blocks on a block mesh pads the chunk up
+    to a mesh multiple (round-5 review: cb=min(chunk, b_total) silently
+    replicated every per-block operand when b_total % mesh != 0) and stays
+    within the parity gates."""
+    mesh = make_mesh(4, ("blk",))
+    pos = CircularOrbit(period_s=0.5, ele=5, r=1.0).sample(13, config)  # 13 % 4 != 0
+    got = Renderer(db, config, chunk_blocks=16, mesh=mesh).render(castanets, pos)
+    want = Renderer(db, config, chunk_blocks=16).render(castanets, pos)
+    rep = precision_check(got, want, eps=1e-7)
+    assert rep.ok, str(rep)

@@ -449,3 +449,28 @@ def test_reverb_reference_mode_and_ir_resample(tmp_path, wav_in, castanets, caps
     assert "reverb (reference):" in err
     y, _ = read_wav(out)
     assert np.abs(y).max() > 1e-4
+
+
+def test_scene_renderer_cache_quantizes_short_durations(tmp_path, db, config, castanets):
+    """Daemon-style scene requests with varying SHORT durations share one
+    pow2-quantized cache key instead of minting a BatchRenderer (and a
+    compiled-program set) per novel duration (round-5 review)."""
+    from jefferson_tpu.cli.main import render_scene_spec
+
+    src = tmp_path / "s.wav"
+    write_wav(src, castanets[:8000], config.sample_rate)
+    scene = {"sources": [
+        {"input": str(src), "trajectory": "static:azi=20,ele=0,r=1"},
+    ]}
+    cache = {}
+    for nb in (5, 7, 8):  # all quantize to the cb=8 bucket
+        out, got_nb = render_scene_spec(
+            scene, db, config, num_blocks=nb, chunk_blocks=64,
+            renderer_cache=cache,
+        )
+        assert got_nb == nb and out.shape == (nb * config.frames_per_buffer, 2)
+    assert list(cache) == [(8, None)]
+    # a longer request lands in its own bucket, capped at the request size
+    render_scene_spec(scene, db, config, num_blocks=48, chunk_blocks=64,
+                      renderer_cache=cache)
+    assert set(cache) == {(8, None), (64, None)}

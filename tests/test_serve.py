@@ -637,3 +637,65 @@ def test_serve_cli_request_mode(daemon):
         rc2 = main(["--socket", str(sock), "--request", '{"cmd": "definitely-not-a-cmd"}'])
     assert rc2 == 1
     assert "unknown cmd" in json.loads(buf2.getvalue())["error"]
+
+
+def test_ended_session_stats_survive_unrelated_start(db, config, castanets, tmp_path):
+    """A naturally-ended session's stream_stop stats must not depend on
+    whether another client started a stream in between (round-5 review:
+    stream_start used to evict every ended session), and ended-session
+    retention is bounded by max_ended_retained, oldest first."""
+    import time
+
+    from jefferson_tpu.io.wavio import write_wav
+
+    service = RenderService(hrtf_dir=None, chunk_blocks=64)
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:6000], config.sample_rate)
+
+    def start(name):
+        resp = service.handle({
+            "cmd": "stream_start", "input": str(src),
+            "output": str(tmp_path / name), "seconds": 0.05, "paced": False,
+        })
+        assert resp["ok"], resp
+        return resp["session"]
+
+    def wait_ended(sid):
+        for _ in range(400):
+            if not service._streams[sid]["thread"].is_alive():
+                return
+            time.sleep(0.05)
+        raise AssertionError(f"{sid} never ended")
+
+    a = start("a.wav")
+    wait_ended(a)
+    b = start("b.wav")  # must NOT evict a's ended session
+    stop_a = service.handle({"cmd": "stream_stop", "session": a})
+    assert stop_a["ok"], stop_a
+    assert stop_a["blocks"] > 0 and "avg_ms" in stop_a
+    stop_b = service.handle({"cmd": "stream_stop", "session": b})
+    assert stop_b["ok"], stop_b
+
+    # retention bound: ended sessions beyond the cap are pruned oldest-first
+    service.max_ended_retained = 2
+    sids = [start(f"r{i}.wav") for i in range(4)]
+    for sid in sids:
+        wait_ended(sid)
+    trigger = start("trigger.wav")
+    retained = set(service._streams) - {trigger}
+    assert retained == set(sids[-2:]), retained  # the 2 newest ended stay
+    service.handle({"cmd": "stream_stop", "session": trigger})
+
+
+def test_live_viz_survives_unreachable_daemon(tmp_path, capsys):
+    """A daemon shutting down mid-watch (socket unlinked/refused) ends the
+    watch with a clean error exit, not a raw traceback (round-5 review)."""
+    from jefferson_tpu.viz.live import main as viz_main, watch
+
+    gone = tmp_path / "never-bound.sock"
+    status = watch(gone, tmp_path / "live.svg", interval_s=0.01, max_polls=3)
+    assert status["ok"] is False and "daemon unreachable" in status["error"]
+
+    rc = viz_main(["--socket", str(gone), "-o", str(tmp_path / "l2.svg")])
+    assert rc == 1
+    assert "daemon unreachable" in capsys.readouterr().out
