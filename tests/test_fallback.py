@@ -246,3 +246,17 @@ def test_grouped_onehot_genuine_bug_propagates(db, config, castanets):
     r._mk_fd_onehot_grp = _raising(ValueError("genuine shape bug in the grouped wrapper"))
     with pytest.raises(ValueError, match="genuine shape bug"):
         r.render(castanets[:40000], mover_positions(1024))
+
+
+def test_fused_supported_survives_backend_probe_failure(monkeypatch):
+    """A dead/unreachable backend (jax.devices raising) means 'no fused
+    kernels', never a crash at dispatch-planning time."""
+    import jax
+
+    from jefferson_tpu.engine import renderer as r
+
+    def boom():
+        raise RuntimeError("backend unavailable")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    assert r.fused_supported() is False

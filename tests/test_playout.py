@@ -384,3 +384,27 @@ def test_rt_cli_keys_over_pty_drives_readout_and_quit(db, config, castanets,
     finally:
         os.close(master)
         os.close(slave)
+
+
+def test_have_output_device_probe_arms(monkeypatch):
+    """The --device auto policy's probe: default-output capability decides
+    live playout, and a missing/broken sounddevice backend reads as 'no'."""
+    from jefferson_tpu.rt import playout as po
+
+    class SD:
+        def __init__(self, chans=2, err=None):
+            self.chans, self.err = chans, err
+
+        def query_devices(self, kind=None):
+            if self.err:
+                raise self.err
+            return {"max_output_channels": self.chans}
+
+    monkeypatch.setattr(po, "_sounddevice", lambda: SD(2))
+    assert po.have_output_device()
+    monkeypatch.setattr(po, "_sounddevice", lambda: SD(0))
+    assert not po.have_output_device()
+    monkeypatch.setattr(po, "_sounddevice", lambda: SD(err=RuntimeError("no PA backend")))
+    assert not po.have_output_device()
+    monkeypatch.setattr(po, "_sounddevice", lambda: None)
+    assert not po.have_output_device()
