@@ -111,6 +111,9 @@ class RenderService:
         # made the stats API load-dependent).  They hold the playback
         # buffer alive, so retention is bounded: oldest ended pruned first.
         self.max_ended_retained = 8
+        # per-session join window at shutdown (tests shorten it; a session
+        # still alive past it is reported as pending, never claimed stopped)
+        self.shutdown_join_s = 10.0
         # set under _slock by shutdown; _stream_start's registration (also
         # under _slock) rejects once it is up, so no session can slip in
         # between shutdown's snapshot and the join pass (round-4 advisor)
@@ -144,7 +147,7 @@ class RenderService:
             for sid, s in snapshot.items():
                 s["control"].quit = True
             for sid, s in snapshot.items():
-                s["thread"].join(timeout=10.0)
+                s["thread"].join(timeout=self.shutdown_join_s)
                 # honest reporting: a join that timed out (e.g. a first
                 # block stuck in a 20 s - 5 min remote compile) must not be
                 # claimed as stopped — its writer has not flushed and the
@@ -160,7 +163,8 @@ class RenderService:
             if pending:
                 resp["pending_sessions"] = pending
                 resp["warning"] = (
-                    "sessions did not stop within 10 s; their output WAVs "
+                    f"sessions did not stop within {self.shutdown_join_s:g} s; "
+                    f"their output WAVs "
                     "may be unflushed if the process exits before they do"
                 )
             return resp

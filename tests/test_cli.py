@@ -370,7 +370,9 @@ def test_viz_flag_writes_all_artifacts(tmp_path, wav_in):
         p = tmp_path / f"v.wav{suffix}"
         assert p.exists() and p.stat().st_size > 200, suffix
     html = (tmp_path / "v.wav.html").read_text()
-    assert "<audio" in html or "AudioContext" in html or "<svg" in html
+    # the SYNCED PLAYER must embed real audio — the scene <svg> alone is in
+    # every artifact, so an OR with it could never fail (round-5 test review)
+    assert "<audio" in html and "<svg" in html
 
 
 def test_initial_old_parsing(tmp_path, wav_in):

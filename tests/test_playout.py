@@ -225,13 +225,18 @@ class _FakeSD:
 
         class _Stream:
             def __enter__(self):
-                while True:
+                # bounded: a regression that never raises CallbackStop must
+                # FAIL the test, not hang the suite (round-5 test review)
+                for _ in range(100_000):
                     out = np.full((blocksize, channels), np.nan, np.float32)
                     try:
                         callback(out, fake._frames or blocksize, None, None)
                     except (fake.CallbackStop, fake.CallbackAbort):
                         fake.last_outdata = out
                         break
+                else:
+                    raise AssertionError(
+                        "fake device callback never raised CallbackStop")
                 finished_callback()
                 return self
 

@@ -551,12 +551,16 @@ def test_shutdown_stops_live_sessions_and_reports_pending(db, config, castanets,
             break
         time.sleep(0.025)
     assert st["blocks"] >= 1, st
-    # a stuck session: ignores quit, stays alive through the (shortened)
-    # join window — monkey the session thread's join to time out instantly
+    # a stuck session: ignores quit, stays alive through the join window —
+    # SHORTENED via the service knob so the suite doesn't block the real
+    # 10 s (round-5 test review: the old comment claimed this but nothing
+    # was patched)
+    service.shutdown_join_s = 0.5
+
     class _Stuck:
         def __init__(self):
             self.quit = False
-    stuck_thread = threading.Thread(target=time.sleep, args=(15.0,), daemon=True)
+    stuck_thread = threading.Thread(target=time.sleep, args=(5.0,), daemon=True)
     stuck_thread.start()
     with service._slock:
         streams = dict(service._streams)

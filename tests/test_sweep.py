@@ -77,7 +77,6 @@ def test_sweep_cli_emits_margin_json(db, config, castanets, tmp_path, capsys, mo
 
     src = tmp_path / "in.wav"
     write_wav(src, castanets[:24000, None].repeat(2, 1), config.sample_rate)
-    monkeypatch.setattr(sweep_mod, "load_hrtf", lambda *a, **k: db, raising=False)
     # tiny workload: 8 blocks/step x 3 steps, mover = 32 blocks
     import jefferson_tpu.cli.main as cli_main
 
@@ -141,7 +140,6 @@ def test_sweep_cli_write_dir(db, config, castanets, tmp_path, capsys, monkeypatc
 
     src = tmp_path / "in.wav"
     write_wav(src, castanets[:24000, None].repeat(2, 1), config.sample_rate)
-    monkeypatch.setattr(sweep_mod, "load_hrtf", lambda *a, **k: db, raising=False)
     monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
     outdir = tmp_path / "waves"
     rc = sweep_mod.main(["-i", str(src), "--blocks", "6", "--steps", "2",

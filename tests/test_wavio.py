@@ -277,10 +277,26 @@ def test_float64_format_roundtrip(tmp_path, stereo_signal):
     assert info.float_format and info.bits == 64
 
 
-def test_wave_format_extensible_decodes(tmp_path):
+def _both_decode_arms(read, p, monkeypatch):
+    """Yield (label, result) for the pure-Python decoder (wavio._nat forced
+    off) and — when the extension is built — the native float32 decoder.
+    A bare dtype loop only exercised the native arm when the .so happened
+    to be importable (round-5 test review)."""
+    from jefferson_tpu.io import wavio
+
+    with monkeypatch.context() as m:
+        m.setattr(wavio, "_nat", None)
+        yield "pure-f32", read(p, dtype=np.float32)
+        yield "pure-f64", read(p, dtype=np.float64)
+    if wavio._nat is not None:
+        yield "native-f32", read(p, dtype=np.float32)
+
+
+def test_wave_format_extensible_decodes(tmp_path, monkeypatch):
     """WAVE_FORMAT_EXTENSIBLE resolves the true tag from the SubFormat GUID
-    (PCM here) on BOTH decode paths (float32 -> native when built, float64 ->
-    pure Python), and a truncated extensible fmt chunk raises cleanly."""
+    (PCM here) on BOTH decode paths (pure Python forced, plus the native
+    decoder when built), and a truncated extensible fmt chunk raises
+    cleanly."""
     import struct
 
     from jefferson_tpu.io.wavio import read_wav
@@ -297,10 +313,11 @@ def test_wave_format_extensible_decodes(tmp_path):
     p = tmp_path / "ext.wav"
     p.write_bytes(_wav_bytes(fmt_body, samples.tobytes()))
     want = samples.astype(np.float64) / 32768.0
-    for dtype in (np.float32, np.float64):  # native arm + pure-Python arm
-        got, sr = read_wav(p, dtype=dtype)
-        assert sr == 44100
-        np.testing.assert_allclose(got[:, 0], want.astype(dtype), atol=0, rtol=0)
+    for label, (got, sr) in _both_decode_arms(read_wav, p, monkeypatch):
+        assert sr == 44100, label
+        np.testing.assert_allclose(
+            got[:, 0], want.astype(got.dtype), atol=0, rtol=0, err_msg=label
+        )
 
     short = fmt_body[:24]  # extensible tag but no SubFormat to read
     p2 = tmp_path / "ext_trunc.wav"
@@ -309,7 +326,7 @@ def test_wave_format_extensible_decodes(tmp_path):
         read_wav(p2, dtype=np.float64)
 
 
-def test_u8_pcm_decodes_and_unsupported_tags_raise(tmp_path):
+def test_u8_pcm_decodes_and_unsupported_tags_raise(tmp_path, monkeypatch):
     """8-bit PCM is unsigned-midpoint normalized identically on both decode
     paths; unknown format tags and oddball PCM depths raise."""
     import struct
@@ -321,10 +338,11 @@ def test_u8_pcm_decodes_and_unsupported_tags_raise(tmp_path):
     p = tmp_path / "u8.wav"
     p.write_bytes(_wav_bytes(fmt8, raw))
     want = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
-    for dtype in (np.float32, np.float64):
-        got, sr = read_wav(p, dtype=dtype)
-        assert sr == 22050
-        np.testing.assert_allclose(got[:, 0], want.astype(dtype), atol=0, rtol=0)
+    for label, (got, sr) in _both_decode_arms(read_wav, p, monkeypatch):
+        assert sr == 22050, label
+        np.testing.assert_allclose(
+            got[:, 0], want.astype(got.dtype), atol=0, rtol=0, err_msg=label
+        )
 
     # A-law (tag 6) is not supported — clean ValueError, not garbage audio
     fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
