@@ -34,6 +34,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# arm order for the three A/B loops; main()'s --reverse flips it so two runs
+# bracket session drift (round-5 script review: fixed off-then-on ordering
+# confounds the reported speedups with the relay's 0.6x-1.2x drift swings —
+# same rationale as bench_tail_tree's --reverse)
+ARM_ORDER = (False, True)
+
+
 def slope(run, k_short=4, k_long=24):
     run(3)  # warm
     t_s, t_l = run(k_short), run(k_long)
@@ -94,7 +101,7 @@ def bench_onehot():
 
     results = {}
     outs = {}
-    for lane512 in (False, True):
+    for lane512 in ARM_ORDER:
         step = jax.jit(batched_chunk_fn_fused(
             cfg, num_blocks=nb, tb=tb_f, onehot=True, n_dist=nd,
             lane512=lane512,
@@ -145,7 +152,7 @@ def bench_grouped():
     sig = (rng.standard_normal(b * cfg.frames_per_buffer) * 0.2).astype(np.float32)
 
     results, outs = {}, {}
-    for lane512 in (False, True):
+    for lane512 in ARM_ORDER:
         r = Renderer(db, cfg, chunk_blocks=b, dedup=False, fused=True,
                      lane512=lane512)
         t0 = time.time()
@@ -191,7 +198,7 @@ def bench_gather():
     ])
 
     results, outs = {}, {}
-    for lane512 in (False, True):
+    for lane512 in ARM_ORDER:
         br = BatchRenderer(db, chunk_blocks=nb, dedup=True, fused=True,
                            lane512=lane512)
         t0 = time.time()
@@ -380,7 +387,13 @@ def bench_fwd512_prod():
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="onehot,grouped,gather")
+    ap.add_argument("--reverse", action="store_true",
+                    help="run the lane512=True arm FIRST (pair with a "
+                         "normal-order run to bracket session drift)")
     args = ap.parse_args()
+    if args.reverse:
+        global ARM_ORDER
+        ARM_ORDER = (True, False)
     import jax
 
     log("devices:", jax.devices())

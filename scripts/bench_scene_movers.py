@@ -93,7 +93,12 @@ def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
     w_last = jnp.asarray(np.stack([p.w_new[-1] for p in plans]))
     probe = jax.jit(lambda o, h: jnp.sum(o) + jnp.sum(h))
 
-    def bench(fn, head, last, label):
+    def prep(fn, head, last, label):
+        """Compile + warm one arm; return a slope-timing closure so the two
+        arms can be timed INTERLEAVED (ABBA) — the verdict below is
+        machine-checked, and a fixed compile-then-time-each-arm order lets
+        relay-session drift (observed 0.6x-1.2x swings, PERF.md tail_tree
+        section) decide it (round-5 script review)."""
         t0 = time.time()
         out, h = fn(spectra, hists, feds, *head, w_old, last, w_last, *tail)
         float(probe(out, h))
@@ -109,17 +114,18 @@ def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
             return time.time() - t0
 
         run(3)
-        t_s, t_l = run(3), run(33)
-        per = (t_l - t_s) / 30
-        print(f"[{s}x{nb}] {label}: {per*1e3:.2f} ms / step "
-              f"({s*nb/per:,.0f} blocks/s)", file=sys.stderr)
-        return per, np.asarray(out)
+
+        def slope():
+            t_s, t_l = run(3), run(33)
+            return (t_l - t_s) / 30
+
+        return slope, np.asarray(out), label
 
     tb = pick_fused_tile(s * nb, nb)
-    t_g = out_g = None
+    arm_g = None
     try:
         gather = jax.jit(batched_chunk_fn_fused(cfg, nb, tb=tb, onehot=False))
-        t_g, out_g = bench(
+        arm_g = prep(
             gather, (jnp.asarray(idx_old),), jnp.asarray(idx_last), f"gather tb={tb}"
         )
     except Exception as e:
@@ -132,12 +138,12 @@ def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
     uniq_ids, ridx, rlast = compact_filter_ids_grouped_sources(
         idx_old, idx_last, g_srcs, g_upad
     )
-    t_o = out_o = None
+    arm_o = None
     try:
         grouped = jax.jit(
             batched_chunk_fn_fused(cfg, nb, tb=tb_g, onehot=True, group_tiles=gt)
         )
-        t_o, out_o = bench(
+        arm_o = prep(
             grouped,
             (jnp.asarray(uniq_ids), jnp.asarray(ridx)),
             jnp.asarray(rlast),
@@ -146,6 +152,25 @@ def measure_geometry(s: int, nb: int, cfg, db, seed: int = 1):
     except Exception as e:
         print(f"[{s}x{nb}] grouped tb={tb_g} failed to compile: "
               f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+
+    # timing: ABBA when both arms compiled (g, o, o, g — pooled means cancel
+    # linear session drift); single slope otherwise
+    t_g = t_o = out_g = out_o = None
+    if arm_g is not None and arm_o is not None:
+        g1 = arm_g[0](); o1 = arm_o[0](); o2 = arm_o[0](); g2 = arm_g[0]()
+        t_g, t_o = (g1 + g2) / 2, (o1 + o2) / 2
+        out_g, out_o = arm_g[1], arm_o[1]
+        for label, per, pair in ((arm_g[2], t_g, (g1, g2)),
+                                 (arm_o[2], t_o, (o1, o2))):
+            print(f"[{s}x{nb}] {label}: {per*1e3:.2f} ms / step "
+                  f"({s*nb/per:,.0f} blocks/s; ABBA pair "
+                  f"{pair[0]*1e3:.2f}/{pair[1]*1e3:.2f} ms)", file=sys.stderr)
+    elif arm_g is not None:
+        t_g, out_g = arm_g[0](), arm_g[1]
+        print(f"[{s}x{nb}] {arm_g[2]}: {t_g*1e3:.2f} ms / step", file=sys.stderr)
+    elif arm_o is not None:
+        t_o, out_o = arm_o[0](), arm_o[1]
+        print(f"[{s}x{nb}] {arm_o[2]}: {t_o*1e3:.2f} ms / step", file=sys.stderr)
 
     policy_pick = "grouped" if tb_g >= GROUPED_MIN_TB else "gather"
     picked_ms = t_o if policy_pick == "grouped" else t_g

@@ -67,13 +67,23 @@ def main() -> int:
     service = RenderService(hrtf_dir=None, chunk_blocks=256)
     t = threading.Thread(target=serve, args=(sock, service), daemon=True)
     t.start()
-    deadline = time.time() + args.minutes * 60
-    while time.time() < deadline:
+    # startup wait bounded on its OWN budget, not the soak's: a server that
+    # never comes up (dead thread, sun_path overflow) must fail in seconds
+    # with the JSON line every other exit path emits, not spin silently for
+    # the whole soak window (round-5 script review)
+    up_deadline = time.time() + 120.0
+    up = False
+    while time.time() < up_deadline:
         try:
             if request(sock, {"cmd": "ping"}).get("pong"):
+                up = True
                 break
         except OSError:
             time.sleep(0.1)
+    if not up:
+        print(json.dumps({"soak": "daemon", "ok": False,
+                          "error": "daemon did not come up within 120 s"}))
+        return 1
 
     counts = {"render": 0, "scene": 0, "stream": 0, "move": 0, "status": 0,
               "expected_errors": 0}
