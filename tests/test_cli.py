@@ -476,3 +476,42 @@ def test_scene_renderer_cache_quantizes_short_durations(tmp_path, db, config, ca
     render_scene_spec(scene, db, config, num_blocks=48, chunk_blocks=64,
                       renderer_cache=cache)
     assert set(cache) == {(8, None), (64, None)}
+
+
+def test_no_resample_warning_and_selftest_messages(tmp_path, castanets, db,
+                                                   monkeypatch, capsys):
+    """--no-resample renders a foreign-rate input raw with the pitch-shift
+    warning; --selftest narrates its pass when not quiet, exits with the
+    scenario name when the gate fails, and --viz narrates its artifacts."""
+    import jefferson_tpu.bench.sweep as sweep_mod
+    import jefferson_tpu.cli.main as cli_main
+
+    monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
+    p22 = tmp_path / "in22.wav"
+    write_wav(p22, castanets[:8000], 22050, bits=16)
+    out = tmp_path / "raw.wav"
+    rc = _run(["-i", p22, "-o", out, "--blocks", 6, "--chunk-blocks", 6,
+               "--no-resample"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "rendering raw (pitch-shifted" in err
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:16000], 44100, bits=16)
+    rc = _run(["-i", src, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
+               "--selftest", "--viz"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "selftest passed" in err and "scaled smoke" in err
+    assert "viz:" in err and ".3d.html" in err
+
+    # a failing gate exits naming the scenario, before any render happens
+    from jefferson_tpu.testing import PrecisionReport
+
+    bad = PrecisionReport(ok=False, max_abs_diff=1.0, max_index=0,
+                          first_bad_index=0, rms=1.0, eps=2e-7)
+    monkeypatch.setattr(sweep_mod, "run_benchmark_sweep",
+                        lambda *a, **k: [bad])
+    with pytest.raises(SystemExit, match="selftest FAILED at scenario"):
+        _run(["-i", src, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
+              "--selftest", "--quiet"])
