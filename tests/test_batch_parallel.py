@@ -774,3 +774,63 @@ def test_renderer_short_render_keeps_block_mesh_chunk_even(db, config, castanets
     want = Renderer(db, config, chunk_blocks=16).render(castanets, pos)
     rep = precision_check(got, want, eps=1e-7)
     assert rep.ok, str(rep)
+
+
+def test_batched_onehot_compact_distance_matches_xla(db, config):
+    """The bench.py headline composition at CI scale: the batched one-hot
+    fused form with the COMPACT distance operands ((8,)-triple arrays + a
+    per-block selector, n_dist) matches the XLA batch chain."""
+    import jax.numpy as jnp
+
+    from jefferson_tpu.engine.batch import batched_chunk_fn, batched_chunk_fn_fused
+    from jefferson_tpu.engine.plan import compact_filter_ids, make_plan
+    from jefferson_tpu.engine.renderer import dedup_distance, pick_fused_tile
+
+    s, nb = 4, 16
+    rng = np.random.default_rng(7)
+    plans = [
+        make_plan(CircularOrbit(period_s=0.4 + 0.01 * i, ele=5, r=1.0)
+                  .sample(nb, config), config)
+        for i in range(s)
+    ]
+    feds = jnp.asarray(
+        (rng.standard_normal((s, nb * config.frames_per_buffer)) * 0.2)
+        .astype(np.float32)
+    )
+    hists = jnp.zeros((s, config.history_len), jnp.float32)
+    spectra = (
+        jnp.asarray(np.real(db.spectra).astype(np.float32)),
+        jnp.asarray(np.imag(db.spectra).astype(np.float32)),
+    )
+    stack = lambda attr: jnp.asarray(np.stack([getattr(p, attr) for p in plans]))
+    idx_old = np.stack([p.idx_old for p in plans])
+    idx_last = np.stack([p.idx_new[-1] for p in plans])
+    uniq_ids, ridx, ridx_last, u_pad = compact_filter_ids(idx_old, idx_last)
+    dist = dedup_distance(
+        np.concatenate([p.u_hi for p in plans]),
+        np.concatenate([p.u_lo for p in plans]),
+        np.concatenate([p.inv_frac for p in plans]),
+    )
+    assert dist is not None, "constant-radius orbits must dedup to few triples"
+    nd = dist[4]
+    tb = pick_fused_tile(s * nb, nb)
+    fused = jax.jit(batched_chunk_fn_fused(
+        config, num_blocks=nb, tb=tb, onehot=True, n_dist=nd,
+    ))
+    got, h_f = fused(
+        spectra, hists, feds,
+        jnp.asarray(uniq_ids), jnp.asarray(ridx), stack("w_old"),
+        jnp.asarray(ridx_last), jnp.asarray(np.stack([p.w_new[-1] for p in plans])),
+        stack("xfade"),
+        jnp.asarray(dist[0]), jnp.asarray(dist[1]), jnp.asarray(dist[2]),
+        jnp.asarray(dist[3].reshape(s, nb)),
+    )
+    xla = jax.jit(batched_chunk_fn(config, num_blocks=nb, with_xfade=True))
+    want, h_x = xla(
+        spectra, hists, feds,
+        stack("idx_new"), stack("w_new"), stack("idx_old"), stack("w_old"),
+        stack("xfade"), stack("u_hi"), stack("u_lo"), stack("inv_frac"),
+    )
+    rep = precision_check(np.asarray(got), np.asarray(want), eps=5e-7)
+    assert rep.ok, str(rep)
+    np.testing.assert_array_equal(np.asarray(h_f), np.asarray(h_x))
