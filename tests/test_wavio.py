@@ -357,3 +357,52 @@ def test_u8_pcm_decodes_and_unsupported_tags_raise(tmp_path, monkeypatch):
     p3.write_bytes(_wav_bytes(fmt12, raw * 2))
     with pytest.raises(ValueError, match="bit depth"):
         read_wav(p3, dtype=np.float64)
+
+
+def test_wav_codec_native_vs_pure_fuzz(tmp_path, monkeypatch):
+    """Cross-implementation fuzz: the native C++ quantizer/decoder and the
+    pure-Python arms agree within the documented tie tolerance (native
+    quantizes in float32, the fallback in float64 — at most 1 LSB apart on
+    exact .5 ties; decode differs by at most 1 float32 ULP)."""
+    from jefferson_tpu.io import wavio
+
+    if wavio._nat is None:
+        pytest.skip("native extension not built")
+
+    def ints(buf, bits):
+        if bits == 16:
+            return np.frombuffer(buf, "<i2").astype(np.int64)
+        if bits == 32:
+            return np.frombuffer(buf, "<i4").astype(np.int64)
+        b = np.frombuffer(buf, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        return np.where(v >= 1 << 23, v - (1 << 24), v)
+
+    rng = np.random.default_rng(2468)
+    for trial in range(30):
+        frames = int(rng.integers(1, 400))
+        ch = int(rng.integers(1, 3))
+        bits = int(rng.choice([16, 24, 32]))
+        x = (rng.random((frames, ch), dtype=np.float32) * 2.2 - 1.1).astype(np.float32)
+        x[0, 0], x[-1, -1] = 1.0, -1.0  # clip edges both sides
+
+        enc_native = wavio._encode(x, bits, False)
+        with monkeypatch.context() as m:
+            m.setattr(wavio, "_nat", None)
+            enc_pure = wavio._encode(x, bits, False)
+        dn, dp = ints(enc_native, bits), ints(enc_pure, bits)
+        worst = np.abs(dn - dp).max() if dn.size else 0
+        assert worst <= 1, f"trial {trial} bits={bits}: {worst} LSB apart"
+
+        p = tmp_path / f"f{trial}.wav"
+        p.write_bytes(
+            wavio._header(44100, ch, bits, False, len(enc_pure)) + enc_pure
+            + (b"\x00" if len(enc_pure) & 1 else b"")
+        )
+        got_n, sr_n = wavio.read_wav(p, dtype=np.float32)  # native arm
+        with monkeypatch.context() as m:
+            m.setattr(wavio, "_nat", None)
+            got_p, sr_p = wavio.read_wav(p, dtype=np.float32)
+        assert sr_n == sr_p == 44100
+        assert got_n.shape == got_p.shape == (frames, ch)
+        assert np.abs(got_n - got_p).max() <= 2.0 ** -23, f"trial {trial} bits={bits}"
