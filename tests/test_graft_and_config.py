@@ -104,3 +104,23 @@ def test_config_and_testing_helper_guards():
     # empty buffers: a degenerate comparison is OK, not a crash
     rep = precision_check(np.zeros(0), np.zeros(0))
     assert rep.ok and rep.max_abs_diff == 0.0 and rep.first_bad_index == -1
+
+
+@pytest.mark.parametrize("fpb,taps", [(32, 64), (48, 100), (160, 200)])
+def test_geometry_fuzz_oracle_exact(castanets, fpb, taps):
+    """Random non-default geometries (aligned and unaligned, pow2 and odd
+    tap counts) stay oracle-exact through the moving-source chain — the
+    engine's shapes are config-derived everywhere, never hardcoded 128/1024."""
+    from jefferson_tpu import EngineConfig, synthetic_database
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.oracle.reference import render_oracle
+    from jefferson_tpu.testing import precision_check
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    cfg = EngineConfig(frames_per_buffer=fpb, hrtf_len=taps)
+    db = synthetic_database(cfg, n_taps=taps, seed=fpb)
+    pos = CircularOrbit(period_s=0.15, ele=-10, r=0.8).sample(12, cfg)
+    got = Renderer(db, cfg, chunk_blocks=6).render(castanets, pos)
+    want = render_oracle(castanets, db, [tuple(p) for p in pos], cfg)
+    rep = precision_check(got, want, eps=1e-6)
+    assert rep.ok, f"fpb={fpb} taps={taps} (pad {cfg.pad_len}): {rep}"
