@@ -47,12 +47,16 @@ jt.write_wav(td / "in.wav", np.stack([tone, tone], 1), sr)
 # 1) the daemon (in production: `python -m jefferson_tpu.serve --socket …`)
 service = RenderService(hrtf_dir=None, chunk_blocks=256)
 threading.Thread(target=serve, args=(sock, service), daemon=True).start()
-while True:
+# bounded startup wait: a daemon that dies before binding (unwritable
+# socket dir, sun_path overflow) must fail loudly, not spin forever
+for _ in range(1200):
     try:
         if request(sock, {"cmd": "ping"}).get("pong"):
             break
     except OSError:
         time.sleep(0.05)
+else:
+    raise SystemExit(f"daemon did not come up on {sock} within 60 s")
 
 # 2) a live stream session + a scripted "user" moving the source
 resp = request(sock, {"cmd": "stream_start", "input": str(td / "in.wav"),
