@@ -270,3 +270,28 @@ def test_unaligned_geometry_fused_parity():
     # pins the arm: the one-hot/dedup forms need the aligned geometry, so
     # the render must have gone through the gather-fused programs
     assert r._fd_fused and not r._fd_onehot and not r._fd_dedup_fused
+
+
+def test_program_count_discipline_mixed_render(db, config, castanets):
+    """The one-compiled-program-per-render rule (CLAUDE.md): a long mixed
+    hold/move render compiles at most TWO variants per path (crossfading +
+    crossfade-free), across every program cache — remote compiles cost
+    20 s-5 min each, so program count is a production invariant, not a
+    style preference."""
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.trajectory.trajectory import AzimuthSweep
+
+    traj = AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5,
+                        blocks_per_step=24, num_steps=9)
+    pos = traj.sample(traj.total_blocks, config)  # 240 blocks, periodic moves
+    r = Renderer(db, config, chunk_blocks=48, fused=True)  # interpret on CPU
+    out = r.render(castanets, pos, initial_old=(0.0, 0.0))
+    assert np.isfinite(out).all()
+    for name in ("_fd_complex", "_fd_dedup", "_fd_fused", "_fd_dedup_fused",
+                 "_fd_onehot", "_fd_onehot_grp"):
+        cache = getattr(r, name)
+        assert len(cache) <= 2, (name, list(cache))
+    total = sum(len(getattr(r, n)) for n in
+                ("_fd_complex", "_fd_dedup", "_fd_fused", "_fd_dedup_fused",
+                 "_fd_onehot", "_fd_onehot_grp"))
+    assert 1 <= total <= 4, total  # one path elected, at most 2 xfade variants
