@@ -178,3 +178,50 @@ def test_dispatch_fallback_arms_match_native(native, tmp_path):
     finally:
         native.HAVE_NATIVE = old
         _wavio._nat = old_nat
+
+
+def test_native_decoder_mutation_fuzz_no_crash(tmp_path):
+    """Bounds-safety of the C++ decoder: 3000 byte-mutated/truncated WAVs
+    must each either decode or raise — never kill the process.  Runs in a
+    subprocess so a future out-of-bounds regression fails THIS test with
+    the crash signal instead of taking the whole suite down."""
+    import subprocess
+    import sys
+
+    from jefferson_tpu.io import wavio
+
+    if wavio._nat is None:
+        pytest.skip("native extension not built")
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jefferson_tpu import native
+from jefferson_tpu.io import wavio
+rng = np.random.default_rng(99)
+x = (rng.random((64, 2), dtype=np.float32) - 0.5)
+base = wavio._header(44100, 2, 16, False, 64 * 2 * 2) + wavio._encode(x, 16, False)
+for trial in range(3000):
+    b = bytearray(base)
+    for _ in range(int(rng.integers(1, 6))):
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    if rng.random() < 0.3:
+        b = b[: int(rng.integers(0, len(b)))]
+    try:
+        native.decode_wav(bytes(b))
+    except Exception:
+        pass
+print("SURVIVED")
+"""
+    env = dict(__import__("os").environ)
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=240, env=env)
+    assert r.returncode == 0 and "SURVIVED" in r.stdout, (
+        f"rc={r.returncode} (negative = killed by signal)\n{r.stderr[-2000:]}"
+    )
