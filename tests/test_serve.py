@@ -703,3 +703,42 @@ def test_live_viz_survives_unreachable_daemon(tmp_path, capsys):
     rc = viz_main(["--socket", str(gone), "-o", str(tmp_path / "l2.svg")])
     assert rc == 1
     assert "daemon unreachable" in capsys.readouterr().out
+
+
+def test_daemon_protocol_fuzz_survives_garbage(daemon, config, castanets, tmp_path):
+    """200 randomized/malformed requests (wrong types, missing fields,
+    unknown commands, junk values in real commands) each get a JSON reply —
+    never a dropped connection or a wedged daemon — and a real render still
+    works afterwards."""
+    import random
+
+    from jefferson_tpu.io.wavio import write_wav
+
+    sock, _service = daemon
+    rng = random.Random(4242)
+    cmds = ["render", "scene", "stream_start", "stream_stop", "move",
+            "stream_status", "stream_list", "stats", "ping", "bogus", "", 7,
+            None, ["render"], {"cmd": "render"}]
+    junk = [None, -1, 0, 3.5, "x", "", [], {}, {"a": 1}, True, "🎧",
+            "/no/such/file.wav", 1e309, "NaN"]
+    fields = ["input", "output", "trajectory", "blocks", "duration",
+              "seconds", "session", "azi", "ele", "r", "x", "y", "z", "key",
+              "bits", "float", "paced", "scene", "chunk_blocks", "id"]
+    for i in range(200):
+        req = {"cmd": rng.choice(cmds)}
+        for _ in range(rng.randint(0, 4)):
+            req[rng.choice(fields)] = rng.choice(junk)
+        try:
+            json.dumps(req)
+        except (TypeError, ValueError):
+            continue  # unencodable draw; the wire can't carry it anyway
+        resp = request(sock, req, timeout=120.0)
+        assert isinstance(resp, dict) and "ok" in resp, (i, req, resp)
+
+    # the daemon still serves real work after the abuse
+    src = tmp_path / "after.wav"
+    write_wav(src, castanets[:4000], config.sample_rate)
+    out = tmp_path / "after_out.wav"
+    r = request(sock, {"cmd": "render", "input": str(src),
+                       "output": str(out), "blocks": 4})
+    assert r["ok"], r
