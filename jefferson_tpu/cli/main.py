@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output PCM depth (default 24, the reference's format)")
     p.add_argument("--float", action="store_true", help="write float32 WAV instead of PCM")
     p.add_argument("--backend", choices=["matmul", "fft"], default="matmul")
+    p.add_argument("--pipeline-fetch", action="store_true",
+                   help="overlap chunk compute with output fetch (single-"
+                        "source renders; for direct-attached TPUs — through "
+                        "a host relay the render is transfer-bound either "
+                        "way, see PERF.md)")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas apply kernel (XLA numerics)")
     p.add_argument("--chunk-blocks", type=int, default=None,
@@ -573,7 +578,8 @@ def main(argv=None) -> int:
                     )
             r = Renderer(db, config, chunk_blocks=eff_cb,
                          backend=args.backend,
-                         fused=False if args.no_fused else None, mesh=mesh)
+                         fused=False if args.no_fused else None, mesh=mesh,
+                         pipeline_fetch=args.pipeline_fetch)
             out = r.render(signal, positions, ptype, initial_old=initial_old)
     dt = time.time() - t0
 

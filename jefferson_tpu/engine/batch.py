@@ -534,6 +534,13 @@ class BatchRenderer(_StrikeMixin):
         fwd512: bool | None = None,
         tail_tree: bool | None = None,
         sparse_xfade: bool = True,
+        # overlap chunk i+1's dispatch with chunk i's output fetch (see
+        # renderer.Renderer pipeline_fetch — same contract: bit-identical
+        # ordering, deferred failures strike the producing arm and both
+        # affected chunks re-render via the XLA batch program from the
+        # saved pre-chunk histories; designed for direct-attached TPUs,
+        # ~neutral through a host relay)
+        pipeline_fetch: bool = False,
     ):
         from .renderer import fused_supported
 
@@ -558,6 +565,7 @@ class BatchRenderer(_StrikeMixin):
         # sparse-crossfade side-pass (round 5): False forces the classic
         # crossfade programs (A/Bs; scripts/bench_noxfade.py)
         self.sparse_xfade = sparse_xfade
+        self.pipeline_fetch = pipeline_fetch
         aligned = self.config.history_len % self.config.frames_per_buffer == 0
         self.dedup = dedup and aligned
         if fused is None:
@@ -836,6 +844,89 @@ class BatchRenderer(_StrikeMixin):
         # compile/runtime-stack failure; retried on the next render
         # (see renderer._is_fused_fallback_error)
         fused_off = False
+
+        # ---- pipelined output fetch (opt-in; see renderer.render_plan —
+        # same one-chunk-deep design, with `outs` slots appended at flush
+        # time so ordering is preserved) ----
+        pipelined = bool(self.pipeline_fetch)
+        pending: list | None = None  # [start, stop, y, skey, jkey, name, hists_before]
+
+        def _xla_redo_batch(start_, stop_, hists_in):
+            """Re-render one chunk of ALL sources from clean histories via
+            the direct XLA batch program (deferred-failure redo path)."""
+            sl_ = slice(start_, stop_)
+            cxf_ = chunk_xfs[start_ // cb] if chunk_xfs else True
+            fn_ = self._get_fn(stop_ - start_, xf=cxf_)
+            a_ = dict(
+                fed=feds[:, start_ * fpb : stop_ * fpb],
+                idx_new=np.stack([p.idx_new[sl_] for p in plans]),
+                w_new=np.stack([p.w_new[sl_] for p in plans]),
+                idx_old=np.stack([p.idx_old[sl_] for p in plans]),
+                w_old=np.stack([p.w_old[sl_] for p in plans]),
+                xfade=np.stack([p.xfade[sl_] for p in plans]),
+                u_hi=np.stack([p.u_hi[sl_] for p in plans]),
+                u_lo=np.stack([p.u_lo[sl_] for p in plans]),
+                inv_frac=np.stack([p.inv_frac[sl_] for p in plans]),
+            )
+            sh_ = {k: self._shard(v) for k, v in a_.items()}
+            y_, hists_ = fn_(
+                self._spectra, hists_in, sh_["fed"], sh_["idx_new"],
+                sh_["w_new"], sh_["idx_old"], sh_["w_old"], sh_["xfade"],
+                sh_["u_hi"], sh_["u_lo"], sh_["inv_frac"],
+            )
+            return np.asarray(y_), hists_
+
+        def _flush_pending():
+            """Fetch the deferred chunk; append its rows to ``outs``.
+            Returns None, or the clean post-redo histories the CURRENT
+            (already-dispatched) chunk must be re-rendered from."""
+            nonlocal pending, fused_off
+            if pending is None:
+                return None
+            pstart, pstop, py, pskey, pjkey, pname, phists = pending
+            pending = None
+            try:
+                y_np_ = np.asarray(py)
+            except Exception as e:
+                from .renderer import (
+                    _is_fused_fallback_error, _warn_fused_fallback,
+                )
+
+                if pskey is None or not _is_fused_fallback_error(e):
+                    raise
+                fused_off = True
+                self._jitted.pop(pjkey, None)
+                _warn_fused_fallback(
+                    e, pname, "the XLA batch path (deferred-fetch redo)",
+                    strikes=self._variant_result(pskey, False),
+                )
+                y_np_, hists_ = _xla_redo_batch(pstart, pstop, phists)
+                outs.append(y_np_)
+                return hists_
+            outs.append(y_np_)
+            if pskey is not None:
+                self._variant_result(pskey, True)
+            return None
+
+        def _commit(y_, y_np_, hists_f_, skey=None, jkey=None, name=None):
+            """Shared success-path commit; returns the histories to carry.
+            Sync mode (``y_np_`` materialized inside the arm's try): record
+            and append now.  Pipelined: flush the previous chunk (the
+            overlap), redo both chunks via XLA if it failed, else defer
+            this one."""
+            nonlocal pending
+            if y_np_ is not None:
+                if skey is not None:
+                    self._variant_result(skey, True)
+                outs.append(y_np_)
+                return hists_f_
+            redo_hists = _flush_pending()
+            if redo_hists is not None:
+                y_np_, hists_ = _xla_redo_batch(start, stop, redo_hists)
+                outs.append(y_np_)
+                return hists_
+            pending = [start, stop, y_, skey, jkey, name, hists]
+            return hists_f_
         # render-wide one-hot plan (one bucket -> one compiled program per
         # render; see _plan_batch_onehot) — only relevant when dedup does
         # not apply (movers)
@@ -943,13 +1034,11 @@ class BatchRenderer(_StrikeMixin):
                     # materialize BEFORE recording success or rebinding
                     # hists: dispatch is async, and a run-stage failure
                     # surfacing at asarray must leave hists unpoisoned for
-                    # the fallback and count as a strike
-                    y_np = np.asarray(y)
-                    self._variant_result(
-                        ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf), True)
-                    hists = hists_f
-                    outs.append(y_np)
-                    continue
+                    # the fallback and count as a strike.  Pipelined mode
+                    # defers the fetch to _commit in the else clause —
+                    # OUTSIDE this try, so a deferred predecessor failure
+                    # is redone, never misattributed to this arm.
+                    y_np = None if pipelined else np.asarray(y)
                 except Exception as e:
                     from .renderer import _is_fused_fallback_error, _warn_fused_fallback
 
@@ -967,6 +1056,14 @@ class BatchRenderer(_StrikeMixin):
                         ),
                     )
                     # fall through to the XLA dedup dispatch for this chunk
+                else:
+                    hists = _commit(
+                        y, y_np, hists_f,
+                        ("dedup_fused", nb, u_pad, tb_f, dxf, sparse_ncf),
+                        (nb, u_pad, tb_f, False, None, None, dxf, sparse_ncf),
+                        "dedup+fused batch",
+                    )
+                    continue
             elif tb_f is not None:
                 idx_old_np = np.stack([p.idx_old[sl] for p in plans])
                 idx_last_np = np.stack([p.idx_new[stop - 1] for p in plans])
@@ -1074,12 +1171,10 @@ class BatchRenderer(_StrikeMixin):
                         ),
                     )
                     # materialize before success/hists commit (async
-                    # run-stage failure must fall back clean)
-                    y_np = np.asarray(y)
-                    self._variant_result(skey, True)
-                    hists = hists_f
-                    outs.append(y_np)
-                    continue
+                    # run-stage failure must fall back clean; pipelined:
+                    # deferred to _commit in the else clause, outside this
+                    # try — see the dedup+fused arm above)
+                    y_np = None if pipelined else np.asarray(y)
                 except Exception as e:
                     from .renderer import _is_fused_fallback_error, _warn_fused_fallback
 
@@ -1095,6 +1190,14 @@ class BatchRenderer(_StrikeMixin):
                         strikes=self._variant_result(skey, False),
                     )
                     # fall through to the direct/dedup dispatch for this chunk
+                else:
+                    hists = _commit(
+                        y, y_np, hists_f, skey,
+                        (nb, None, tb_f, onehot, group_tiles,
+                         nd if onehot else None, True, None),
+                        "one-hot batch" if onehot else "gather batch",
+                    )
+                    continue
             if dedup_chunks is not None:
                 uniq_idx, uniq_w, inv = dedup_chunks[ci]
                 if uniq_idx.shape[0] < u_pad:
@@ -1108,7 +1211,7 @@ class BatchRenderer(_StrikeMixin):
                     else (lambda x: jax.device_put(x, NamedSharding(self.mesh, P())))
                 )
                 sharded = {k: self._shard(v) for k, v in args.items()}
-                y, hists = fn(
+                y, hists_f = fn(
                     self._spectra,
                     hists,
                     sharded["fed"],
@@ -1122,7 +1225,7 @@ class BatchRenderer(_StrikeMixin):
                     sharded["u_lo"],
                     sharded["inv_frac"],
                 )
-                outs.append(np.asarray(y))
+                hists = _commit(y, None if pipelined else np.asarray(y), hists_f)
                 continue
             fn = self._get_fn(nb, xf=cxf)
             args.update(
@@ -1132,7 +1235,7 @@ class BatchRenderer(_StrikeMixin):
                 w_old=np.stack([p.w_old[sl] for p in plans]),
             )
             sharded = {k: self._shard(v) for k, v in args.items()}
-            y, hists = fn(
+            y, hists_f = fn(
                 self._spectra,
                 hists,
                 sharded["fed"],
@@ -1145,7 +1248,10 @@ class BatchRenderer(_StrikeMixin):
                 sharded["u_lo"],
                 sharded["inv_frac"],
             )
-            outs.append(np.asarray(y))
+            hists = _commit(y, None if pipelined else np.asarray(y), hists_f)
+        # drain the deferred final chunk (pipelined mode); a failure there
+        # was redone inside the flush and has no dispatched successor
+        _flush_pending()
         if self.mix:
             return np.concatenate(outs, axis=0).reshape(b_total * fpb, 2)[: b_real * fpb]
         return np.concatenate(outs, axis=1).reshape(s, b_total * fpb, 2)[:, : b_real * fpb]

@@ -977,6 +977,7 @@ class Renderer(_StrikeMixin):
         fwd512: bool | None = None,
         tail_tree: bool | None = None,
         sparse_xfade: bool = True,
+        pipeline_fetch: bool = False,
     ):
         """``dedup``: blend only unique (index, weight) rows per chunk and
         broadcast (bit-identical; auto-disabled when a chunk has too many
@@ -990,7 +991,21 @@ class Renderer(_StrikeMixin):
         parallelism map names this the natural single-source extension).
         Mesh renders run the XLA chunk path: a Pallas custom call is not
         GSPMD-partitionable, so fused kernels are single-device-only (the
-        multi-source BatchRenderer shard_maps them over SOURCES instead)."""
+        multi-source BatchRenderer shard_maps them over SOURCES instead).
+        ``pipeline_fetch``: overlap the chunk loop — dispatch chunk i+1
+        (device work is queued asynchronously) BEFORE fetching chunk i's
+        output, so compute and device->host transfer overlap.  Designed for
+        direct-attached TPUs where a ~33 MB chunk fetch is comparable to
+        its compute (~2 ms each -> up to ~2x on offline renders); through
+        this environment's host relay the render is transfer-bound either
+        way, so the win is unmeasurable here and the default stays off
+        (ROADMAP: output-fetch pipelining).  Strike semantics are
+        preserved: a deferred run-stage failure is detected at the fetch,
+        strike-counted against the arm that produced it, and BOTH affected
+        chunks (the failed one and its already-dispatched successor, whose
+        input history came from the failed program) are re-rendered via
+        the always-available XLA chunk program from the saved pre-chunk
+        history — bit-equal output ordering either mode."""
         self.db = db
         self.config = config or db.config
         if chunk_blocks < 1:
@@ -1008,6 +1023,7 @@ class Renderer(_StrikeMixin):
         # sparse-crossfade side-pass (round 5): False forces the classic
         # crossfade programs (A/Bs; scripts/bench_noxfade.py)
         self.sparse_xfade = sparse_xfade
+        self.pipeline_fetch = pipeline_fetch
         if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError("Renderer mesh must be 1-D (block axis)")
@@ -1256,6 +1272,107 @@ class Renderer(_StrikeMixin):
             for start in range(0, b_total, cb)
         ])
 
+        # ---- pipelined output fetch (opt-in; see __init__ docstring) ----
+        # One chunk deep: after dispatching chunk i+1 (async), fetch chunk
+        # i's output.  `pending` carries everything needed to commit the
+        # deferred chunk — or, on a deferred run-stage failure, to strike
+        # the producing arm and re-render from `hist_before` via the XLA
+        # chunk program (the ladder's always-available final arm).
+        pipelined = bool(self.pipeline_fetch)
+        pending: list | None = None  # [start, stop, nb, y, vkey, cache, ckey, tag, name, hist_before]
+
+        def _xla_redo(start_, stop_, hist_in):
+            """Re-render one chunk from a clean history via the plain XLA
+            chunk program (deferred-failure redo; honors the chunk's
+            crossfade variant like the ladder's final arm)."""
+            nb_ = stop_ - start_
+            sl_ = slice(start_, stop_)
+            fed_np_ = fed_all[start_ * fpb : stop_ * fpb]
+            if nb_ < cb:
+                fed_np_ = np.concatenate(
+                    [fed_np_, np.zeros((cb - nb_) * fpb, np.float32)]
+                )
+            cxf_ = chunk_xfs[start_ // cb] if chunk_xfs else True
+            key_ = (cb, cxf_)
+            if key_ not in self._fd_complex:
+                self._fd_complex[key_] = self._mk_fd_complex(cb, cxf_)
+            y_, hist_ = self._fd_complex[key_](
+                self._spectra,
+                hist_in,
+                dev(fed_np_),
+                pad(plan.idx_new[sl_], nb_),
+                pad(plan.w_new[sl_], nb_),
+                pad(plan.idx_old[sl_], nb_),
+                pad(plan.w_old[sl_], nb_),
+                pad(plan.xfade[sl_], nb_),
+                pad(plan.u_hi[sl_], nb_),
+                pad(plan.u_lo[sl_], nb_),
+                pad(plan.inv_frac[sl_], nb_),
+            )
+            return np.asarray(y_).reshape(cb * fpb, 2)[: nb_ * fpb], hist_
+
+        def _flush_pending():
+            """Fetch the deferred chunk's output.  Returns None on success,
+            or — when the deferred fetch surfaced a fallback-class run-stage
+            failure — the clean post-redo history the CURRENT chunk must be
+            re-dispatched from (its input history came from the failed
+            program).  Non-fallback errors and failures of the non-striking
+            arms (vkey None) propagate, exactly as they would have at the
+            synchronous materialization point."""
+            nonlocal pending
+            if pending is None:
+                return None
+            (pstart, pstop, pnb, py, pvkey, pcache, pckey, ptag, pname,
+             phist) = pending
+            pending = None
+            try:
+                y_np_ = np.asarray(py).reshape(cb * fpb, 2)[: pnb * fpb]
+            except Exception as e:
+                if pvkey is None or not _is_fused_fallback_error(e):
+                    raise
+                fused_off.add(ptag)
+                if pcache is not None:
+                    pcache.pop(pckey, None)
+                _warn_fused_fallback(
+                    e, pname, "the XLA path (deferred-fetch redo)",
+                    strikes=self._variant_result(pvkey, False),
+                )
+                y_np_, hist_ = _xla_redo(pstart, pstop, phist)
+                out[pstart * fpb : pstop * fpb] = y_np_
+                return hist_
+            out[pstart * fpb : pstop * fpb] = y_np_
+            if pvkey is not None:
+                self._variant_result(pvkey, True)
+            return None
+
+        def _commit(y_, y_np_, hist_f_, vkey=None, cache=None, ckey=None,
+                    tag=None, name=None):
+            """Success-path commit shared by every dispatch arm; returns the
+            history to carry into the next chunk.
+
+            Sync mode: ``y_np_`` was materialized INSIDE the arm's try (a
+            run-stage failure falls back with an unpoisoned history and a
+            strike) — record success, write out.  Pipelined mode (``y_np_``
+            is None): the current dispatch is already queued, so flush the
+            PREVIOUS chunk now (this is the overlap) and defer this one;
+            if the flush reports a failed predecessor, this chunk's input
+            history was poisoned — discard its dispatch and re-render both
+            via the XLA redo."""
+            nonlocal pending
+            if y_np_ is not None:
+                if vkey is not None:
+                    self._variant_result(vkey, True)
+                out[start * fpb : stop * fpb] = y_np_
+                return hist_f_
+            redo_hist = _flush_pending()
+            if redo_hist is not None:
+                y_np_, hist_ = _xla_redo(start, stop, redo_hist)
+                out[start * fpb : stop * fpb] = y_np_
+                return hist_
+            pending = [start, stop, nb, y_, vkey, cache, ckey, tag, name,
+                       hist]
+            return hist_f_
+
         # render-wide one-hot geometry: one U_pad bucket (single compiled
         # program per render) and per-group tables for wide movers — see
         # plan_onehot_chunking
@@ -1351,12 +1468,15 @@ class Renderer(_StrikeMixin):
                         # materialize BEFORE recording success or
                         # rebinding hist: dispatch is async, and a run-stage
                         # failure surfacing at asarray must leave hist
-                        # unpoisoned for the fallback and count as a strike
-                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                        self._variant_result(okey, True)
-                        hist = hist_f
-                        out[start * fpb : stop * fpb] = y_np
-                        continue
+                        # unpoisoned for the fallback and count as a strike.
+                        # Pipelined mode defers the fetch to _commit in the
+                        # else clause — OUTSIDE this try, so a deferred
+                        # predecessor failure surfacing there is redone,
+                        # never misattributed to this arm's strike key.
+                        y_np = (
+                            None if pipelined
+                            else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        )
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
                             raise
@@ -1366,6 +1486,11 @@ class Renderer(_StrikeMixin):
                             e, "grouped one-hot", "the gather/XLA path",
                             strikes=self._variant_result(okey, False),
                         )
+                    else:
+                        hist = _commit(y, y_np, hist_f, okey,
+                                       self._fd_onehot_grp, key,
+                                       "onehot", "grouped one-hot")
+                        continue
                 elif tb_o is not None:
                     from .plan import compact_filter_ids
 
@@ -1388,14 +1513,13 @@ class Renderer(_StrikeMixin):
                             *tail_args,
                         )
                         # materialize BEFORE recording success or
-                        # rebinding hist: dispatch is async, and a run-stage
-                        # failure surfacing at asarray must leave hist
-                        # unpoisoned for the fallback and count as a strike
-                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                        self._variant_result(okey, True)
-                        hist = hist_f
-                        out[start * fpb : stop * fpb] = y_np
-                        continue
+                        # rebinding hist (pipelined: deferred to _commit in
+                        # the else clause, outside this try — see the
+                        # grouped arm above)
+                        y_np = (
+                            None if pipelined
+                            else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        )
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
                             raise
@@ -1405,6 +1529,11 @@ class Renderer(_StrikeMixin):
                             e, "one-hot", "the gather/XLA path",
                             strikes=self._variant_result(okey, False),
                         )
+                    else:
+                        hist = _commit(y, y_np, hist_f, okey,
+                                       self._fd_onehot, key,
+                                       "onehot", "one-hot")
+                        continue
                 if (
                     dedup_chunks is None and "gather" not in fused_off
                     and self.fused
@@ -1452,14 +1581,13 @@ class Renderer(_StrikeMixin):
                             pad(plan.inv_frac[sl], nb),
                         )
                         # materialize BEFORE recording success or
-                        # rebinding hist: dispatch is async, and a run-stage
-                        # failure surfacing at asarray must leave hist
-                        # unpoisoned for the fallback and count as a strike
-                        y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                        self._variant_result(gkey, True)
-                        hist = hist_f
-                        out[start * fpb : stop * fpb] = y_np
-                        continue
+                        # rebinding hist (pipelined: deferred to _commit in
+                        # the else clause, outside this try — see the
+                        # grouped arm above)
+                        y_np = (
+                            None if pipelined
+                            else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                        )
                     except Exception as e:
                         if not _is_fused_fallback_error(e):
                             raise
@@ -1470,6 +1598,11 @@ class Renderer(_StrikeMixin):
                             strikes=self._variant_result(gkey, False),
                         )
                         # fall through to the XLA dispatch for this chunk
+                    else:
+                        hist = _commit(y, y_np, hist_f, gkey,
+                                       self._fd_fused, key,
+                                       "gather", "gather-blend")
+                        continue
                 if dedup_chunks is not None:
                     uniq_idx, uniq_w, inv = dedup_chunks[start // cb]
                     if uniq_idx.shape[0] < u_pad:  # pad to the render's bucket
@@ -1524,12 +1657,13 @@ class Renderer(_StrikeMixin):
                                 *cf_args,
                             )
                             # materialize before success/hist commit
-                            # (async run-stage failure must fall back clean)
-                            y_np = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
-                            self._variant_result(dkey, True)
-                            hist = hist_f
-                            out[start * fpb : stop * fpb] = y_np
-                            continue
+                            # (async run-stage failure must fall back clean;
+                            # pipelined: deferred to _commit in the else
+                            # clause, outside this try)
+                            y_np = (
+                                None if pipelined
+                                else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                            )
                         except Exception as e:
                             if not _is_fused_fallback_error(e):
                                 raise
@@ -1539,10 +1673,15 @@ class Renderer(_StrikeMixin):
                                 e, "dedup+fused", "the XLA dedup path",
                                 strikes=self._variant_result(dkey, False),
                             )
+                        else:
+                            hist = _commit(y, y_np, hist_f, dkey,
+                                           self._fd_dedup_fused, key,
+                                           "dedup", "dedup+fused")
+                            continue
                     key = (cb, cxf, u_pad)
                     if key not in self._fd_dedup:
                         self._fd_dedup[key] = self._mk_fd_dedup(cb, cxf)
-                    y, hist = self._fd_dedup[key](
+                    y, hist_f = self._fd_dedup[key](
                         self._spectra,
                         hist,
                         fed,
@@ -1556,12 +1695,17 @@ class Renderer(_StrikeMixin):
                         pad(plan.u_lo[sl], nb),
                         pad(plan.inv_frac[sl], nb),
                     )
-                    out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                    hist = _commit(
+                        y,
+                        None if pipelined
+                        else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb],
+                        hist_f,
+                    )
                     continue
                 key = (cb, cxf)
                 if key not in self._fd_complex:
                     self._fd_complex[key] = self._mk_fd_complex(cb, cxf)
-                y, hist = self._fd_complex[key](
+                y, hist_f = self._fd_complex[key](
                     self._spectra,
                     hist,
                     fed,
@@ -1577,12 +1721,21 @@ class Renderer(_StrikeMixin):
             elif ptype in (ProcessType.TPU_FD_BASIC, ProcessType.CPU_FD_BASIC):
                 if cb not in self._fd_basic:
                     self._fd_basic[cb] = self._mk_fd_basic(cb)
-                y, hist = self._fd_basic[cb](
+                y, hist_f = self._fd_basic[cb](
                     self._spectra, hist, fed, pad(plan.nearest[sl], nb)
                 )
             else:
                 if cb not in self._td:
                     self._td[cb] = self._mk_td(cb)
-                y, hist = self._td[cb](self._hrirs, hist, fed, pad(plan.nearest[sl], nb))
-            out[start * fpb : stop * fpb] = np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb]
+                y, hist_f = self._td[cb](self._hrirs, hist, fed, pad(plan.nearest[sl], nb))
+            hist = _commit(
+                y,
+                None if pipelined
+                else np.asarray(y).reshape(cb * fpb, 2)[: nb * fpb],
+                hist_f,
+            )
+        # drain the deferred final chunk (pipelined mode); a failure here
+        # was redone inside the flush and has no dispatched successor, so
+        # the returned redo history is moot
+        _flush_pending()
         return out
