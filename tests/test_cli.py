@@ -515,3 +515,46 @@ def test_no_resample_warning_and_selftest_messages(tmp_path, castanets, db,
     with pytest.raises(SystemExit, match="selftest FAILED at scenario"):
         _run(["-i", src, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
               "--selftest", "--quiet"])
+
+
+def test_selftest_full_runs_reference_workload(tmp_path, castanets, db,
+                                               monkeypatch, capsys):
+    """--selftest-full maps to the reference's unconditional benchmarkTesting
+    (main.cu:88): the FULL-scale sweep (172 blocks/step x 72 steps) plus the
+    per-block mover gate, sharing ONE renderer so the classic scenarios and
+    the mover don't re-pay identical compiles.  Mocked here — the real
+    full-scale run is the on-chip `bench.sweep` gate."""
+    import jefferson_tpu.bench.sweep as sweep_mod
+    import jefferson_tpu.cli.main as cli_main
+    from jefferson_tpu.testing import PrecisionReport
+
+    monkeypatch.setattr(cli_main, "load_hrtf", lambda *a, **k: db)
+    ok = PrecisionReport(ok=True, max_abs_diff=1e-9, max_index=0,
+                         first_bad_index=-1, rms=1e-10, eps=2e-7)
+    seen = {}
+
+    def fake_sweep(signal, db_, config, **kw):
+        seen["sweep_kw"] = kw
+        return [ok] * len(sweep_mod.SCENARIOS)
+
+    def fake_mover(signal, db_, config, **kw):
+        seen["mover_kw"] = kw
+        return ok
+
+    monkeypatch.setattr(sweep_mod, "run_benchmark_sweep", fake_sweep)
+    monkeypatch.setattr(sweep_mod, "run_mover_gate", fake_mover)
+
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:16000], 44100, bits=16)
+    out = tmp_path / "out.wav"
+    rc = _run(["-i", src, "-o", out, "--blocks", 8, "--chunk-blocks", 8,
+               "--selftest-full"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "selftest passed" in err and "full benchmarkTesting" in err
+    # the reference cadence, full scale, not the scaled smoke numbers
+    assert seen["sweep_kw"]["blocks_per_step"] == 172
+    assert seen["sweep_kw"]["num_steps"] == 72
+    # one shared renderer across the sweep and the mover gate
+    assert seen["sweep_kw"]["renderer"] is seen["mover_kw"]["renderer"]
+    assert seen["sweep_kw"]["renderer"] is not None

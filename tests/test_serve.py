@@ -742,3 +742,25 @@ def test_daemon_protocol_fuzz_survives_garbage(daemon, config, castanets, tmp_pa
     r = request(sock, {"cmd": "render", "input": str(src),
                        "output": str(out), "blocks": 4})
     assert r["ok"], r
+
+
+def test_serve_cli_daemon_mode_boots_service(tmp_path, monkeypatch, capsys):
+    """Daemon-mode main(): enables the compile cache, builds the service
+    with the requested chunk size/devices, narrates the socket, and hands
+    off to serve() — pinned in-process with serve() stubbed (the live
+    socket loop is covered by the daemon fixture and the soak script)."""
+    import jefferson_tpu.serve as serve_mod
+
+    seen = {}
+    monkeypatch.setattr(
+        serve_mod, "serve", lambda sock, svc: seen.update(sock=sock, svc=svc)
+    )
+    monkeypatch.setenv("JEFFERSON_COMPILE_CACHE", str(tmp_path / "cache"))
+    sock = tmp_path / "d.sock"
+    rc = serve_mod.main(["--socket", str(sock), "--chunk-blocks", "64"])
+    assert rc == 0
+    assert f"listening on {sock}" in capsys.readouterr().err
+    assert seen["sock"] == str(sock)
+    assert isinstance(seen["svc"], serve_mod.RenderService)
+    assert seen["svc"].renderer.chunk_blocks == 64
+    assert (tmp_path / "cache").is_dir()  # compile cache dir materialized

@@ -406,3 +406,36 @@ def test_wav_codec_native_vs_pure_fuzz(tmp_path, monkeypatch):
         assert sr_n == sr_p == 44100
         assert got_n.shape == got_p.shape == (frames, ch)
         assert np.abs(got_n - got_p).max() <= 2.0 ** -23, f"trial {trial} bits={bits}"
+
+
+def test_encode_rejects_unsupported_bit_depths():
+    """The encoder's depth whitelist is a loud error, not a silent cast."""
+    from jefferson_tpu.io.wavio import _encode
+
+    x = np.zeros((4, 1), np.float32)
+    with pytest.raises(ValueError, match="unsupported float bit depth"):
+        _encode(x, 16, float_format=True)
+    with pytest.raises(ValueError, match="unsupported PCM bit depth"):
+        _encode(x, 12, float_format=False)
+
+
+def test_header_enforces_riff_4gib_limit():
+    """RIFF sizes are u32: a data chunk pushing riff_size past 4 GiB must
+    raise (the StreamingWavWriter append path shares this header builder)."""
+    from jefferson_tpu.io.wavio import _header
+
+    # comfortably representable
+    assert len(_header(44100, 2, 24, False, 1024)) > 0
+    with pytest.raises(ValueError, match="4 GiB RIFF limit"):
+        _header(44100, 2, 24, False, 0xFFFFFFFF - 8)
+
+
+def test_package_lazy_attrs_and_missing_attr():
+    """The package root lazy-imports its heavy exports on first touch and
+    raises a normal AttributeError for unknown names."""
+    import jefferson_tpu as jt
+
+    assert jt.render_oracle is not None  # lazy path
+    assert jt.BatchRenderer is not None
+    with pytest.raises(AttributeError, match="no attribute 'not_an_export'"):
+        jt.not_an_export
