@@ -58,12 +58,17 @@ for trial in range(n):
     r = np.full(b, float(rng.uniform(0.1, 3.0)))
     pos = np.stack([azi, ele, r], axis=1)
     sig = sig_master[: max(b * cfg.frames_per_buffer, 2000)]
-    got = Renderer(db, cfg, chunk_blocks=cb, fused=True).render(sig, pos)
+    # pipelined output fetch is bit-identical to the sync loop (round-5
+    # closing; tests/test_pipeline_fetch.py), so drawing it here keeps the
+    # fused-vs-XLA compare valid while fuzzing the deferred-commit loop
+    pf = bool(rng.integers(0, 2))
+    got = Renderer(db, cfg, chunk_blocks=cb, fused=True,
+                   pipeline_fetch=pf).render(sig, pos)
     want = Renderer(db, cfg, chunk_blocks=cb, fused=False).render(sig, pos)
     rep = precision_check(got, want, eps=5e-7)
     worst = max(worst, rep.max_abs_diff)
     status = "ok" if rep.ok else "FAIL"
-    print(f"[{trial+1:3d}/{n}] b={b:3d} cb={cb:3d} {kind:6s}: "
+    print(f"[{trial+1:3d}/{n}] b={b:3d} cb={cb:3d} {kind:6s} pf={int(pf)}: "
           f"max|diff|={rep.max_abs_diff:.2e} {status}")
     if not rep.ok:
         print(f"FUZZ FAILED: {rep}")
@@ -109,8 +114,10 @@ for trial in range(n_batch):
         np.roll(sig_master, 997 * si)[: b * cfg.frames_per_buffer]
         for si in range(s)
     ])
+    pf = bool(rng.integers(0, 2))  # pipelined fetch: bit-identical loop
     got = BatchRenderer(db, cfg, chunk_blocks=cb, fused=True, mix=mix,
-                        mesh=mesh, sparse_xfade=sparse).render(sigs, positions)
+                        mesh=mesh, sparse_xfade=sparse,
+                        pipeline_fetch=pf).render(sigs, positions)
     want = BatchRenderer(db, cfg, chunk_blocks=cb, fused=False,
                          mix=mix).render(sigs, positions)
     rep = precision_check(got, want, eps=5e-7)
@@ -118,7 +125,7 @@ for trial in range(n_batch):
     status = "ok" if rep.ok else "FAIL"
     print(f"[B{trial+1:3d}/{n_batch}] s={s} b={b:3d} cb={str(cb):>4s} "
           f"kinds={''.join(kinds):8s} mix={int(mix)} sp={int(sparse)} "
-          f"mesh={mesh.size if mesh else 0}: "
+          f"pf={int(pf)} mesh={mesh.size if mesh else 0}: "
           f"max|diff|={rep.max_abs_diff:.2e} {status}")
     if not rep.ok:
         print(f"BATCH FUZZ FAILED: {rep}")
