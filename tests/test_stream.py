@@ -1,6 +1,7 @@
 """Streaming engine tests: scan render and live block API vs oracle/batched."""
 
 import numpy as np
+import pytest
 
 from jefferson_tpu import ProcessType
 from jefferson_tpu.engine.renderer import Renderer
@@ -217,3 +218,18 @@ def test_next_block_returns_copies(db, config):
 
     with pytest.raises(ValueError, match="buf"):
         StreamingSpatializer(db, config).next_block()
+
+
+def test_block_shape_and_empty_buffer_guards(db, config):
+    """The live API's two remaining defensive raises: a mis-shaped block is
+    a caller bug (loud error, not a silent pad), and pulling from an EMPTY
+    playback buffer must not enter the % length arithmetic (ZeroDivision)."""
+    from jefferson_tpu.engine.stream import StreamingSpatializer
+
+    spat = StreamingSpatializer(db, config)
+    spat.prime()
+    with pytest.raises(ValueError, match="block must be"):
+        spat.process_block(np.zeros(config.frames_per_buffer + 1, np.float32))
+    spat.buf = np.zeros(0, np.float32)
+    with pytest.raises(ValueError, match="playback buffer is empty"):
+        spat.next_block()
