@@ -225,3 +225,32 @@ print("SURVIVED")
     assert r.returncode == 0 and "SURVIVED" in r.stdout, (
         f"rc={r.returncode} (negative = killed by signal)\n{r.stderr[-2000:]}"
     )
+
+
+def test_native_sanitized_fuzz_gate():
+    """ASAN+UBSAN-instrumented fuzz of every native entry point.
+
+    The plain-build fuzz above only catches accesses violent enough to
+    crash; a heap over-read inside a malloc bucket decodes garbage
+    silently.  scripts/asan_fuzz_native.py rebuilds _native.cpp with
+    -fsanitize=address,undefined (non-recovering) and drives decode /
+    encode / stream / angle / distance paths under it.  Reduced trial
+    count here; the script default (3000) is the dev-loop run."""
+    import subprocess
+    import sys
+
+    probe = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True,
+    )
+    if probe.returncode != 0 or "/" not in probe.stdout.strip():
+        pytest.skip("libasan unavailable")
+
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "asan_fuzz_native.py"),
+         "--trials", "400"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, (
+        f"sanitizer report (rc={r.returncode}):\n{r.stderr[-4000:]}"
+    )
