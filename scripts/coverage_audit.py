@@ -57,7 +57,10 @@ def _executable_lines(path: Path) -> set[int]:
     stack = [code]
     while stack:
         c = stack.pop()
-        lines.update(ln for _, _, ln in c.co_lines() if ln is not None)
+        # ln 0 is the synthetic module-prologue entry (RESUME etc.) — it can
+        # never be hit by a LINE event, so counting it inflates every file's
+        # missed set by one (the "worst: 0" artifact in earlier reports)
+        lines.update(ln for _, _, ln in c.co_lines() if ln)
         stack.extend(k for k in c.co_consts if hasattr(k, "co_lines"))
     return lines
 
