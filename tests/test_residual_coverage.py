@@ -472,3 +472,164 @@ def test_serve_stream_start_warns_on_tpu_platform(
     monkeypatch.undo()  # real platform back before the block loop is joined
     stop = svc._stream_stop({"session": r["session"]})
     assert stop["ok"]
+
+
+# ------------------------------------------------- renderer edge arms
+
+def _compile_fail(msg="tpu_compile_helper exit 1"):
+    def mk(*a, **k):
+        def fn(*args, **kw):
+            raise RuntimeError(msg)
+        return fn
+    return mk
+
+
+def _call_bug(msg):
+    def mk(*a, **k):
+        def fn(*args, **kw):
+            raise ValueError(msg)
+        return fn
+    return mk
+
+
+def _mover32(config):
+    from jefferson_tpu.trajectory.trajectory import CircularOrbit
+
+    return CircularOrbit(period_s=0.3, ele=5, r=1.0).sample(32, config)
+
+
+def _holder32(config):
+    from jefferson_tpu.trajectory.trajectory import AzimuthSweep
+
+    return AzimuthSweep(start_azi=0, ele=0, r=0.5, step_deg=5.0,
+                        blocks_per_step=16, num_steps=1).sample(32, config)
+
+
+def test_render_plan_rejects_broken_invariant(db, config, castanets):
+    from jefferson_tpu.engine.plan import make_plan
+    from jefferson_tpu.engine.renderer import Renderer
+
+    plan = make_plan(_mover32(config), config)
+    plan.idx_old[1, 0] = (plan.idx_old[1, 0] + 1) % config.num_hrtf
+    with pytest.raises(ValueError, match="previous\\s+block's new arrays"):
+        Renderer(db, chunk_blocks=8, fused=False).render_plan(
+            castanets[:4000], plan)
+
+
+def test_fft_backend_no_crossfade_chunk(db, config, castanets):
+    """A crossfade-free render through the fft backend (complex/FFT-HLO
+    stacks) matches the split-plane matmul backend."""
+    from jefferson_tpu.engine.renderer import Renderer
+    from jefferson_tpu.testing import precision_check
+
+    pos = np.tile(np.array([0.0, 0.0, 0.5]), (16, 1))
+    sig = castanets[:4000]
+    a = Renderer(db, chunk_blocks=8, fused=False, backend="fft").render(sig, pos)
+    b = Renderer(db, chunk_blocks=8, fused=False).render(sig, pos)
+    rep = precision_check(a, b, eps=5e-7)
+    assert rep.ok, str(rep)
+
+
+def test_gather_calltime_genuine_bug_propagates(db, config, castanets):
+    """A non-compile-class failure from the gather program's RUN stage is a
+    program bug: it must propagate, not silently fall back."""
+    from jefferson_tpu.engine.renderer import Renderer
+
+    r = Renderer(db, chunk_blocks=16, fused=True)
+    r._mk_fd_onehot = _compile_fail()
+    r._mk_fd_onehot_grp = _compile_fail()
+    r._mk_fd_fused = _call_bug("genuine gather bug")
+    with pytest.raises(ValueError, match="genuine gather bug"):
+        r.render(castanets[:8000], _mover32(config))
+
+
+def test_dedup_calltime_genuine_bug_propagates(db, config, castanets):
+    from jefferson_tpu.engine.renderer import Renderer
+
+    r = Renderer(db, chunk_blocks=16, fused=True)
+    r._mk_fd_dedup_fused = _call_bug("genuine dedup bug")
+    with pytest.raises(ValueError, match="genuine dedup bug"):
+        r.render(castanets[:8000], _holder32(config))
+
+
+def test_dedup_strike_skips_variant(db, config, castanets, capsys):
+    """A deterministically-failing dedup+fused variant accrues strikes and
+    stops being attempted; output stays correct through the XLA dedup path."""
+    from jefferson_tpu.engine.renderer import _MAX_FUSED_STRIKES, Renderer
+    from jefferson_tpu.testing import precision_check
+
+    sig = castanets[:8000]
+    pos = _holder32(config)
+    want = Renderer(db, chunk_blocks=16, fused=False).render(sig, pos)
+    calls = {"n": 0}
+
+    def mk(*a, **k):
+        def fn(*args, **kw):
+            calls["n"] += 1
+            raise RuntimeError("deterministic Mosaic lowering failure")
+        return fn
+
+    r = Renderer(db, chunk_blocks=16, fused=True)
+    r._mk_fd_dedup_fused = mk
+    for _ in range(4):
+        got = r.render(sig, pos)
+        rep = precision_check(got, want, eps=1e-7)
+        assert rep.ok, str(rep)
+    capsys.readouterr()
+    assert calls["n"] == _MAX_FUSED_STRIKES, calls
+
+
+def test_dedup_fused_sparse_contract_asserts(config):
+    """The sparse side-pass contract (no-crossfade kernel, per-row ramps)
+    is asserted in both the single-source and the batched builders."""
+    from jefferson_tpu.engine.batch import batched_chunk_fn_dedup_fused
+    from jefferson_tpu.engine.renderer import _fd_complex_chunk_dedup_fused
+
+    args = [None] * 11
+    with pytest.raises(AssertionError, match="no-crossfade kernel"):
+        _fd_complex_chunk_dedup_fused(*args, config=config, num_blocks=8,
+                                      tb=8, with_xfade=True, n_cf=4)
+    with pytest.raises(AssertionError, match="per-row ramps"):
+        _fd_complex_chunk_dedup_fused(*args, config=config, num_blocks=8,
+                                      tb=8, with_xfade=False, n_cf=4, n_dist=2)
+    with pytest.raises(AssertionError, match="no-crossfade kernel"):
+        batched_chunk_fn_dedup_fused(config, 8, 8, with_xfade=True, n_cf=4)
+    with pytest.raises(AssertionError, match="per-row ramps"):
+        batched_chunk_fn_dedup_fused(config, 8, 8, with_xfade=False,
+                                     n_cf=4, n_dist=2)
+
+
+def test_batch_planning_guards():
+    from jefferson_tpu.engine.batch import _auto_chunk, _plan_source_groups
+
+    # no plan metadata yet: the fused-step ceiling, unlowered
+    assert _auto_chunk(0, 0, [], fused=True) == 256
+    # fewer sources than the tile wants
+    io = np.zeros((2, 4, 4), np.int64)
+    il = np.zeros((2, 4), np.int64)
+    assert _plan_source_groups(io, il, 2, 4) == (None, None)
+    # one source whose unique set exceeds the VMEM gate: nothing to halve
+    io = (np.arange(1 * 200 * 4).reshape(1, 200, 4)) % 710
+    il = np.array([[700, 701, 702, 703]])
+    assert _plan_source_groups(io, il, 1, 1) == (None, None)
+
+
+def test_batch_dedup_fused_perrow_distance(db, config, castanets):
+    """More unique distance triples than the compact-distance kernel's 8
+    rows: the dedup+fused composition must take the per-row ramp arm and
+    still match the XLA path."""
+    from jefferson_tpu.engine.batch import BatchRenderer
+    from jefferson_tpu.testing import precision_check
+
+    s = 12
+    signals = np.stack([np.roll(castanets[:2048], 7 * i) for i in range(s)])
+    positions = np.stack([
+        np.tile(np.array([10.0 * i, 0.0, 0.3 + 0.05 * i]), (16, 1))
+        for i in range(s)
+    ])
+    got = BatchRenderer(db, config, chunk_blocks=16, fused=True,
+                        dedup=True).render(signals, positions)
+    want = BatchRenderer(db, config, chunk_blocks=16,
+                         fused=False).render(signals, positions)
+    rep = precision_check(got, want, eps=5e-7)
+    assert rep.ok, str(rep)
