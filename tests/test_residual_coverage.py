@@ -633,3 +633,90 @@ def test_batch_dedup_fused_perrow_distance(db, config, castanets):
                          fused=False).render(signals, positions)
     rep = precision_check(got, want, eps=5e-7)
     assert rep.ok, str(rep)
+
+
+# ----------------------------------------------- multihost launcher arms
+
+def test_multihost_launcher_fails_fast_and_reaps(monkeypatch):
+    """One dead worker fails the dryrun immediately (collectives would
+    strand the rest), survivors are reaped, logs are surfaced."""
+    import subprocess
+
+    import jefferson_tpu.parallel.multihost as mh
+
+    insts = []
+
+    class FakePopen:
+        def __init__(self, cmd, env=None, stdout=None, stderr=None):
+            self.i = len(insts)
+            insts.append(self)
+            self.killed = False
+
+        def poll(self):
+            if self.i == 0:
+                return 1  # worker 0 died at once
+            return -9 if self.killed else None
+
+        def kill(self):
+            self.killed = True
+
+        def wait(self):
+            return -9
+
+    monkeypatch.setattr(subprocess, "Popen", FakePopen)
+    with pytest.raises(RuntimeError, match="multi-process dryrun failed"):
+        mh._run_once(2, 1, timeout=5.0)
+    assert insts[1].killed  # the survivor was reaped, not leaked
+
+
+def test_multihost_launcher_times_out_hung_workers(monkeypatch):
+    import subprocess
+
+    import jefferson_tpu.parallel.multihost as mh
+
+    insts = []
+
+    class HungPopen:
+        def __init__(self, cmd, env=None, stdout=None, stderr=None):
+            insts.append(self)
+            self.killed = False
+
+        def poll(self):
+            return -9 if self.killed else None
+
+        def kill(self):
+            self.killed = True
+
+        def wait(self):
+            return -9
+
+    monkeypatch.setattr(subprocess, "Popen", HungPopen)
+    with pytest.raises(RuntimeError, match="timeout"):
+        mh._run_once(2, 1, timeout=0.3)
+    assert all(p.killed for p in insts)
+
+
+def test_multihost_retries_once_on_timeout(monkeypatch):
+    """A coordinator-port race (timeout) is retried once on a fresh port;
+    any other failure propagates immediately."""
+    import jefferson_tpu.parallel.multihost as mh
+
+    calls = {"n": 0}
+
+    def flaky(num_processes, local_devices, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("multi-process dryrun failed: timeout")
+
+    monkeypatch.setattr(mh, "_run_once", flaky)
+    mh.run_multiprocess_dryrun(2, 1, timeout=1.0)
+    assert calls["n"] == 2
+
+    def hard(num_processes, local_devices, timeout):
+        calls["n"] += 1
+        raise RuntimeError("worker crashed: segfault")
+
+    monkeypatch.setattr(mh, "_run_once", hard)
+    with pytest.raises(RuntimeError, match="segfault"):
+        mh.run_multiprocess_dryrun(2, 1, timeout=1.0)
+    assert calls["n"] == 3  # no retry for non-timeout failures
