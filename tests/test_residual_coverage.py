@@ -720,3 +720,58 @@ def test_multihost_retries_once_on_timeout(monkeypatch):
     with pytest.raises(RuntimeError, match="segfault"):
         mh.run_multiprocess_dryrun(2, 1, timeout=1.0)
     assert calls["n"] == 3  # no retry for non-timeout failures
+
+
+# ----------------------------------------------------- sweep gate harness
+
+def test_sweep_dispatch_classifier_names_all_arms():
+    from jefferson_tpu.bench.sweep import _batch_dispatches
+
+    br = types.SimpleNamespace(_jitted={
+        (16, ("d",), 8, False, None, None, True, None),   # dedup_fused
+        (16, None, 8, True, ("g",), None, True, None),    # onehot_grouped
+        (16, None, 8, True, None, None, True, None),      # onehot_shared
+        (16, None, 8, False, None, None, True, None),     # gather_fused
+        (16, None, None, False, None, None, True, None),  # xla
+    })
+    assert _batch_dispatches(br) == {
+        "dedup_fused", "onehot_grouped", "onehot_shared", "gather_fused", "xla",
+    }
+
+
+def test_sweep_scene_gate_rejects_unknown_scenario(db, config):
+    from jefferson_tpu.bench.sweep import run_scene_gate
+
+    with pytest.raises(ValueError, match="unknown scene scenario"):
+        run_scene_gate(np.zeros(1024, np.float32), db, config,
+                       scenario="bogus")
+
+
+# ------------------------------------------------------------ rt __main__
+
+def test_rt_main_live_path_through_fake_device(
+        db, config, castanets, tmp_path, monkeypatch, capsys):
+    import jefferson_tpu.rt.playout as pl
+    from jefferson_tpu.rt.__main__ import main
+    from test_playout import _FakeSD
+
+    monkeypatch.setattr(pl, "_sounddevice", lambda: _FakeSD())
+    src = tmp_path / "in.wav"
+    write_wav(src, castanets[:4096], config.sample_rate)
+    out = tmp_path / "live.wav"
+    assert main(["-i", str(src), "-o", str(out), "--live",
+                 "--seconds", "0.02"]) == 0
+    y, sr = read_wav(out)
+    assert sr == config.sample_rate and y.shape[0] > 0
+
+
+def test_rt_main_clipping_alert(db, config, castanets, tmp_path, capsys):
+    from jefferson_tpu.rt.__main__ import main
+
+    src = tmp_path / "loud.wav"
+    # float WAV carries >1.0 amplitudes, so the rendered blocks must clip
+    write_wav(src, castanets[:4096] * 200.0,
+              config.sample_rate, bits=32, float_format=True)
+    out = tmp_path / "clip.wav"
+    assert main(["-i", str(src), "-o", str(out), "--seconds", "0.02"]) == 0
+    assert "CLIPPING" in capsys.readouterr().err
