@@ -775,3 +775,12 @@ def test_rt_main_clipping_alert(db, config, castanets, tmp_path, capsys):
     out = tmp_path / "clip.wav"
     assert main(["-i", str(src), "-o", str(out), "--seconds", "0.02"]) == 0
     assert "CLIPPING" in capsys.readouterr().err
+
+
+def test_serve_render_defaults_blocks_from_input_length(
+        svc, config, stream_wav, tmp_path):
+    """Neither blocks nor duration: one full pass of the input."""
+    r = svc.handle({"cmd": "render", "input": str(stream_wav),
+                    "output": str(tmp_path / "d.wav")})
+    assert r["ok"]
+    assert r["blocks"] == int(np.ceil(4096 / config.frames_per_buffer))
